@@ -1,0 +1,155 @@
+"""Distortion toolbox tests (a coverage gap in the reference: 0%).
+
+Checks the exp-decay IIR design against its defining step response, the
+inverse filter as a true inverse, reflections, kernel deconvolution, and
+streaming-state continuity.
+"""
+
+import numpy as np
+import pytest
+from scipy.signal import lfilter
+
+from waveforms_tpu import square
+from waveforms_tpu.distortion import (combine_filters, correct_reflection,
+                                      distort, exp_decay_filter,
+                                      extractKernel, factor_filter,
+                                      high_pass_filter, predistort,
+                                      reflection, stable_filter,
+                                      zDistortKernel)
+from waveforms_tpu.utils.signal import shift
+
+
+def test_exp_decay_step_response():
+    """Step through the filter ~ 1 - A*exp(-t/tau) (the defining property)."""
+    fs = 1e9
+    A, tau = 0.1, 50e-9
+    b, a = exp_decay_filter(A, tau, fs)
+    n = 2000
+    u = np.ones(n)
+    y = lfilter(b, a, u)
+    t = np.arange(n) / fs
+    expected = 1 - A * np.exp(-t / tau)
+    np.testing.assert_allclose(y[50:], expected[50:], rtol=2e-2)
+
+
+def test_exp_decay_inverse_roundtrip():
+    """Pre-compensation then distortion must reproduce the input."""
+    fs = 2e9
+    params = [(0.05, 100e-9), (-0.02, 30e-9)]
+    fwd = [exp_decay_filter(A, tau, fs) for A, tau in params]
+    inv = [exp_decay_filter(A, tau, fs, inv=True) for A, tau in params]
+
+    n = 5000
+    sig = np.zeros(n)
+    sig[1000:3000] = 1.0
+    pre = predistort(sig, inv)
+    back = predistort(pre, fwd)
+    np.testing.assert_allclose(back, sig, atol=1e-8)
+
+
+def test_exp_decay_outputs():
+    fs = 1e9
+    sos = exp_decay_filter(0.1, 50e-9, fs, output='sos')
+    assert sos.shape[1] == 6
+    z, p, k = exp_decay_filter(0.1, 50e-9, fs, output='zpk')
+    assert np.all(np.abs(p) < 1)
+    with pytest.raises(ValueError):
+        exp_decay_filter(0.1, 50e-9, fs, output='nope')
+
+
+def test_multi_exponential():
+    fs = 2e9
+    amp = [0.05, -0.02, 0.01]
+    tau = [100e-9, 30e-9, 300e-9]
+    b, a = exp_decay_filter(amp, tau, fs)
+    n = 4000
+    y = lfilter(b, a, np.ones(n))
+    t = np.arange(n) / fs
+    expected = 1 - sum(A * np.exp(-t / T) for A, T in zip(amp, tau))
+    np.testing.assert_allclose(y[100:], expected[100:], rtol=5e-2)
+
+
+def test_stability_check_and_combine():
+    fs = 1e9
+    assert stable_filter([(0.1, 50e-9), (-0.05, 20e-9)], fs) in (True, False)
+    b, a = combine_filters([exp_decay_filter(0.1, 50e-9, fs),
+                            exp_decay_filter(-0.05, 20e-9, fs)])
+    assert len(b) == 3 and len(a) == 3
+    sections = factor_filter(b, a)
+    assert len(sections) == 2
+
+
+def test_high_pass():
+    fs = 1e9
+    b, a = high_pass_filter(1e-6, fs)
+    # DC is blocked
+    y = lfilter(b, a, np.ones(100000))
+    assert abs(y[-1]) < 0.1
+
+
+def test_reflection_roundtrip():
+    fs = 2e9
+    n = 4096
+    sig = np.zeros(n)
+    sig[1000:2000] = 1.0
+    A, tau = 0.2, 5e-9
+    distorted = reflection(sig, A, tau, fs)
+    recovered = correct_reflection(distorted, A, tau, fs)
+    np.testing.assert_allclose(recovered, sig, atol=1e-9)
+
+
+def test_correct_reflection_symbolic():
+    """On a Waveform the correction is symbolic: (sig - A*(sig>>tau))/(1-A)."""
+    wav = square(2e-6)
+    A, tau = 0.1, 10e-9
+    corrected = correct_reflection(wav, A, tau)
+    t = np.linspace(-2e-6, 2e-6, 1001)
+    expected = (wav(t) - A * (wav >> tau)(t)) / (1 - A)
+    np.testing.assert_allclose(corrected(t), expected, atol=1e-12)
+
+
+def test_zdistort_kernel_and_extract():
+    dt = 0.5e-9
+    params = [(50e-9, 0.05)]
+    ker = zDistortKernel(dt, params)
+    assert np.isfinite(ker).all()
+
+    rng = np.random.default_rng(0)
+    sig_in = rng.standard_normal(1024)
+    impulse = np.zeros(31)
+    impulse[15] = 1.0
+    impulse[16] = 0.3
+    sig_out = np.convolve(sig_in, impulse, mode='same')
+    ker2 = extractKernel(sig_in, sig_out, 2e9)
+    assert np.isfinite(ker2).all()
+
+
+def test_predistort_kernel_path_and_zf():
+    fs = 2e9
+    filters = [exp_decay_filter(0.05, 100e-9, fs, inv=True)]
+    sig = np.zeros(2048)
+    sig[500:1500] = 1.0
+    ker = np.zeros(17)
+    ker[8] = 1.0  # identity kernel
+
+    out1 = predistort(sig, filters)
+    out2, zf = predistort(sig, filters, ker=ker, return_zf=True)
+    np.testing.assert_allclose(out1, out2, atol=1e-10)
+    assert zf.shape[0] == 1
+
+    # streaming: filtering two halves with carried zf == filtering whole
+    a, zf = predistort(sig[:1024], filters, return_zf=True)
+    b = predistort(sig[1024:], filters, zi=zf)
+    np.testing.assert_allclose(np.concatenate([a, b]), out1, atol=1e-12)
+
+
+def test_distort_and_subsample_shift():
+    fs = 2e9
+    sig = np.zeros(1000)
+    sig[200:800] = 1.0
+    out = distort(sig, [0.05, 100e-9], fs)
+    assert out.shape == sig.shape
+
+    delayed = shift(sig.astype(float), 2.5e-9, 1 / fs)
+    # integer part: 5 samples; fractional part spreads the edge
+    assert np.argmax(delayed > 0.5) > np.argmax(sig > 0.5)

@@ -1,0 +1,2 @@
+"""Package version (kept importable without heavy dependencies)."""
+__version__ = "0.1.0"
