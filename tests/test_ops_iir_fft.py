@@ -1,0 +1,89 @@
+"""Device IIR (associative-scan) and FFT pipelines vs scipy references."""
+
+import numpy as np
+import scipy.signal as sps
+
+import jax.numpy as jnp
+
+from waveforms_tpu.distortion import exp_decay_filter, predistort
+from waveforms_tpu.ops.fft import (correct_reflection_jax,
+                                   fft_convolve_centered, reflection_jax)
+from waveforms_tpu.ops.iir import lfilter, predistort_jax, sosfilt
+
+
+def test_sosfilt_matches_scipy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096)
+    sos = sps.butter(4, 0.1, output='sos')
+    ref = sps.sosfilt(sos, x)
+    got = np.asarray(sosfilt(jnp.asarray(sos), jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_sosfilt_zi_streaming():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(2048)
+    sos = sps.butter(3, 0.2, output='sos')
+    whole = np.asarray(sosfilt(jnp.asarray(sos), jnp.asarray(x)))
+    a, zf = sosfilt(jnp.asarray(sos), jnp.asarray(x[:1000]),
+                    zi=jnp.zeros((sos.shape[0], 2)))
+    b, _ = sosfilt(jnp.asarray(sos), jnp.asarray(x[1000:]), zi=zf)
+    np.testing.assert_allclose(np.concatenate([np.asarray(a),
+                                               np.asarray(b)]), whole,
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_lfilter_matches_scipy():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(4096)
+    b, a = sps.butter(5, 0.15)
+    ref = sps.lfilter(b, a, x)
+    got = np.asarray(lfilter(b, a, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_lfilter_zi_matches_scipy():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(1024)
+    b, a = sps.butter(2, 0.3)
+    zi = sps.lfiltic(b, a, [0.7], [0.7])
+    ref, ref_zf = sps.lfilter(b, a, x, zi=zi)
+    got, got_zf = lfilter(b, a, jnp.asarray(x), zi=jnp.asarray(zi))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got_zf), ref_zf, rtol=1e-8,
+                               atol=1e-10)
+
+
+def test_predistort_jax_matches_host():
+    fs = 2e9
+    filters = [exp_decay_filter(0.05, 100e-9, fs, inv=True)]
+    sig = np.zeros(2048)
+    sig[500:1500] = 1.0
+    ker = sps.windows.hann(31)
+    ker /= ker.sum()
+
+    host = predistort(sig, filters, ker=ker)
+    dev = np.asarray(predistort_jax(jnp.asarray(sig), filters, ker=ker))
+    np.testing.assert_allclose(dev, host, rtol=1e-8, atol=1e-10)
+
+
+def test_fft_convolve_centered_matches_scipy():
+    rng = np.random.default_rng(4)
+    sig = rng.standard_normal(1000)
+    ker = rng.standard_normal(33)
+    size = len(sig)
+    padded = np.hstack([np.zeros_like(sig), sig, np.zeros_like(sig)])
+    start = size + len(ker) // 2
+    ref = sps.fftconvolve(padded, ker, mode='full')[start:start + size]
+    got = np.asarray(fft_convolve_centered(jnp.asarray(sig),
+                                           jnp.asarray(ker)))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10)
+
+
+def test_reflection_roundtrip_device():
+    fs = 2e9
+    sig = np.zeros(4096)
+    sig[1000:2000] = 1.0
+    out = reflection_jax(jnp.asarray(sig), 0.2, 5e-9, fs)
+    back = correct_reflection_jax(out, 0.2, 5e-9, fs)
+    np.testing.assert_allclose(np.asarray(back), sig, atol=1e-9)

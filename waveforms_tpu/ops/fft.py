@@ -1,0 +1,63 @@
+"""FFT pipelines on device: deconvolution kernels and reflection correction.
+
+XLA-native replacements for the reference's scipy.fftpack/fftconvolve paths
+(``/root/reference/waveforms/distortion.py:42-60,188-223,329-337``).  All
+transforms are ``jnp.fft`` and shard cleanly along the batch (channel) axis;
+the long-sample-axis FFT stays per-shard (waveform memory is channel-local
+in the production layout).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ['fft_convolve_centered', 'reflection_jax',
+           'correct_reflection_jax', 'extract_kernel_jax']
+
+
+def fft_convolve_centered(sig: jnp.ndarray, ker: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded FFT convolution returning the center-aligned same-size cut.
+
+    Matches the reference ``predistort`` kernel path: pad the signal with a
+    full length of zeros on both sides, full convolution, then crop starting
+    at ``size + len(ker)//2``.
+    """
+    size = sig.shape[-1]
+    pad = jnp.zeros_like(sig)
+    padded = jnp.concatenate([pad, sig, pad], axis=-1)
+    n = padded.shape[-1] + ker.shape[-1] - 1
+    full = jnp.fft.irfft(
+        jnp.fft.rfft(padded, n=n) * jnp.fft.rfft(ker, n=n), n=n)
+    start = size + ker.shape[-1] // 2
+    return full[..., start:start + size]
+
+
+def _reflection_tf(freq, A, tau):
+    return (1 - A) / (1 - A * jnp.exp(-2j * jnp.pi * freq * tau))
+
+
+def reflection_jax(sig, A, tau, sample_rate):
+    """Apply an impedance reflection in the FFT domain."""
+    freq = jnp.fft.fftfreq(sig.shape[-1], 1 / sample_rate)
+    return jnp.fft.ifft(jnp.fft.fft(sig) * _reflection_tf(freq, A, tau)).real
+
+
+def correct_reflection_jax(sig, A, tau, sample_rate):
+    """Undo an impedance reflection in the FFT domain."""
+    freq = jnp.fft.fftfreq(sig.shape[-1], 1 / sample_rate)
+    return jnp.fft.ifft(jnp.fft.fft(sig) / _reflection_tf(freq, A, tau)).real
+
+
+def extract_kernel_jax(sig_in, sig_out, sample_rate, bw=None):
+    """FFT deconvolution of a measured in/out pair (smoothing optional)."""
+    corr = jnp.fft.fft(sig_in) / jnp.fft.fft(sig_out)
+    ker = jnp.fft.ifftshift(jnp.fft.ifft(corr)).real
+    if bw is not None and bw < 0.5 * sample_rate:
+        m = int(2 * sample_rate / bw)
+        k = jnp.exp(-0.5 * jnp.linspace(-3.0, 3.0, m) ** 2)
+        k = k / k.sum()
+        n = ker.shape[-1] + m - 1
+        sm = jnp.fft.irfft(jnp.fft.rfft(ker, n=n) * jnp.fft.rfft(k, n=n), n=n)
+        start = (m - 1) // 2
+        ker = sm[start:start + ker.shape[-1]]
+    return ker
