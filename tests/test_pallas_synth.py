@@ -1,0 +1,130 @@
+"""Descriptor lowering + Pallas synthesis kernel parity (interpret mode).
+
+The kernel runs in interpreter mode on CPU here; the same code path runs
+compiled on TPU (bench.py).  Accuracy contract: f32-level (~1e-6 relative
+against the float64 oracle), including carrier phase at 2 GS/s over long
+spans (the int32 fixed-point phase accumulator).
+"""
+
+import numpy as np
+import pytest
+
+from waveforms_tpu import (chirp, cos, cosPulse, cosh, drag, gaussian,
+                           mixing, mollifier, poly, sinc, sinh, square, step,
+                           zero)
+from waveforms_tpu.core import WaveVStack
+from waveforms_tpu.ops.lowering import UnsupportedFactor, lower_schedule
+from waveforms_tpu.ops.pallas_synth import synthesize
+from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
+
+RTOL = 2e-6
+
+
+def check(chans, start, stop, fs, rtol=RTOL):
+    out = np.asarray(synthesize(chans, start, stop, fs, interpret=True))
+    t = np.arange(start, stop, 1 / fs)
+    for i, ch in enumerate(chans):
+        oracle = ch(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        err = np.abs(out[i] - oracle).max() / scale
+        assert err < rtol, f"channel {i}: rel err {err}"
+    return out
+
+
+def test_basic_shapes():
+    check([gaussian(1e-6), cosPulse(1e-6), square(1e-6, edge=0.2e-6),
+           square(1e-6, edge=0.2e-6, type='cos'),
+           square(1e-6, edge=0.2e-6, type='linear'),
+           sinc(20e6), cosh(1e6) * square(2e-6), sinh(1e6) * square(2e-6),
+           mollifier(1e-6, d=2), poly([0.5, 1e5, -1e11]) * square(3e-6)],
+          -2e-6, 2e-6, 1e9)
+
+
+def test_carriers_and_phase_accuracy_long_span():
+    """Carrier phase must stay accurate over 2M samples (int32 phase)."""
+    chans = [cos(2 * np.pi * 137.137e6, 0.3),
+             gaussian(2.5e-3) * cos(2 * np.pi * 250e6)]
+    out = np.asarray(synthesize(chans, 0, 1e-3, 2e9, interpret=True))
+    t = np.arange(0, 1e-3, 0.5e-9)
+    tail = slice(-100000, None)
+    for i, ch in enumerate(chans):
+        oracle = ch(t[tail])
+        err = np.abs(out[i][tail] - oracle).max()
+        assert err < 2e-6, f"channel {i} phase drift: {err}"
+
+
+def test_drag_and_mixing():
+    pulse = cosPulse(20e-9)
+    I, Q = mixing(0.5 * pulse, freq=-20e6, DRAGScaling=1e-10)
+    chans = [I, Q, drag(100e6, 20e-9, plateau=10e-9, delta=2e6,
+                        block_freq=250e6, phase=0.4, t0=3e-9) >> 0.1e-6]
+    check(chans, -0.1e-6, 0.4e-6, 2e9)
+
+
+def test_chirps():
+    check([chirp(1e6, 50e6, 1e-5, 0.3, 'linear')], 0, 1e-5, 2e9, rtol=5e-6)
+    # exponential/hyperbolic phase goes through f32 exp/log times a large
+    # multiplier: ~2e-4 absolute accuracy (about 12 effective bits; fine for
+    # DAC output, use the x64 XLA path for exact work).
+    check([chirp(1e6, 50e6, 1e-5, 0.3, 'exponential'),
+           chirp(1e6, 50e6, 1e-5, 0.3, 'hyperbolic')],
+          0, 1e-5, 2e9, rtol=5e-4)
+
+
+def test_hermite_envelope():
+    check([gaussian(1e-6, d=2), gaussian(1e-6, plateau=0.5e-6, d=1)],
+          -2e-6, 2e-6, 1e9)
+
+
+def test_clip_limits():
+    w = 2 * gaussian(1e-6)
+    w.max = 1.0
+    w.min = 0.2
+    check([w], -1e-6, 1e-6, 1e9)
+
+
+def test_vstack_channel():
+    stack = WaveVStack([0.5 * cosPulse(50e-9) >> (k * 200e-9)
+                        for k in range(5)])
+    check([stack], 0, 1.2e-6, 2e9)
+
+
+def test_segment_boundaries_match_oracle_exactly():
+    """Bound -> sample-index conversion must match np.searchsorted."""
+    w = square(1e-6) >> 0.25e-6
+    out = np.asarray(synthesize([w], 0, 2e-6, 1e9, interpret=True))
+    t = np.arange(0, 2e-6, 1e-9)
+    oracle = w(t)
+    np.testing.assert_array_equal(out[0] != 0, oracle != 0)
+
+
+def test_unsupported_factor_raises():
+    from waveforms_tpu import function
+    w = function(lambda t, a: np.tanh(a * t), 2.0)
+    with pytest.raises(UnsupportedFactor):
+        lower_schedule([w], 0, 1e-6, 1e9)
+
+
+def test_sharded_matches_unsharded():
+    chans = [0.5 * cosPulse(50e-9) >> (k * 100e-9) for k in range(6)]
+    start, stop, fs = 0, 0.8e-6, 2e9
+    mesh = channel_mesh(n_channel=2, n_time=4)
+    sharded = np.asarray(synthesize_on_mesh(chans, start, stop, fs, mesh,
+                                            rows_per_tile=8, interpret=True))
+    single = np.asarray(synthesize(chans, start, stop, fs, rows_per_tile=8,
+                                   interpret=True))
+    np.testing.assert_allclose(sharded, single, atol=1e-7)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import jax
+
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.dtype == np.float32

@@ -1,0 +1,397 @@
+"""Host-side lowering: piecewise IR -> flat device descriptor arrays.
+
+This is the compile-once production path: a multi-channel schedule lowers to
+padded descriptor tensors (segments / terms / factors) that a single Pallas
+kernel interprets, so *new schedules never recompile the kernel* -- only the
+bucket sizes (max segments/terms/factors) key the kernel cache.
+
+Layout (C channels, S segments, T terms, F factors, W=12 f32 args):
+
+    seg_lo, seg_hi : i32[C, S]     segment sample-index ranges [lo, hi)
+    nterm          : i32[C, S]     live terms per segment
+    amp            : f32[C, S, T]  term amplitudes (real or imag part)
+    nfac           : i32[C, S, T]  live factors per term
+    op             : i32[C, S, T, F]   kernel opcode
+    power          : i32[C, S, T, F]   small integer exponent
+    shift_hi       : i32[C, S, T, F]   integer part of the factor shift, in samples
+    args           : f32[C, S, T, F, W]
+
+Numerical contract (the part that makes f32 viable at 2 GS/s x 1 ms):
+
+* Time is carried as the **int32 sample index**; segment bounds become exact
+  index ranges computed with ``np.searchsorted`` on the float64 grid -- the
+  same boundary semantics as the host oracle.
+* Each factor's time shift splits into ``shift_hi`` (int32 samples) plus a
+  fractional f32 remainder (args[0]), so envelope arguments are computed
+  from small exact integer deltas, never from large absolute times.
+* Carrier (and chirp) phases are quantized to **int32 fixed-point turns**
+  (2^32 == one turn): integer multiply-accumulate wraps to the exact phase
+  modulo 2pi at any magnitude, and the sub-quantum residual (< pi * 2^-32
+  per sample) is re-added linearly in f32 (see pallas_synth._carrier_phase).
+
+The reference's unbuilt C engine sketches the same struct layout and
+fixed-point time idea (``/root/reference/src/waveform.h:13-81``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import Waveform, WaveVStack
+from ..ir import registry as _reg
+from ..ir.algebra import ZERO
+
+W_ARGS = 12
+
+# Kernel opcodes (internal; independent of the registry's basis IDs).
+OP_LINEAR = 0
+OP_GAUSSIAN = 1
+OP_ERF = 2
+OP_COS = 3
+OP_SINC = 4
+OP_EXP = 5
+OP_LINEARCHIRP = 6
+OP_EXPCHIRP = 7
+OP_HYPCHIRP = 8
+OP_COSH = 9
+OP_SINH = 10
+OP_DRAG = 11
+OP_POLY_GAUSS = 12
+OP_MOLLIFIER = 13
+N_OPS = 14
+
+_TWO_PI = 2 * np.pi
+
+
+class UnsupportedFactor(Exception):
+    """Factor has no kernel lowering; caller should use the XLA fallback."""
+
+
+def _split_f32(x: float) -> tuple[np.float32, np.float32]:
+    """Split a float64 into a double-f32 (hi, lo) pair, hi+lo ~ x exactly."""
+    hi = np.float32(x)
+    lo = np.float32(x - float(hi))
+    return hi, lo
+
+
+def _split_shift(offset_samples: float) -> tuple[int, float]:
+    """Split a (possibly huge) shift in samples into int32 + small f32 frac."""
+    hi = int(round(offset_samples))
+    return hi, float(offset_samples - hi)
+
+
+def _phase_q32(dphi_rad: float) -> tuple[int, float]:
+    """Quantize a per-sample phase increment to int32 fixed-point turns.
+
+    Returns ``(q32, eps_rad)`` with ``dphi = q32 * 2pi/2^32 + eps`` and
+    ``|eps| <= pi * 2^-32``; int32 multiplication by a sample delta then
+    wraps to the exact phase modulo 2pi, and eps is added linearly in f32.
+    """
+    turns = dphi_rad / _TWO_PI
+    q = round(turns * 2**32)
+    eps = dphi_rad - q * (_TWO_PI / 2**32)
+    q32 = ((q + 2**31) % 2**32) - 2**31
+    return int(q32), float(eps)
+
+
+@dataclass
+class FactorDesc:
+    op: int
+    power: int
+    shift_hi: int
+    args: np.ndarray  # (W_ARGS,) float32
+    # int32 fixed-point phase increments (turns/2^32):
+    #   [0] linear in di; [1] dh^2; [2] dh*dl; [3] dl^2  (di = dh*2^11 + dl)
+    q32: tuple = (0, 0, 0, 0)
+
+
+def _lower_factor(factor, power, start: float, dt: float) -> FactorDesc:
+    """Lower one IR factor ``(fun_id, *args, shift)`` to a kernel descriptor.
+
+    Raises :class:`UnsupportedFactor` for bases (or parameter ranges) the
+    kernel does not cover; the schedule then falls back to the XLA path for
+    that channel.
+    """
+    fun_id, *fargs, shift = factor
+    if power != int(power):
+        raise UnsupportedFactor(f"non-integer power {power}")
+    power = int(power)
+    a = np.zeros(W_ARGS, dtype=np.float32)
+
+    def plain_shift():
+        hi, frac = _split_shift((shift - start) / dt)
+        a[0] = frac
+        return hi
+
+    if fun_id == _reg.LINEAR:
+        hi = plain_shift()
+        a[1] = dt
+        return FactorDesc(OP_LINEAR, power, hi, a)
+
+    if fun_id == _reg.GAUSSIAN:
+        (std_sq2,) = fargs
+        hi = plain_shift()
+        a[1] = dt / std_sq2
+        return FactorDesc(OP_GAUSSIAN, power, hi, a)
+
+    if fun_id == _reg.ERF:
+        (std_sq2,) = fargs
+        hi = plain_shift()
+        a[1] = dt / std_sq2
+        return FactorDesc(OP_ERF, power, hi, a)
+
+    if fun_id == _reg.COS:
+        (w,) = fargs
+        hi, frac = _split_shift((shift - start) / dt)
+        a[0] = frac
+        dphi = w * dt
+        q32, eps = _phase_q32(dphi)
+        a[2] = eps
+        # phase at di = 0 (idx = shift_hi): -w*dt*frac (small, exact host f64)
+        a[3] = np.float32(-dphi * frac)
+        return FactorDesc(OP_COS, power, hi, a, (q32, 0, 0, 0))
+
+    if fun_id == _reg.SINC:
+        (bw,) = fargs
+        hi = plain_shift()
+        a[1] = bw * dt
+        return FactorDesc(OP_SINC, power, hi, a)
+
+    if fun_id == _reg.EXP:
+        (alpha,) = fargs
+        if isinstance(alpha, complex):
+            raise UnsupportedFactor("complex exp factor")
+        hi = plain_shift()
+        a[1] = alpha * dt
+        return FactorDesc(OP_EXP, power, hi, a)
+
+    if fun_id == _reg.LINEARCHIRP:
+        f0, f1, T, phi0 = fargs
+        hi, frac = _split_shift((shift - start) / dt)
+        a[0] = frac
+        # phase(di) = A*(di-frac)^2 + B*(di-frac) + phi0
+        #           = A*di^2 + (B - 2*A*frac)*di + const     (host f64)
+        A = _TWO_PI * (f1 - f0) / (2 * T) * dt * dt
+        B = _TWO_PI * f0 * dt
+        # di = dh*2^11 + dl; A*di^2 = (A*2^22)*dh^2 + (A*2^12)*dh*dl + A*dl^2
+        q_hh, e_hh = _phase_q32(A * 2**22)
+        q_hl, e_hl = _phase_q32(A * 2**12)
+        q_ll, e_ll = _phase_q32(A)
+        q_lin, e_lin = _phase_q32(B - 2 * A * frac)
+        a[2], a[3], a[4], a[5] = e_hh, e_hl, e_ll, e_lin
+        a[6] = np.float32((A * frac * frac - B * frac + phi0) % _TWO_PI)
+        return FactorDesc(OP_LINEARCHIRP, power, hi, a,
+                          (q_hh, q_hl, q_ll, q_lin))
+
+    if fun_id == _reg.EXPONENTIALCHIRP:
+        f0, alpha, phi0 = fargs
+        hi = plain_shift()
+        a[1] = _TWO_PI * f0 / alpha
+        a[2] = alpha * dt
+        a[3] = np.float32((phi0 - _TWO_PI * f0 / alpha) % _TWO_PI)
+        return FactorDesc(OP_EXPCHIRP, power, hi, a)
+
+    if fun_id == _reg.HYPERBOLICCHIRP:
+        f0, k, phi0 = fargs
+        hi = plain_shift()
+        a[1] = _TWO_PI * f0 / k
+        a[2] = k * dt
+        a[3] = np.float32(phi0 % _TWO_PI)
+        return FactorDesc(OP_HYPCHIRP, power, hi, a)
+
+    if fun_id == _reg.COSH:
+        (w,) = fargs
+        hi = plain_shift()
+        a[1] = w * dt
+        return FactorDesc(OP_COSH, power, hi, a)
+
+    if fun_id == _reg.SINH:
+        (w,) = fargs
+        hi = plain_shift()
+        a[1] = w * dt
+        return FactorDesc(OP_SINH, power, hi, a)
+
+    if fun_id == _reg.DRAG:
+        t0, freq, width, delta, block_freq, phase = fargs
+        # envelope is a function of (t - shift - t0); carrier of (t - shift)
+        hi, frac = _split_shift((shift + t0 - start) / dt)
+        a[0] = frac
+        o = np.pi / width
+        a[1] = o * dt
+        w = _TWO_PI * (freq + delta)
+        q32, eps = _phase_q32(w * dt)
+        a[3] = eps
+        # carrier phase at idx = shift_hi (f64 host reduction):
+        #   wt(idx) = w*(start + idx*dt - shift) - 2*pi*delta*t0 - phase
+        phi0 = (w * (start + hi * dt - shift)
+                - _TWO_PI * delta * t0 - phase) % _TWO_PI
+        a[4] = np.float32(phi0)
+        if block_freq is None or block_freq - delta == 0:
+            a[5] = 0.0
+        else:
+            a[5] = -o / (_TWO_PI * (block_freq - delta))
+        return FactorDesc(OP_DRAG, power, hi, a, (q32, 0, 0, 0))
+
+    if fun_id == _reg.D_GAUSSIAN:
+        std_sq2, n = fargs
+        if n > 8:
+            raise UnsupportedFactor("hermite order > 8")
+        hi = plain_shift()
+        a[1] = dt / std_sq2
+        a[2] = (-1) ** n / std_sq2 ** n
+        coeffs = _reg.hermite_coefficients(int(n))
+        a[3:3 + len(coeffs)] = coeffs[::-1]  # ascending order for the kernel
+        return FactorDesc(OP_POLY_GAUSS, power, hi, a)
+
+    if fun_id == _reg.MOLLIFIER:
+        r, d = fargs
+        if d > 3:
+            raise UnsupportedFactor("mollifier derivative order > 3")
+        hi = plain_shift()
+        a[1] = dt / r
+        a[2] = float(d)
+        if d > 0:
+            coeffs = _reg.mollifier_poly(int(d)).coeffs
+            a[3:3 + len(coeffs)] = (coeffs / r ** d)[::-1]
+        return FactorDesc(OP_MOLLIFIER, power, hi, a)
+
+    raise UnsupportedFactor(f"basis id {fun_id}")
+
+
+@dataclass
+class SegmentDesc:
+    lo: int
+    hi: int
+    amps: list            # float amplitudes per term
+    factors: list         # list[list[FactorDesc]] per term
+
+
+@dataclass
+class LoweredSchedule:
+    """Padded descriptor tensors ready for the Pallas interpreter kernel."""
+    seg_lo: np.ndarray
+    seg_hi: np.ndarray
+    nterm: np.ndarray
+    amp: np.ndarray
+    nfac: np.ndarray
+    op: np.ndarray
+    power: np.ndarray
+    shift_hi: np.ndarray
+    q32: np.ndarray
+    args: np.ndarray
+    clip_min: np.ndarray
+    clip_max: np.ndarray
+    n_samples: int
+    start: float
+    sample_rate: float
+
+    @property
+    def shape(self):
+        return self.op.shape[:4]  # (C, S, T, F)
+
+
+def _waveform_pieces(wav):
+    """Yield (bounds, seq, vmin, vmax) pieces of a Waveform or WaveVStack."""
+    if isinstance(wav, WaveVStack):
+        if wav.shift != 0 or wav.offset != 0:
+            wav = wav.simplify()
+            yield wav.bounds, wav.seq, wav.min, wav.max
+            return
+        for bounds, seq in wav.wlist:
+            yield bounds, seq, -np.inf, np.inf
+        return
+    yield wav.bounds, wav.seq, wav.min, wav.max
+
+
+def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
+                  part: str = 'real') -> tuple[list[SegmentDesc], float, float]:
+    """Lower one channel; returns its segment descriptors and clip limits.
+
+    ``part`` selects the real or imaginary component of complex amplitudes
+    (factors themselves are always real-valued)."""
+    segments: list[SegmentDesc] = []
+    vmin, vmax = -np.inf, np.inf
+    for bounds, seq, bmin, bmax in _waveform_pieces(wav):
+        vmin, vmax = bmin, bmax
+        edges = np.searchsorted(grid, np.asarray(bounds, dtype=float))
+        lo = 0
+        for hi, expr in zip(edges, seq):
+            if lo < hi and expr != ZERO:
+                amps, facs = [], []
+                for (factors, powers), v in zip(*expr):
+                    v = complex(v)
+                    amp = v.real if part == 'real' else v.imag
+                    if amp == 0:
+                        continue
+                    amps.append(amp)
+                    facs.append([
+                        _lower_factor(f, n, start, dt)
+                        for f, n in zip(factors, powers)
+                    ])
+                if amps:
+                    segments.append(SegmentDesc(int(lo), int(hi), amps, facs))
+            lo = hi
+    return segments, vmin, vmax
+
+
+def lower_schedule(channels, start: float, stop: float, sample_rate: float,
+                   part: str = 'real',
+                   pad_to: tuple[int, int, int] | None = None
+                   ) -> LoweredSchedule:
+    """Lower a list of channels into padded descriptor tensors.
+
+    ``pad_to = (S, T, F)`` overrides the bucket sizes (use to stabilize the
+    kernel cache across schedules of similar shape).
+    """
+    dt = 1.0 / sample_rate
+    grid = np.arange(start, stop, dt)
+    n = len(grid)
+
+    lowered = [lower_channel(ch, grid, start, dt, part) for ch in channels]
+    C = len(lowered)
+    S = max((len(segs) for segs, _, _ in lowered), default=1)
+    T = max((len(s.amps) for segs, _, _ in lowered for s in segs), default=1)
+    F = max((len(fl) for segs, _, _ in lowered for s in segs
+             for fl in s.factors), default=1)
+    S, T, F = max(S, 1), max(T, 1), max(F, 1)
+    if pad_to is not None:
+        if pad_to[0] < S or pad_to[1] < T or pad_to[2] < F:
+            raise ValueError(f"pad_to {pad_to} smaller than required "
+                             f"{(S, T, F)}")
+        S, T, F = pad_to
+
+    out = LoweredSchedule(
+        seg_lo=np.zeros((C, S), np.int32),
+        seg_hi=np.zeros((C, S), np.int32),
+        nterm=np.zeros((C, S), np.int32),
+        amp=np.zeros((C, S, T), np.float32),
+        nfac=np.zeros((C, S, T), np.int32),
+        op=np.zeros((C, S, T, F), np.int32),
+        power=np.ones((C, S, T, F), np.int32),
+        shift_hi=np.zeros((C, S, T, F), np.int32),
+        q32=np.zeros((C, S, T, F, 4), np.int32),
+        args=np.zeros((C, S, T, F, W_ARGS), np.float32),
+        clip_min=np.full((C,), -np.inf, np.float32),
+        clip_max=np.full((C,), np.inf, np.float32),
+        n_samples=n, start=start, sample_rate=sample_rate,
+    )
+
+    for c, (segs, vmin, vmax) in enumerate(lowered):
+        out.clip_min[c] = vmin
+        out.clip_max[c] = vmax
+        for s, seg in enumerate(segs):
+            out.seg_lo[c, s] = seg.lo
+            out.seg_hi[c, s] = seg.hi
+            out.nterm[c, s] = len(seg.amps)
+            for t, (amp, facs) in enumerate(zip(seg.amps, seg.factors)):
+                out.amp[c, s, t] = amp
+                out.nfac[c, s, t] = len(facs)
+                for f, fd in enumerate(facs):
+                    out.op[c, s, t, f] = fd.op
+                    out.power[c, s, t, f] = fd.power
+                    out.shift_hi[c, s, t, f] = fd.shift_hi
+                    out.q32[c, s, t, f] = fd.q32
+                    out.args[c, s, t, f] = fd.args
+    return out

@@ -1,0 +1,334 @@
+"""Fused multi-channel waveform synthesis: one Pallas kernel, any schedule.
+
+The kernel interprets the flat descriptor tensors produced by
+:mod:`waveforms_tpu.ops.lowering`: grid = (channel, sample-tile); each
+invocation walks its channel's segments (skipping segments that don't
+overlap the tile -- the device analog of the oracle's zero-segment skipping),
+multiplies out factor stacks with *scalar-dispatched* opcodes (``lax.switch``
+on an SMEM scalar emits a real branch, so exactly one basis function is
+evaluated per factor), clips, masks by exact integer sample bounds, and
+accumulates.  Because descriptors are data, a new pulse schedule never
+recompiles -- the kernel cache is keyed only on bucket sizes.
+
+Phase accuracy in f32 (the make-or-break detail at 2 GS/s x 1 ms):
+carrier phase is accumulated as **int32 fixed-point turns** (2^32 == one
+turn), so ``q32 * sample_delta`` wraps to exactly the right phase modulo
+2 pi regardless of magnitude; the sub-quantum residual (< 2^-33 turn/sample)
+is added linearly in f32.  Total phase error ~1e-7 rad over 2M samples,
+versus ~1e-3 rad for naive f32 accumulation.  The idea follows the
+fixed-point time/phase design sketched in the reference's unbuilt C engine
+(``/root/reference/src/waveform.h:13-37``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lowering import (N_OPS, OP_COS, OP_COSH, OP_DRAG, OP_ERF, OP_EXP,
+                       OP_EXPCHIRP, OP_GAUSSIAN, OP_HYPCHIRP, OP_LINEAR,
+                       OP_LINEARCHIRP, OP_MOLLIFIER, OP_POLY_GAUSS, OP_SINC,
+                       OP_SINH, W_ARGS, LoweredSchedule, lower_schedule)
+
+__all__ = ['synthesize', 'synthesize_lowered']
+
+_PHASE = np.float32(2 * np.pi / 2**32)   # int32 fixed-point turn -> radians
+_EXP_CLAMP = np.float32(80.0)
+
+
+def _carrier_phase(di, q32, eps, const):
+    """Exact-mod-2pi carrier phase: int32 turns + linear f32 residual."""
+    turns = q32 * di  # int32 wraparound == mod 2^32 == mod 2 pi, exact
+    return turns.astype(jnp.float32) * _PHASE + eps * di.astype(
+        jnp.float32) + const
+
+
+def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
+                     const):
+    """Exact-mod-2pi quadratic phase (chirps).
+
+    int32 arithmetic is a ring mod 2^32, so integer multiply-accumulate
+    wraps to the exact phase; but the f32 *residual* of A*di^2 would reach
+    thousands of radians at di ~ 2^21.  Splitting di = dh*2^11 + dl keeps
+    every residual operand below 2^22 (f32-exact) and every residual term
+    below ~3e-3 rad:
+
+        A*di^2 = (A*2^22)*dh^2 + (A*2^12)*(dh*dl) + A*dl^2
+    """
+    dh = di >> 11
+    dl = di - (dh << 11)           # in [0, 2048)
+    turns = q_hh * dh * dh + q_hl * dh * dl + q_ll * dl * dl + q_lin * di
+    dhf = dh.astype(jnp.float32)
+    dlf = dl.astype(jnp.float32)
+    dif = di.astype(jnp.float32)
+    resid = ((e_hh * dhf + e_hl * dlf) * dhf + e_ll * dlf * dlf
+             + e_lin * dif)
+    return turns.astype(jnp.float32) * _PHASE + resid + const
+
+
+def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
+                  amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
+                  clip_ref, out_ref, *, S, T, F, R):
+    tile = R * 128
+    # row0 is this shard's global sample offset (time-axis sharding over a
+    # device mesh: each shard synthesizes its slice of the sample axis).
+    base = row0_ref[0, 0, 0] + pl.program_id(1) * tile
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    idx = base + rows * 128 + cols
+
+    def factor_value(flat):
+        """Evaluate one factor's opcode over the whole tile."""
+        op = op_ref[0, 0, flat]
+        di = idx - sh_ref[0, 0, flat]
+        dif = di.astype(jnp.float32)
+        aoff = flat * W_ARGS
+
+        def arg(k):
+            return args_ref[0, 0, aoff + k]
+
+        def u():  # shift-corrected sample delta
+            return dif - arg(0)
+
+        def op_linear():
+            return arg(1) * u()
+
+        def op_gaussian():
+            x = arg(1) * u()
+            return jnp.exp(-(x * x))
+
+        def op_erf():
+            # Mosaic has no erf primitive; Abramowitz-Stegun 7.1.26
+            # rational approximation (max abs error 1.5e-7 ~ f32 noise).
+            x = arg(1) * u()
+            sign = jnp.sign(x)
+            ax = jnp.abs(x)
+            t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
+            poly = t * (np.float32(0.254829592) + t *
+                        (np.float32(-0.284496736) + t *
+                         (np.float32(1.421413741) + t *
+                          (np.float32(-1.453152027) + t *
+                           np.float32(1.061405429)))))
+            return sign * (1.0 - poly * jnp.exp(-(ax * ax)))
+
+        def op_cos():
+            theta = _carrier_phase(di, q32_ref[0, 0, 4 * flat], arg(2),
+                                   arg(3))
+            return jnp.cos(theta)
+
+        def op_sinc():
+            x = arg(1) * u()
+            px = np.float32(np.pi) * x
+            small = jnp.abs(px) < 1e-6
+            safe = jnp.where(small, 1.0, px)
+            return jnp.where(small, 1.0, jnp.sin(safe) / safe)
+
+        def op_exp():
+            x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
+            return jnp.exp(x)
+
+        def op_linearchirp():
+            theta = _quadratic_phase(
+                di,
+                q32_ref[0, 0, 4 * flat], q32_ref[0, 0, 4 * flat + 1],
+                q32_ref[0, 0, 4 * flat + 2], q32_ref[0, 0, 4 * flat + 3],
+                arg(2), arg(3), arg(4), arg(5), arg(6))
+            return jnp.sin(theta)
+
+        def op_expchirp():
+            x = jnp.clip(arg(2) * u(), -_EXP_CLAMP, _EXP_CLAMP)
+            return jnp.sin(arg(3) + arg(1) * jnp.exp(x))
+
+        def op_hypchirp():
+            x = jnp.maximum(1.0 + arg(2) * u(), 1e-30)
+            return jnp.sin(arg(3) + arg(1) * jnp.log(x))
+
+        def op_cosh():
+            # Mosaic has no cosh/sinh primitive; use the exp form.
+            x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
+            e = jnp.exp(x)
+            return 0.5 * (e + 1.0 / e)
+
+        def op_sinh():
+            x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
+            e = jnp.exp(x)
+            return 0.5 * (e - 1.0 / e)
+
+        def op_drag():
+            x = arg(1) * u()                      # o * (t - t0')
+            s = jnp.sin(x)
+            env_x = s * s
+            theta = _carrier_phase(di, q32_ref[0, 0, 4 * flat], arg(3),
+                                   arg(4))
+            main = env_x * jnp.cos(theta)
+            b = arg(5)
+            env_y = b * jnp.sin(2.0 * x)
+            return main + env_y * jnp.sin(theta)
+
+        def _polyval_asc(x, first, count):
+            # coefficients stored ascending at args[first:first+count]
+            acc = jnp.zeros_like(x)
+            for k in range(count - 1, -1, -1):
+                acc = acc * x + arg(first + k)
+            return acc
+
+        def op_poly_gauss():
+            x = arg(1) * u()
+            return arg(2) * _polyval_asc(x, 3, 9) * jnp.exp(-(x * x))
+
+        def op_mollifier():
+            x = arg(1) * u()
+            xx1 = x * x - 1.0
+            inside = xx1 < 0
+            safe = jnp.where(inside, xx1, -1.0)
+            bump = jnp.exp(1.0 / safe + 1.0)
+            d = arg(2)
+            denom = jnp.where(inside, (-safe) ** (2.0 * d), 1.0)
+            poly = jnp.where(d > 0, _polyval_asc(x, 3, 9), 1.0)
+            return jnp.where(inside, bump / denom * poly, 0.0)
+
+        branches = [None] * N_OPS
+        branches[OP_LINEAR] = op_linear
+        branches[OP_GAUSSIAN] = op_gaussian
+        branches[OP_ERF] = op_erf
+        branches[OP_COS] = op_cos
+        branches[OP_SINC] = op_sinc
+        branches[OP_EXP] = op_exp
+        branches[OP_LINEARCHIRP] = op_linearchirp
+        branches[OP_EXPCHIRP] = op_expchirp
+        branches[OP_HYPCHIRP] = op_hypchirp
+        branches[OP_COSH] = op_cosh
+        branches[OP_SINH] = op_sinh
+        branches[OP_DRAG] = op_drag
+        branches[OP_POLY_GAUSS] = op_poly_gauss
+        branches[OP_MOLLIFIER] = op_mollifier
+
+        val = jax.lax.switch(op, branches)
+
+        p = pw_ref[0, 0, flat]
+
+        def raise_power(v):
+            ap = jnp.abs(p)
+            out = jax.lax.fori_loop(1, ap, lambda i, acc: acc * v, v)
+            return jnp.where(p < 0, 1.0 / out, out)
+
+        return jax.lax.cond(p == 1, lambda v: v, raise_power, val)
+
+    acc = jnp.zeros((R, 128), jnp.float32)
+    cmin = clip_ref[0, 0, 0]
+    cmax = clip_ref[0, 0, 1]
+
+    def segment_body(s, acc):
+        lo = seg_lo_ref[0, 0, s]
+        hi = seg_hi_ref[0, 0, s]
+        nt = nterm_ref[0, 0, s]
+
+        def add_segment(acc):
+            def term_body(t, seg):
+                flat_t = s * T + t
+                prod = jnp.full((R, 128), amp_ref[0, 0, flat_t],
+                                dtype=jnp.float32)
+
+                def fac_body(f, prod):
+                    return prod * factor_value(flat_t * F + f)
+
+                prod = jax.lax.fori_loop(0, nfac_ref[0, 0, flat_t], fac_body,
+                                         prod)
+                return seg + prod
+
+            seg = jax.lax.fori_loop(0, nt, term_body,
+                                    jnp.zeros((R, 128), jnp.float32))
+            seg = jnp.minimum(jnp.maximum(seg, cmin), cmax)
+            mask = (idx >= lo) & (idx < hi)
+            return acc + jnp.where(mask, seg, 0.0)
+
+        overlap = (hi > base) & (lo < base + tile) & (nt > 0)
+        return jax.lax.cond(overlap, add_segment, lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(0, S, segment_body, acc)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('S', 'T', 'F', 'R', 'n_rows',
+                                    'interpret'))
+def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
+                args, clip, *, S, T, F, R, n_rows, interpret):
+    C = seg_lo.shape[0]
+    grid = (C, n_rows // R)
+
+    def smem(k, bcast=False):
+        # (C, 1, k) arrays with (1, 1, k) blocks: the last two block dims
+        # equal the array dims, satisfying the Mosaic block constraints,
+        # while still slicing one channel's descriptors into SMEM per step.
+        if bcast:
+            return pl.BlockSpec((1, 1, k), lambda c, j: (0, 0, 0),
+                                memory_space=pltpu.SMEM)
+        return pl.BlockSpec((1, 1, k), lambda c, j: (c, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem(1, bcast=True),                         # row0 (shard offset)
+            smem(S), smem(S), smem(S),                   # seg_lo, seg_hi, nterm
+            smem(S * T), smem(S * T),                    # nfac, amp
+            smem(S * T * F), smem(S * T * F),            # op, power
+            smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
+            smem(S * T * F * W_ARGS),                    # args
+            smem(2),                                     # clip
+        ],
+        out_specs=pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, n_rows, 128), jnp.float32),
+        interpret=interpret,
+    )(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, clip)
+
+
+def synthesize_lowered(low: LoweredSchedule, rows_per_tile: int = 16,
+                       interpret: bool = False) -> jax.Array:
+    """Run the synthesis kernel on pre-lowered descriptors -> (C, N) f32."""
+    C, S, T, F = low.shape
+    R = rows_per_tile
+    n_rows = -(-low.n_samples // 128)
+    n_rows = -(-n_rows // R) * R
+
+    clip = np.stack([low.clip_min, low.clip_max], axis=1)
+
+    out = _run_kernel(
+        jnp.zeros((1, 1, 1), jnp.int32),
+        jnp.asarray(low.seg_lo.reshape(C, 1, S)),
+        jnp.asarray(low.seg_hi.reshape(C, 1, S)),
+        jnp.asarray(low.nterm.reshape(C, 1, S)),
+        jnp.asarray(low.nfac.reshape(C, 1, S * T)),
+        jnp.asarray(low.amp.reshape(C, 1, S * T)),
+        jnp.asarray(low.op.reshape(C, 1, S * T * F)),
+        jnp.asarray(low.power.reshape(C, 1, S * T * F)),
+        jnp.asarray(low.shift_hi.reshape(C, 1, S * T * F)),
+        jnp.asarray(low.q32.reshape(C, 1, S * T * F * 4)),
+        jnp.asarray(low.args.reshape(C, 1, S * T * F * W_ARGS)),
+        jnp.asarray(clip.reshape(C, 1, 2)),
+        S=S, T=T, F=F, R=R, n_rows=n_rows, interpret=interpret)
+    return out.reshape(C, n_rows * 128)[:, :low.n_samples]
+
+
+def synthesize(channels, start: float, stop: float, sample_rate: float,
+               part: str = 'real', pad_to=None, rows_per_tile: int = 16,
+               interpret: bool = False) -> jax.Array:
+    """Lower + synthesize a multi-channel schedule -> (C, N) f32 on device.
+
+    ``channels`` is a list of Waveform/WaveVStack.  Raises
+    :class:`waveforms_tpu.ops.lowering.UnsupportedFactor` if a channel uses
+    a basis outside the kernel's opcode set (use the XLA path for those).
+    """
+    low = lower_schedule(channels, start, stop, sample_rate, part=part,
+                         pad_to=pad_to)
+    return synthesize_lowered(low, rows_per_tile=rows_per_tile,
+                              interpret=interpret)

@@ -1,0 +1,122 @@
+"""Multi-chip synthesis: shard the (channels, samples) plane over a Mesh.
+
+The synthesis problem is embarrassingly parallel in both axes -- basis
+evaluation is pointwise in t, so sharding needs **no halos**: the channel
+axis splits descriptor rows across devices, and the sample (time) axis
+splits the output grid, with each shard's global sample offset fed to the
+kernel as a scalar.  Collectives appear only downstream: IIR filter state
+crossing time shards (the associative scan's carry rides ICI) and FFT
+pipelines; XLA's SPMD partitioner inserts those when the sharded result
+flows into :mod:`waveforms_tpu.ops.iir` / ``ops.fft`` under ``jit``.
+
+Layout guidance (scaling-book recipe): put the channel axis on the mesh's
+fastest-varying ICI dimension; channels are fully independent so channel
+sharding scales linearly to any mesh size, while time sharding is preferred
+when a single channel's 2M+ samples dominate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.lowering import W_ARGS, LoweredSchedule, lower_schedule
+from ..ops.pallas_synth import _run_kernel
+
+__all__ = ['channel_mesh', 'synthesize_sharded', 'shard_schedule']
+
+
+def channel_mesh(n_channel: int | None = None, n_time: int = 1,
+                 devices=None) -> Mesh:
+    """Build a ('channel', 'time') mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_channel is None:
+        n_channel = len(devices) // n_time
+    return Mesh(devices.reshape(n_channel, n_time), ('channel', 'time'))
+
+
+def _pad_channels(arr: np.ndarray, c_pad: int) -> np.ndarray:
+    if arr.shape[0] == c_pad:
+        return arr
+    pad = np.zeros((c_pad - arr.shape[0],) + arr.shape[1:], dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def shard_schedule(low: LoweredSchedule, mesh: Mesh):
+    """Device-put descriptor tensors sharded along the mesh channel axis.
+
+    Channels pad up to a multiple of the channel-axis size (padded channels
+    have zero segments and synthesize to silence).
+    """
+    C, S, T, F = low.shape
+    nc = mesh.shape['channel']
+    c_pad = -(-C // nc) * nc
+    sharding = NamedSharding(mesh, P('channel', None, None))
+
+    def put(arr, k):
+        return jax.device_put(
+            _pad_channels(arr.reshape(C, 1, k), c_pad), sharding)
+
+    clip = np.stack([low.clip_min, low.clip_max], axis=1)
+    return dict(
+        seg_lo=put(low.seg_lo, S), seg_hi=put(low.seg_hi, S),
+        nterm=put(low.nterm, S),
+        nfac=put(low.nfac, S * T), amp=put(low.amp, S * T),
+        op=put(low.op, S * T * F), pw=put(low.power, S * T * F),
+        sh=put(low.shift_hi, S * T * F), q32=put(low.q32, S * T * F * 4),
+        args=put(low.args, S * T * F * W_ARGS),
+        clip=put(clip, 2),
+    ), c_pad
+
+
+def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
+                       rows_per_tile: int = 16,
+                       interpret: bool = False) -> jax.Array:
+    """Synthesize a lowered schedule over a ('channel', 'time') mesh.
+
+    Returns the (C, N) output with sharding P('channel', 'time') -- each
+    device holds its own channel/time block, ready for sharded downstream
+    filtering without any gather.
+    """
+    C, S, T, F = low.shape
+    nt_shards = mesh.shape['time']
+    R = rows_per_tile
+    n_rows = -(-low.n_samples // 128)
+    n_rows = -(-n_rows // (R * nt_shards)) * (R * nt_shards)
+    rows_local = n_rows // nt_shards
+
+    tensors, c_pad = shard_schedule(low, mesh)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P('channel', None, None),) * len(tensors),
+        out_specs=P('channel', 'time', None),
+        check_vma=False)
+    def run(seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, clip):
+        row0 = jax.lax.axis_index('time').astype(jnp.int32) * (
+            rows_local * 128)
+        out = _run_kernel(row0.reshape(1, 1, 1), seg_lo, seg_hi, nterm,
+                          nfac, amp, op, pw, sh, q32, args, clip,
+                          S=S, T=T, F=F, R=R, n_rows=rows_local,
+                          interpret=interpret)
+        return out.reshape(out.shape[0], rows_local * 128)[:, None, :]
+
+    out = run(tensors['seg_lo'], tensors['seg_hi'], tensors['nterm'],
+              tensors['nfac'], tensors['amp'], tensors['op'], tensors['pw'],
+              tensors['sh'], tensors['q32'], tensors['args'],
+              tensors['clip'])
+    out = out.reshape(c_pad, n_rows * 128)
+    return out[:C, :low.n_samples]
+
+
+def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
+                       part: str = 'real', rows_per_tile: int = 16,
+                       interpret: bool = False) -> jax.Array:
+    """Lower + shard + synthesize in one call."""
+    low = lower_schedule(channels, start, stop, sample_rate, part=part)
+    return synthesize_sharded(low, mesh, rows_per_tile=rows_per_tile,
+                              interpret=interpret)
