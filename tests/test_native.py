@@ -1,0 +1,84 @@
+"""Native C++ engine parity vs the numpy float64 oracle.
+
+The native engine consumes the same descriptor tensors as the TPU kernel;
+residual error comes only from the f32 quantization of descriptor args
+(~1e-7 worst case), below the f32 kernel's own noise floor.
+"""
+
+import numpy as np
+import pytest
+
+from waveforms_tpu import (chirp, cos, cosPulse, cosh, drag, gaussian,
+                           mixing, mollifier, poly, sinc, sinh, square, zero)
+from waveforms_tpu.core import WaveVStack
+from waveforms_tpu.ops.lowering import lower_schedule
+
+native = pytest.importorskip("waveforms_tpu.native")
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason=f"no toolchain: {native.build_error()}")
+
+
+def check(chans, start, stop, fs, rtol=2e-7):
+    low = lower_schedule(chans, start, stop, fs)
+    out = native.synthesize_native(low)
+    t = np.arange(start, stop, 1 / fs)
+    for i, ch in enumerate(chans):
+        oracle = ch(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        err = np.abs(out[i] - oracle).max() / scale
+        assert err < rtol, f"channel {i}: rel err {err}"
+
+
+def test_native_basis_parity():
+    check([gaussian(1e-6), cosPulse(1e-6), square(1e-6, edge=0.2e-6),
+           sinc(20e6), cosh(1e6) * square(2e-6), sinh(1e6) * square(2e-6),
+           gaussian(1e-6, d=2),
+           poly([0.5, 1e5, -1e11]) * square(3e-6)],
+          -2e-6, 2e-6, 1e9)
+    # mollifier derivative coefficients quantize to f32 with partial
+    # cancellation near the bump edge: ~1e-6 relative
+    check([mollifier(1e-6, d=2)], -2e-6, 2e-6, 1e9, rtol=5e-6)
+
+
+def test_native_carriers_and_drag():
+    pulse = cosPulse(20e-9)
+    I, Q = mixing(0.5 * pulse, freq=-20e6, DRAGScaling=1e-10)
+    check([I, Q,
+           gaussian(3e-3) * cos(2 * np.pi * 250e6, 0.3),
+           drag(100e6, 20e-9, plateau=10e-9, delta=2e6, block_freq=250e6,
+                phase=0.4, t0=3e-9) >> 0.1e-6],
+          -0.1e-6, 0.4e-6, 2e9)
+
+
+def test_native_chirps():
+    check([chirp(1e6, 50e6, 1e-5, 0.3, 'linear')], 0, 1e-5, 2e9, rtol=1e-6)
+    # exotic chirp phase multipliers are stored as f32 descriptor args:
+    # same ~1e-4 accuracy tier as the TPU kernel (see test_pallas_synth)
+    check([chirp(1e6, 50e6, 1e-5, 0.3, 'exponential'),
+           chirp(1e6, 50e6, 1e-5, 0.3, 'hyperbolic')],
+          0, 1e-5, 2e9, rtol=5e-4)
+
+
+def test_native_clip_and_silence():
+    w = 2 * gaussian(1e-6)
+    w.max = 1.0
+    w.min = 0.2
+    low = lower_schedule([w], -4e-6, 4e-6, 1e9)
+    out = native.synthesize_native(low)
+    t = np.arange(-4e-6, 4e-6, 1e-9)
+    oracle = w(t)
+    np.testing.assert_allclose(out[0], oracle, atol=2e-7)
+    # silence outside segments stays exactly zero despite min=0.2
+    assert out[0, 0] == 0.0
+
+
+def test_native_bucketed_vstack():
+    rng = np.random.default_rng(3)
+    wl = [(0.5 * cosPulse(50e-9) >> o) for o in rng.uniform(0, 8e-6, 200)]
+    stack = WaveVStack(wl)
+    low = lower_schedule([stack], 0, 8.192e-6, 2e9, bucket_samples=2048)
+    out = native.synthesize_native(low)
+    t = np.arange(0, 8.192e-6, 0.5e-9)
+    oracle = stack(t)
+    np.testing.assert_allclose(out[0], oracle, atol=2e-7)

@@ -1,0 +1,103 @@
+"""Native (C++) host synthesis engine, bound via ctypes.
+
+``synthesize_native(low)`` runs the same descriptor program as the Pallas
+TPU kernel on the CPU in double precision, multithreaded over channels --
+the production host fallback and a high-precision oracle for the kernel's
+fixed-point phase semantics.  The shared library builds on first use with
+g++ (-O3 -march=native -fopenmp); if no toolchain is available,
+``available()`` returns False and callers fall back to the numpy oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, 'wavecore.cpp')
+_LIB = os.path.join(_HERE, '_wavecore.so')
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> None:
+    cmd = ['g++', '-O3', '-march=native', '-ffast-math', '-fopenmp',
+           '-shared', '-fPIC',
+           '-o', _LIB, _SRC, '-lmvec', '-lm']
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+            lib.wavecore_synthesize.restype = None
+            lib.wavecore_version.restype = ctypes.c_int32
+            _lib = lib
+        except Exception as exc:  # toolchain missing, build failure, ...
+            _build_error = str(exc)
+            _lib = None
+    return _lib
+
+
+def available() -> bool:
+    """True if the native engine built (or can build) on this host."""
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+def synthesize_native(low, n_threads: int = 0) -> np.ndarray:
+    """Synthesize a LoweredSchedule on the CPU -> (C, N) float64.
+
+    ``n_threads=0`` uses the OpenMP default (all cores).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+
+    from ..ops.lowering import W_ARGS
+
+    C, NB, Sb, T, F = low.shape
+    out = np.empty((C, low.n_samples), dtype=np.float64)
+
+    clip = np.stack([low.clip_min, low.clip_max], axis=1)
+    # contiguous, correctly-typed holders kept alive for the call duration
+    i32s = [np.ascontiguousarray(x, dtype=np.int32) for x in
+            (low.seg_lo, low.seg_hi, low.nterm, low.nfac, low.op,
+             low.power, low.shift_hi, low.q32)]
+    f32s = [np.ascontiguousarray(x, dtype=np.float32) for x in
+            (low.amp, low.args, clip)]
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def fp(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    seg_lo, seg_hi, nterm, nfac, op, power, shift_hi, q32 = i32s
+    amp, args, clipf = f32s
+    lib.wavecore_synthesize(
+        ip(seg_lo), ip(seg_hi), ip(nterm), ip(nfac), fp(amp), ip(op),
+        ip(power), ip(shift_hi), ip(q32), fp(args), fp(clipf),
+        ctypes.c_int32(C), ctypes.c_int32(NB), ctypes.c_int32(Sb),
+        ctypes.c_int32(T), ctypes.c_int32(F), ctypes.c_int32(W_ARGS),
+        ctypes.c_int64(low.n_samples), ctypes.c_int64(low.bucket_samples),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(n_threads))
+    return out

@@ -1,0 +1,315 @@
+// wavecore: native CPU synthesis engine over flat waveform descriptors.
+//
+// Consumes the exact descriptor layout produced by
+// waveforms_tpu/ops/lowering.py (the same tensors the Pallas TPU kernel
+// interprets) and synthesizes multi-channel sample buffers in double
+// precision, multithreaded over channels.  This is the production host
+// path -- the role the reference library gave its compiled Cython core and
+// its unbuilt C engine (/root/reference/waveforms/_waveform.pyx,
+// /root/reference/src/waveform.c) -- with the same int32 fixed-point phase
+// accumulators as the TPU kernel, evaluated here at f64 so it doubles as a
+// high-precision oracle for kernel semantics.
+//
+// Zero-segment skipping is structural: iteration is per segment over its
+// own clipped sample range, so silence costs nothing (only the initial
+// memset).
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC (see build.py).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr double kTwoPi = 6.283185307179586476925286766559;
+constexpr double kPhaseScale = kTwoPi / 4294967296.0;  // turn/2^32 -> rad
+
+// Opcodes: keep in sync with waveforms_tpu/ops/lowering.py.
+enum Op : int32_t {
+  OP_LINEAR = 0,
+  OP_GAUSSIAN = 1,
+  OP_ERF = 2,
+  OP_COS = 3,
+  OP_SINC = 4,
+  OP_EXP = 5,
+  OP_LINEARCHIRP = 6,
+  OP_EXPCHIRP = 7,
+  OP_HYPCHIRP = 8,
+  OP_COSH = 9,
+  OP_SINH = 10,
+  OP_DRAG = 11,
+  OP_POLY_GAUSS = 12,
+  OP_MOLLIFIER = 13,
+};
+
+struct Factor {
+  int32_t op;
+  int32_t power;
+  int32_t shift_hi;
+  const int32_t* q32;   // 4 fixed-point phase increments
+  const float* a;       // W args
+};
+
+inline double carrier_phase(int64_t di64, int32_t q32, double eps,
+                            double cst) {
+  // int32 wraparound multiplication == exact phase mod 2^32 (mod 2 pi)
+  int32_t di = static_cast<int32_t>(di64);
+  int32_t turns = static_cast<int32_t>(
+      static_cast<uint32_t>(q32) * static_cast<uint32_t>(di));
+  return turns * kPhaseScale + eps * di + cst;
+}
+
+inline double quadratic_phase(int64_t di64, const int32_t* q,
+                              const float* a) {
+  int32_t di = static_cast<int32_t>(di64);
+  int32_t dh = di >> 11;
+  int32_t dl = di - (dh << 11);
+  uint32_t turns = static_cast<uint32_t>(q[0]) * dh * dh +
+                   static_cast<uint32_t>(q[1]) * dh * dl +
+                   static_cast<uint32_t>(q[2]) * dl * dl +
+                   static_cast<uint32_t>(q[3]) * di;
+  double resid = (static_cast<double>(a[2]) * dh +
+                  static_cast<double>(a[3]) * dl) * dh +
+                 static_cast<double>(a[4]) * dl * dl +
+                 static_cast<double>(a[5]) * di;
+  return static_cast<int32_t>(turns) * kPhaseScale + resid + a[6];
+}
+
+inline double polyval_ascending(const float* c, int count, double x) {
+  double acc = 0.0;
+  for (int k = count - 1; k >= 0; --k) acc = acc * x + c[k];
+  return acc;
+}
+
+// Evaluate one factor over the sample block [idx0, idx0+n) into buf.
+// The opcode branch happens once per block; the inner loops are tight and
+// auto-vectorize under -O3 -ffast-math -march=native (libmvec sin/cos/exp).
+void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
+  const int64_t di0 = idx0 - f.shift_hi;
+  const double frac = f.a[0];
+  switch (f.op) {
+    case OP_LINEAR: {
+      const double a1 = f.a[1];
+#pragma omp simd
+      for (int i = 0; i < n; ++i) buf[i] = a1 * (di0 + i - frac);
+      break;
+    }
+    case OP_GAUSSIAN: {
+      const double a1 = f.a[1];
+#pragma omp simd
+      for (int i = 0; i < n; ++i) {
+        double x = a1 * (di0 + i - frac);
+        buf[i] = std::exp(-(x * x));
+      }
+      break;
+    }
+    case OP_ERF: {
+      const double a1 = f.a[1];
+      for (int i = 0; i < n; ++i) buf[i] = std::erf(a1 * (di0 + i - frac));
+      break;
+    }
+    case OP_COS: {
+      const int32_t q = f.q32[0];
+      const double eps = f.a[2], cst = f.a[3];
+      const int32_t d0 = static_cast<int32_t>(di0);
+#pragma omp simd
+      for (int i = 0; i < n; ++i) {
+        int32_t di = d0 + i;
+        int32_t turns = static_cast<int32_t>(
+            static_cast<uint32_t>(q) * static_cast<uint32_t>(di));
+        buf[i] = std::cos(turns * kPhaseScale + eps * di + cst);
+      }
+      break;
+    }
+    case OP_SINC: {
+      const double a1 = f.a[1];
+      for (int i = 0; i < n; ++i) {
+        double x = M_PI * (a1 * (di0 + i - frac));
+        buf[i] = (std::fabs(x) < 1e-12) ? 1.0 : std::sin(x) / x;
+      }
+      break;
+    }
+    case OP_EXP: {
+      const double a1 = f.a[1];
+#pragma omp simd
+      for (int i = 0; i < n; ++i)
+        buf[i] = std::exp(a1 * (di0 + i - frac));
+      break;
+    }
+    case OP_LINEARCHIRP: {
+#pragma omp simd
+      for (int i = 0; i < n; ++i)
+        buf[i] = std::sin(quadratic_phase(di0 + i, f.q32, f.a));
+      break;
+    }
+    case OP_EXPCHIRP: {
+      const double a1 = f.a[1], a2 = f.a[2], a3 = f.a[3];
+      for (int i = 0; i < n; ++i)
+        buf[i] = std::sin(a3 + a1 * std::exp(a2 * (di0 + i - frac)));
+      break;
+    }
+    case OP_HYPCHIRP: {
+      const double a1 = f.a[1], a2 = f.a[2], a3 = f.a[3];
+      for (int i = 0; i < n; ++i)
+        buf[i] = std::sin(a3 + a1 * std::log(std::max(
+            1.0 + a2 * (di0 + i - frac), 1e-300)));
+      break;
+    }
+    case OP_COSH: {
+      const double a1 = f.a[1];
+      for (int i = 0; i < n; ++i)
+        buf[i] = std::cosh(a1 * (di0 + i - frac));
+      break;
+    }
+    case OP_SINH: {
+      const double a1 = f.a[1];
+      for (int i = 0; i < n; ++i)
+        buf[i] = std::sinh(a1 * (di0 + i - frac));
+      break;
+    }
+    case OP_DRAG: {
+      const double a1 = f.a[1];
+      const int32_t q = f.q32[0];
+      const double eps = f.a[3], cst = f.a[4], b = f.a[5];
+      const int32_t d0 = static_cast<int32_t>(di0);
+#pragma omp simd
+      for (int i = 0; i < n; ++i) {
+        double x = a1 * (d0 + i - frac);
+        double s = std::sin(x);
+        int32_t di = d0 + i;
+        int32_t turns = static_cast<int32_t>(
+            static_cast<uint32_t>(q) * static_cast<uint32_t>(di));
+        double theta = turns * kPhaseScale + eps * di + cst;
+        buf[i] = s * s * std::cos(theta) +
+                 b * std::sin(2.0 * x) * std::sin(theta);
+      }
+      break;
+    }
+    case OP_POLY_GAUSS: {
+      const double a1 = f.a[1], a2 = f.a[2];
+      for (int i = 0; i < n; ++i) {
+        double x = a1 * (di0 + i - frac);
+        buf[i] = a2 * polyval_ascending(f.a + 3, 9, x) * std::exp(-(x * x));
+      }
+      break;
+    }
+    case OP_MOLLIFIER: {
+      const double a1 = f.a[1], d = f.a[2];
+      for (int i = 0; i < n; ++i) {
+        double x = a1 * (di0 + i - frac);
+        double xx1 = x * x - 1.0;
+        if (xx1 >= 0.0) {
+          buf[i] = 0.0;
+        } else {
+          double bump = std::exp(1.0 / xx1 + 1.0);
+          buf[i] = (d > 0.0)
+              ? bump / std::pow(-xx1, 2.0 * d) *
+                    polyval_ascending(f.a + 3, 9, x)
+              : bump;
+        }
+      }
+      break;
+    }
+    default:
+      for (int i = 0; i < n; ++i) buf[i] = 0.0;
+  }
+  if (f.power != 1) {
+    const int p = f.power < 0 ? -f.power : f.power;
+    const bool inv = f.power < 0;
+    for (int i = 0; i < n; ++i) {
+      double v = buf[i], acc = v;
+      for (int k = 1; k < p; ++k) acc *= v;
+      buf[i] = inv ? 1.0 / acc : acc;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Synthesize all channels into out[C * n_samples] (double, zero-initialized
+// here).  Descriptor arrays use the (C, NB, Sb, T, F, W) flattened layout of
+// waveforms_tpu.ops.lowering.LoweredSchedule.
+void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
+                         const int32_t* nterm, const int32_t* nfac,
+                         const float* amp, const int32_t* op,
+                         const int32_t* power, const int32_t* shift_hi,
+                         const int32_t* q32, const float* args,
+                         const float* clip, int32_t C, int32_t NB,
+                         int32_t Sb, int32_t T, int32_t F, int32_t W,
+                         int64_t n_samples, int64_t bucket_samples,
+                         double* out, int32_t n_threads) {
+#if defined(_OPENMP)
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int32_t c = 0; c < C; ++c) {
+    double* ch = out + static_cast<int64_t>(c) * n_samples;
+    std::memset(ch, 0, sizeof(double) * n_samples);
+    const double cmin = clip[2 * c];
+    const double cmax = clip[2 * c + 1];
+    const bool has_clip = !(std::isinf(cmin) && std::isinf(cmax));
+
+    for (int32_t b = 0; b < NB; ++b) {
+      const int64_t bucket_lo = static_cast<int64_t>(b) * bucket_samples;
+      const int64_t bucket_hi =
+          std::min<int64_t>(bucket_lo + bucket_samples, n_samples);
+      const int64_t seg_base = (static_cast<int64_t>(c) * NB + b) * Sb;
+      for (int32_t s = 0; s < Sb; ++s) {
+        const int64_t si = seg_base + s;
+        const int32_t nt = nterm[si];
+        if (nt == 0) continue;
+        const int64_t lo = std::max<int64_t>(seg_lo[si], bucket_lo);
+        const int64_t hi = std::min<int64_t>(seg_hi[si], bucket_hi);
+        if (lo >= hi) continue;
+
+        for (int32_t t = 0; t < nt; ++t) {
+          const int64_t ti = si * T + t;
+          const double a0 = amp[ti];
+          const int32_t nf = nfac[ti];
+          Factor facs[16];
+          const int n_use = std::min<int32_t>(nf, 16);
+          for (int f = 0; f < n_use; ++f) {
+            const int64_t fi = ti * F + f;
+            facs[f] = Factor{op[fi], power[fi], shift_hi[fi],
+                             q32 + fi * 4, args + fi * W};
+          }
+          constexpr int kBlock = 1024;
+          double prod[kBlock], fbuf[kBlock];
+          for (int64_t blk = lo; blk < hi; blk += kBlock) {
+            const int n = static_cast<int>(std::min<int64_t>(kBlock,
+                                                             hi - blk));
+#pragma omp simd
+            for (int i = 0; i < n; ++i) prod[i] = a0;
+            for (int f = 0; f < n_use; ++f) {
+              eval_factor_block(facs[f], blk, n, fbuf);
+#pragma omp simd
+              for (int i = 0; i < n; ++i) prod[i] *= fbuf[i];
+            }
+#pragma omp simd
+            for (int i = 0; i < n; ++i) ch[blk - 0 + i] += prod[i];
+          }
+        }
+        if (has_clip) {
+          // Clip the segment's accumulated value in place; clipped channels
+          // are single piecewise waveforms, so segments never overlap and
+          // samples outside any segment stay exactly zero (oracle
+          // semantics: clip applies per non-zero part only).
+          for (int64_t i = lo; i < hi; ++i)
+            ch[i] = std::min(std::max(ch[i], cmin), cmax);
+        }
+      }
+    }
+  }
+}
+
+int32_t wavecore_version() { return 1; }
+
+}  // extern "C"
