@@ -1,0 +1,129 @@
+"""Coverage for subsystems the reference never tested: utils, LaTeX repr,
+registry transport, CLI, engine selection, profiling hooks."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import waveforms_tpu
+from waveforms_tpu import (Waveform, cos, cosPulse, gaussian, one, square,
+                           zero)
+from waveforms_tpu.engine import sample, synthesize
+from waveforms_tpu.ir.registry import (baseFunc, packBaseFunc,
+                                       registerBaseFunc, updateBaseFunc)
+from waveforms_tpu.utils import freeze, getFTMatrix
+from waveforms_tpu.utils.signal import shift as signal_shift
+
+
+def test_freeze():
+    frozen = freeze({'a': [1, 2], 'b': {3, 4}, 'c': np.zeros(3)})
+    assert frozen['a'] == (1, 2)
+    assert frozen['b'] == frozenset({3, 4})
+    with pytest.raises(ValueError):
+        frozen['c'][0] = 1
+    with pytest.raises(TypeError):
+        frozen['x'] = 1
+
+
+def test_getFTMatrix_doctest_values():
+    numOfPoints, sampleRate = 1000, 1e9
+    f1, f2 = -12.7e6, 32.8e6
+    t = np.arange(numOfPoints) / sampleRate
+    signal = 0.8 * np.sin(2 * np.pi * f1 * t) + 0.2 * np.cos(
+        2 * np.pi * f2 * t)
+    e = getFTMatrix([f1, f2], numOfPoints, sampleRate=sampleRate)
+    got = signal @ e
+    np.testing.assert_allclose(
+        got, [-0.00766509 - 0.79518987j, 0.19531432 + 0.00207068j],
+        atol=1e-7)
+
+    spec = 2 * np.fft.fft(signal) / numOfPoints
+    freq = np.fft.fftfreq(numOfPoints)
+    e = getFTMatrix(freq, numOfPoints, sampleRate=1)
+    assert np.allclose(spec, signal @ e)
+
+
+def test_signal_shift():
+    sig = np.zeros(100)
+    sig[50] = 1.0
+    out = signal_shift(sig, 3.0, 1.0)
+    assert out[53] == 1.0
+    out = signal_shift(sig, 2.5, 1.0)
+    assert np.isclose(out[52], 0.5) and np.isclose(out[53], 0.5)
+
+
+def test_latex_repr():
+    s = gaussian(2)._repr_latex_()
+    assert s.startswith("$$") and "exp" in s
+    s2 = (cos(2 * np.pi) + 1)._repr_latex_()
+    assert "\\cos" in s2
+    s3 = zero()._repr_latex_()
+    assert "0" in s3
+    # unknown basis ids render generically instead of raising
+    from waveforms_tpu.models.shapes import chirp
+    assert "Func" in chirp(1, 2, 10)._repr_latex_()
+
+
+def test_registry_pack_update():
+    # registered functions must be picklable for cross-process transport;
+    # other tests may have registered unpicklable lambdas via function() --
+    # drop those first (pack pickles the whole table, as the reference does)
+    import pickle
+    for k in [k for k, v in baseFunc.items()
+              if getattr(v, '__name__', '') == '<lambda>']:
+        del baseFunc[k]
+    fid = registerBaseFunc(np.minimum)
+    buf = packBaseFunc()
+    removed = baseFunc.pop(fid)
+    assert fid not in baseFunc
+    updateBaseFunc(buf)
+    assert fid in baseFunc
+    assert baseFunc[fid] is removed
+
+
+def test_cli_sample(tmp_path):
+    out = tmp_path / "o.npy"
+    res = subprocess.run(
+        [sys.executable, "-m", "waveforms_tpu", "sample", "-S", "1000",
+         "-a", "-1", "-b", "1", "cosPulse(0.5)", str(out)],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    pts = np.load(out)
+    assert pts.shape == (2000,)
+    t = np.arange(-1, 1, 1e-3)
+    expected = np.where(np.abs(t) < 0.25,
+                        0.5 * (1 + np.cos(2 * np.pi * t / 0.5)), 0)
+    assert np.allclose(pts, expected, atol=1e-9)
+
+
+def test_cli_rejects_bad_expression(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "waveforms_tpu", "sample", "gaussian(",
+         str(tmp_path / "x.npy")], capture_output=True, text=True)
+    assert res.returncode != 0
+
+
+def test_engine_selection():
+    chans = [gaussian(2e-7) * cos(2 * np.pi * 50e6), square(1e-7)]
+    ref = synthesize(chans, -5e-7, 5e-7, 1e9, engine='numpy')
+    for eng in ('xla', 'auto'):
+        got = np.asarray(synthesize(chans, -5e-7, 5e-7, 1e9, engine=eng))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+    w = cosPulse(4e-7)
+    w.start, w.stop, w.sample_rate = -5e-7, 5e-7, 1e9
+    np.testing.assert_allclose(np.asarray(sample(w)), w.sample(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_engine_rejects_unknown():
+    with pytest.raises(ValueError):
+        synthesize([one()], 0, 1e-6, 1e9, engine='cuda')
+
+
+def test_version_and_all():
+    assert waveforms_tpu.__version__
+    for name in waveforms_tpu.__all__:
+        assert hasattr(waveforms_tpu, name), name

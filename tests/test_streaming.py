@@ -1,0 +1,59 @@
+"""Streaming synthesis: chunked output must equal one-shot, filters included."""
+
+import numpy as np
+from scipy.signal import butter, tf2sos
+
+from waveforms_tpu import cos, cosPulse, step
+from waveforms_tpu.core import WaveVStack
+from waveforms_tpu.ops.lowering import lower_schedule
+from waveforms_tpu.ops.pallas_synth import DeviceSchedule, synthesize_device
+from waveforms_tpu.ops.streaming import synthesize_stream
+
+
+def test_stream_equals_oneshot():
+    chans = [0.5 * cosPulse(50e-9) >> (k * 300e-9) for k in range(4)]
+    low = lower_schedule(chans, 0, 1.31072e-6, 2e9)  # 2621 samples
+    dev = DeviceSchedule(low)
+    whole = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True))
+    chunks = [np.asarray(c) for c in
+              synthesize_stream(dev, chunk_rows=8, rows_per_tile=8,
+                                interpret=True)]
+    got = np.concatenate(chunks, axis=1)
+    assert got.shape == whole.shape
+    np.testing.assert_array_equal(got, whole)
+
+
+def test_stream_bucketed():
+    rng = np.random.default_rng(1)
+    stack = WaveVStack([(0.3 * cosPulse(40e-9) >> o)
+                        for o in rng.uniform(0, 7e-6, 100)])
+    low = lower_schedule([stack], 0, 8.192e-6, 2e9, bucket_samples=2048)
+    dev = DeviceSchedule(low)
+    whole = np.asarray(synthesize_device(dev, rows_per_tile=16,
+                                         interpret=True))
+    chunks = [np.asarray(c) for c in
+              synthesize_stream(dev, chunk_rows=32, rows_per_tile=16,
+                                interpret=True)]
+    got = np.concatenate(chunks, axis=1)
+    np.testing.assert_array_equal(got, whole)
+
+
+def test_stream_with_filters_matches_host():
+    """Chunked device filtering carries zi exactly like the host path."""
+    sample_rate = 2e9
+    b, a = butter(3, 0.02)
+    sos = tf2sos(b, a)
+
+    wav = (step(0) >> 50e-9) * cos(2 * np.pi * 20e6)
+    wav.start, wav.stop, wav.sample_rate = 0, 1.048576e-6, sample_rate
+    wav.filters = (sos, 0.0)
+    host = wav.sample()
+
+    low = lower_schedule([wav], wav.start, wav.stop, sample_rate)
+    dev = DeviceSchedule(low)
+    chunks = [np.asarray(c) for c in
+              synthesize_stream(dev, chunk_rows=4, rows_per_tile=4,
+                                filters=(sos, 0.0), interpret=True)]
+    got = np.concatenate(chunks, axis=1)[0]
+    np.testing.assert_allclose(got, host, atol=2e-7)

@@ -16,6 +16,7 @@ from numpy import e, pi
 
 from .core import Waveform, WaveVStack, const, one, play, zero
 from .dsl import wave_eval
+from .engine import sample, synthesize
 from .ir.registry import registerBaseFunc, registerDerivative
 from .models import (D, chirp, cos, cosh, coshPulse, cosPulse, cut, drag,
                      drag_sin, drag_sinx, exp, function, gaussian,
@@ -29,6 +30,7 @@ __all__ = [
     'coshPulse', 'cosPulse', 'cut', 'drag', 'drag_sin', 'drag_sinx', 'e',
     'exp', 'function', 'gaussian', 'general_cosine', 'hanning', 'interp',
     'mixing', 'mollifier', 'one', 'pi', 'play', 'poly', 'registerBaseFunc',
-    'registerDerivative', 'samplingPoints', 'sign', 'sin', 'sinc', 'sinh',
-    'slepian', 'square', 'step', 't', 'wave_eval', 'zero', '__version__',
+    'registerDerivative', 'sample', 'samplingPoints', 'sign', 'sin', 'sinc',
+    'sinh', 'slepian', 'square', 'step', 'synthesize', 't', 'wave_eval',
+    'zero', '__version__',
 ]

@@ -1,0 +1,90 @@
+"""Unified synthesis entry points with engine selection.
+
+Engines:
+
+* ``'pallas'``  -- fused TPU kernel over descriptor tensors (production
+  path; ~100+ GS/s/chip, f32 output, compile-once).
+* ``'xla'``     -- trace-specialized XLA program per waveform structure
+  (any backend; float64 under x64 -- the 1e-9-parity device path).
+* ``'native'``  -- C++ host engine (float64, SIMD + threads; same
+  descriptor program as the kernel).
+* ``'numpy'``   -- the pure-numpy float64 oracle (reference semantics).
+* ``'auto'``    -- pallas on TPU when all factors lower, else native when a
+  toolchain exists, else numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import Waveform
+from .ops.lowering import UnsupportedFactor, lower_schedule
+
+__all__ = ['synthesize', 'sample']
+
+
+def _try_pallas(channels, start, stop, sample_rate, bucket_samples):
+    import jax
+
+    from .ops.pallas_synth import DeviceSchedule, synthesize_device
+    low = lower_schedule(channels, start, stop, sample_rate,
+                         bucket_samples=bucket_samples)
+    interpret = jax.default_backend() != 'tpu'
+    return synthesize_device(DeviceSchedule(low), interpret=interpret)
+
+
+def synthesize(channels, start: float, stop: float, sample_rate: float,
+               engine: str = 'auto', bucket_samples: int | None = None):
+    """Synthesize a list of channels on the chosen engine -> (C, N).
+
+    Returns a jax.Array for device engines ('pallas'), an ndarray otherwise.
+    """
+    if engine == 'pallas':
+        return _try_pallas(channels, start, stop, sample_rate,
+                           bucket_samples)
+    if engine == 'xla':
+        import jax.numpy as jnp
+
+        from .ops.jax_eval import evaluate
+        t = jnp.asarray(np.arange(start, stop, 1 / sample_rate))
+        return jnp.stack([evaluate(ch, t).real for ch in channels])
+    if engine == 'native':
+        from . import native
+        if not native.available():
+            raise RuntimeError(
+                f"native engine unavailable: {native.build_error()}")
+        low = lower_schedule(channels, start, stop, sample_rate,
+                             bucket_samples=bucket_samples)
+        return native.synthesize_native(low)
+    if engine == 'numpy':
+        t = np.arange(start, stop, 1 / sample_rate)
+        return np.stack([np.real(ch(t)) for ch in channels])
+    if engine == 'auto':
+        try:
+            import jax
+            if jax.default_backend() == 'tpu':
+                return _try_pallas(channels, start, stop, sample_rate,
+                                   bucket_samples)
+        except (UnsupportedFactor, ImportError):
+            pass
+        try:
+            from . import native
+            if native.available():
+                low = lower_schedule(channels, start, stop, sample_rate,
+                                     bucket_samples=bucket_samples)
+                return native.synthesize_native(low)
+        except UnsupportedFactor:
+            pass
+        return synthesize(channels, start, stop, sample_rate,
+                          engine='numpy')
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def sample(wav: Waveform, sample_rate=None, engine: str = 'auto'):
+    """Engine-selected analog of ``Waveform.sample()`` (no filters here)."""
+    if sample_rate is None:
+        sample_rate = wav.sample_rate
+    if wav.start is None or wav.stop is None or sample_rate is None:
+        raise ValueError('Waveform is not initialized')
+    return synthesize([wav], wav.start, wav.stop, sample_rate,
+                      engine=engine)[0]

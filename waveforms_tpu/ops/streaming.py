@@ -1,0 +1,98 @@
+"""Chunked streaming synthesis with carried IIR filter state.
+
+Device analog of the reference's chunked ``Waveform.sample(chunk_size=...)``
+(``/root/reference/waveforms/waveform.py:209-257``): the synthesis kernel
+already takes a per-call sample offset (row0), so streaming is just repeated
+kernel launches over successive windows, with SOS filter state ``zi``
+carried across chunk boundaries by :func:`waveforms_tpu.ops.iir.sosfilt`.
+
+Use cases: AWG-style upload of waveforms larger than device memory, or
+latency-bounded pipelines where downstream consumes chunks as they finish.
+"""
+
+from __future__ import annotations
+
+from typing import Generator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .iir import sosfilt
+from .pallas_synth import DeviceSchedule, _run_kernel
+
+__all__ = ['synthesize_stream']
+
+
+def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
+                      rows_per_tile: int = 16, filters=None,
+                      interpret: bool = False
+                      ) -> Generator[jax.Array, None, None]:
+    """Yield (C, chunk_rows*128) chunks of the schedule, in time order.
+
+    ``filters = (sos, initial)`` applies per-channel SOS filtering with
+    state carried across chunks (matching the host streaming semantics).
+    The final chunk is trimmed to the schedule's sample count.
+    """
+    C, NB, S, T, F = dev.shape
+    R = rows_per_tile
+    if chunk_rows % R:
+        raise ValueError(f"chunk_rows must be a multiple of {R}")
+    tile = R * 128
+    if NB > 1 and dev.bucket_samples % tile != 0:
+        raise ValueError("bucket_samples must be a multiple of the tile")
+    if NB > 1 and (chunk_rows * 128) % dev.bucket_samples != 0:
+        raise ValueError("chunk must cover whole buckets")
+    G = max(dev.bucket_samples // tile, 1)
+
+    n_rows_total = -(-dev.n_samples // 128)
+    n_chunks = -(-n_rows_total // chunk_rows)
+
+    zi = None
+    sos = initial = None
+    if filters is not None:
+        sos, initial = filters
+        sos = jnp.asarray(np.asarray(sos, dtype=float))
+        zi = jnp.zeros((C, sos.shape[0], 2))
+
+    emitted = 0
+    for k in range(n_chunks):
+        row0 = jnp.full((1, 1, 1, 1), k * chunk_rows * 128, jnp.int32)
+        if NB > 1:
+            # slice this chunk's buckets so the bucket index_map stays
+            # chunk-local; zero-pad the tail chunk to a full bucket count
+            b0 = (k * chunk_rows * 128) // dev.bucket_samples
+            nb = (chunk_rows * 128) // dev.bucket_samples
+
+            def window(x):
+                if x.shape[1] != NB:
+                    return x
+                sl = x[:, b0:min(b0 + nb, NB)]
+                if sl.shape[1] < nb:
+                    pad = jnp.zeros(
+                        (sl.shape[0], nb - sl.shape[1]) + sl.shape[2:],
+                        dtype=sl.dtype)
+                    sl = jnp.concatenate([sl, pad], axis=1)
+                return sl
+
+            tensors = [window(x) for x in dev.tensors]
+        else:
+            tensors = list(dev.tensors)
+        out = _run_kernel(row0, *tensors, S=S, T=T, F=F, R=R,
+                          n_rows=chunk_rows, tiles_per_bucket=G,
+                          interpret=interpret)
+        sig = out.reshape(C, chunk_rows * 128)
+
+        if filters is not None:
+            sig = sig.astype(sos.dtype)  # f64 filtering under x64
+            if initial:
+                sig = sig - initial
+            sig, zi = jax.vmap(lambda x, z: sosfilt(sos, x, zi=z))(sig, zi)
+            if initial:
+                sig = sig + initial
+
+        remaining = dev.n_samples - emitted
+        if remaining < sig.shape[1]:
+            sig = sig[:, :remaining]
+        emitted += sig.shape[1]
+        yield sig
