@@ -3,8 +3,14 @@
 Workload (BASELINE.json config 5): 128 channels x 2 GS/s x 1 ms -- 64 XY
 channels carrying DRAG-corrected cosPulse gates mixed at per-qubit IF
 frequencies, interleaved with 64 Z flux channels of edge-smoothed square
-pulses.  The schedule lowers once to descriptor tensors and the fused Pallas
-kernel synthesizes all 256M samples.
+pulses.  The schedule lowers once to descriptor tensors (uploaded once, like
+an AWG waveform-memory load) and the fused Pallas kernel synthesizes all
+256M samples.
+
+Timing runs INSIDE one jitted fori_loop (each iteration's sample offset
+depends on the loop index so the kernel cannot be hoisted), so a single
+dispatch measures pure device throughput and only scalars cross the host
+link.
 
 Baseline: the reference library has no published numbers; BASELINE.json's
 north star for this config is 10 GS/s/chip (about 300x the reference's
@@ -18,6 +24,8 @@ import json
 import time
 
 import numpy as np
+
+REPS = 10
 
 
 def build_schedule(n_channels=128, seed=0):
@@ -46,37 +54,63 @@ def build_schedule(n_channels=128, seed=0):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from waveforms_tpu.ops.lowering import lower_schedule
-    from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
-        synthesize_device
+    from waveforms_tpu.ops.lowering import W_ARGS, lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule, _run_kernel
 
     interpret = jax.default_backend() != 'tpu'
 
     start, stop, fs = 0.0, 1e-3, 2e9
     chans = build_schedule()
     low = lower_schedule(chans, start, stop, fs)
-    dev = DeviceSchedule(low)  # descriptor upload happens once, like an
-    jax.block_until_ready(dev.tensors)  # AWG waveform-memory load
+    dev = DeviceSchedule(low)
+    jax.block_until_ready(dev.tensors)
 
-    out = synthesize_device(dev, interpret=interpret)
-    out.block_until_ready()  # warmup: compile + first run
+    C, NB, S, T, F = dev.shape
+    R = 16
+    n_rows = -(-dev.n_samples // 128)
+    n_rows = -(-n_rows // R) * R
+    G = max(dev.bucket_samples // (R * 128), 1)
+    kw = dict(S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
+              interpret=interpret)
 
-    reps = 2 if interpret else 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = synthesize_device(dev, interpret=interpret)
-    out.block_until_ready()
-    elapsed = (time.perf_counter() - t0) / reps
+    def run_once(row0_scalar):
+        row0 = jnp.full((1, 1, 1, 1), row0_scalar, jnp.int32)
+        return _run_kernel(row0, *dev.tensors, **kw)
 
-    # correctness spot-check against the numpy float64 oracle
+    reps = 2 if interpret else REPS
+
+    @jax.jit
+    def timed_loop():
+        def body(i, acc):
+            # (i >> 20) is always 0 here but loop-varying, so the compiler
+            # cannot hoist the kernel out of the loop
+            out = run_once(i >> 20)
+            return acc + out[0, 0, 0]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    # accuracy spot-check vs the numpy float64 oracle, fused into one
+    # program so only a scalar leaves the device
     t = np.arange(start, stop, 1 / fs)[:100000]
     oracle = chans[0](t)
-    got = np.asarray(out[0, :100000])
-    rel = float(np.abs(got - oracle).max() / max(np.abs(oracle).max(), 1e-30))
+
+    @jax.jit
+    def spot_err(oracle_dev):
+        out = run_once(0)
+        sig = out.reshape(C, n_rows * 128)[0, :100000]
+        return jnp.max(jnp.abs(sig - oracle_dev))
+
+    rel = float(spot_err(jnp.asarray(oracle, dtype=np.float32))) / max(
+        np.abs(oracle).max(), 1e-30)
     assert rel < 1e-5, f"accuracy regression: rel err {rel}"
 
-    total = len(chans) * low.n_samples
+    timed_loop().block_until_ready()  # compile + warmup
+    t0 = time.perf_counter()
+    timed_loop().block_until_ready()
+    elapsed = (time.perf_counter() - t0) / reps
+
+    total = len(chans) * dev.n_samples
     gsps = total / elapsed / 1e9
     print(json.dumps({
         "metric": "full_chip_synthesis_128ch_2GSps_1ms",

@@ -23,7 +23,8 @@ from .utils.signal import shift  # noqa: F401  (re-export, reference parity)
 
 __all__ = [
     'shift', 'extractKernel', 'zDistortKernel', 'high_pass_filter',
-    'exp_decay_filter', 'reflection_filter', 'reflection',
+    'exp_decay_filter', 'exp_decay_filter_old', 'reflection_filter',
+    'reflection',
     'correct_reflection', 'combine_filters', 'factor_filter', 'stable_filter',
     'predistort', 'distort', 'phase_curve',
 ]
@@ -56,6 +57,25 @@ def high_pass_filter(tau, sample_rate):
     k = 2.0 * tau * sample_rate
     a = [1.0, (1 - k) / (1 + k)]
     b = [k / (1 + k), -k / (1 + k)]
+    return b, a
+
+
+def exp_decay_filter_old(amp, tau, sample_rate):
+    """Legacy single-exponential design (kept for reference API parity).
+
+    H(w) = A / (1 - 1j/(w*tau)); superseded by :func:`exp_decay_filter`.
+    """
+    alpha = 1 - np.exp(-1 / (abs(sample_rate * tau) * (1 + amp)))
+
+    if amp >= 0:
+        k = amp / (1 + amp - alpha)
+        a = [(1 - k + k * alpha), -(1 - k) * (1 - alpha)]
+    else:
+        k = -amp / (1 + amp) / (1 - alpha)
+        a = [(1 + k - k * alpha), -(1 + k) * (1 - alpha)]
+
+    b = [1 / a[0], -(1 - alpha) / a[0]]
+    a = [1, a[1] / a[0]]
     return b, a
 
 

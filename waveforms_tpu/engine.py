@@ -23,60 +23,90 @@ from .ops.lowering import UnsupportedFactor, lower_schedule
 __all__ = ['synthesize', 'sample']
 
 
-def _try_pallas(channels, start, stop, sample_rate, bucket_samples):
+def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part):
     import jax
 
     from .ops.pallas_synth import DeviceSchedule, synthesize_device
-    low = lower_schedule(channels, start, stop, sample_rate,
-                         bucket_samples=bucket_samples)
     interpret = jax.default_backend() != 'tpu'
-    return synthesize_device(DeviceSchedule(low), interpret=interpret)
+
+    def run(p):
+        low = lower_schedule(channels, start, stop, sample_rate, part=p,
+                             bucket_samples=bucket_samples)
+        return synthesize_device(DeviceSchedule(low), interpret=interpret)
+
+    if part == 'complex':
+        return run('real') + 1j * run('imag')
+    return run(part)
 
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,
-               engine: str = 'auto', bucket_samples: int | None = None):
+               engine: str = 'auto', bucket_samples: int | None = None,
+               part: str = 'real'):
     """Synthesize a list of channels on the chosen engine -> (C, N).
 
-    Returns a jax.Array for device engines ('pallas'), an ndarray otherwise.
+    ``part`` selects 'real' (default, the physical-output convention of
+    WaveVStack), 'imag', or 'complex' (descriptor engines run twice).
+    Returns a jax.Array for device engines ('pallas'), ndarray otherwise.
     """
     if engine == 'pallas':
         return _try_pallas(channels, start, stop, sample_rate,
-                           bucket_samples)
+                           bucket_samples, part)
     if engine == 'xla':
         import jax.numpy as jnp
 
         from .ops.jax_eval import evaluate
         t = jnp.asarray(np.arange(start, stop, 1 / sample_rate))
-        return jnp.stack([evaluate(ch, t).real for ch in channels])
+        vals = [evaluate(ch, t) for ch in channels]
+        if part == 'real':
+            vals = [v.real for v in vals]
+        elif part == 'imag':
+            vals = [v.imag for v in vals]
+        else:
+            vals = [v.astype(jnp.complex128 if t.dtype == jnp.float64
+                             else jnp.complex64) for v in vals]
+        return jnp.stack(vals)
     if engine == 'native':
         from . import native
         if not native.available():
             raise RuntimeError(
                 f"native engine unavailable: {native.build_error()}")
-        low = lower_schedule(channels, start, stop, sample_rate,
-                             bucket_samples=bucket_samples)
-        return native.synthesize_native(low)
+
+        def run(p):
+            low = lower_schedule(channels, start, stop, sample_rate, part=p,
+                                 bucket_samples=bucket_samples)
+            return native.synthesize_native(low)
+
+        if part == 'complex':
+            return run('real') + 1j * run('imag')
+        return run(part)
     if engine == 'numpy':
         t = np.arange(start, stop, 1 / sample_rate)
-        return np.stack([np.real(ch(t)) for ch in channels])
+        vals = [np.asarray(ch(t)) for ch in channels]
+        if part == 'real':
+            vals = [np.real(v) for v in vals]
+        elif part == 'imag':
+            vals = [np.imag(v) for v in vals]
+        else:
+            vals = [v.astype(complex) for v in vals]
+        return np.stack(vals)
     if engine == 'auto':
         try:
             import jax
             if jax.default_backend() == 'tpu':
                 return _try_pallas(channels, start, stop, sample_rate,
-                                   bucket_samples)
+                                   bucket_samples, part)
         except (UnsupportedFactor, ImportError):
             pass
         try:
             from . import native
             if native.available():
-                low = lower_schedule(channels, start, stop, sample_rate,
-                                     bucket_samples=bucket_samples)
-                return native.synthesize_native(low)
+                return synthesize(channels, start, stop, sample_rate,
+                                  engine='native',
+                                  bucket_samples=bucket_samples, part=part)
         except UnsupportedFactor:
             pass
         return synthesize(channels, start, stop, sample_rate,
-                          engine='numpy')
+                          engine='numpy', part=part)
     raise ValueError(f"unknown engine {engine!r}")
 
 

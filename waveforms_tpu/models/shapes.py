@@ -22,11 +22,18 @@ from ..ir.registry import (COS, COSH, D_GAUSSIAN, DRAG, ERF,
                            EXP, SINH, registerBaseFunc)
 
 __all__ = [
-    'sign', 'step', 'square', 'gaussian', 'cos', 'sin', 'exp', 'sinc',
+    'convolve', 'sign', 'step', 'square', 'gaussian', 'cos', 'sin', 'exp', 'sinc',
     'cosPulse', 'hanning', 'cosh', 'sinh', 'coshPulse', 'general_cosine',
     'slepian', 'mollifier', 'poly', 't', 'drag', 'chirp', 'interp', 'cut',
     'function', 'samplingPoints',
 ]
+
+
+def convolve(a, b):
+    """Symbolic convolution is not defined for this IR (the reference
+    ships the same unimplemented stub, waveform.py:1074-1075); use
+    :func:`waveforms_tpu.ops.fft.fft_convolve_centered` on samples."""
+    return None
 
 
 def sign() -> Waveform:
