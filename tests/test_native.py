@@ -82,3 +82,31 @@ def test_native_bucketed_vstack():
     t = np.arange(0, 8.192e-6, 0.5e-9)
     oracle = stack(t)
     np.testing.assert_allclose(out[0], oracle, atol=2e-7)
+
+
+def test_native_interp_table():
+    from waveforms_tpu.models.shapes import samplingPoints
+    y = np.sin(np.linspace(0, 3, 33))
+    w = samplingPoints(0, 10e-6, y)
+    low = lower_schedule([w], -1e-6, 12e-6, 1e9)
+    assert not low.pallas_ok  # extended opcode
+    out = native.synthesize_native(low)
+    t = np.arange(-1e-6, 12e-6, 1e-9)
+    np.testing.assert_allclose(out[0], w(t), atol=2e-7)
+
+
+def test_native_multitone_drag():
+    from waveforms_tpu import drag_sin, drag_sinx
+    bf = (151e6, -83e6, 217e6)
+    # plateau edges off the sample grid (the reference's construction is
+    # discontinuous at the plateau edge, so on-grid edges tie-break)
+    w1 = drag_sin(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                  block_freq=bf, phase=0.1)
+    w2 = drag_sinx(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                   block_freq=bf, phase=0.1, tab=0.5)
+    low = lower_schedule([w1, w2], -5e-9, 40e-9, 2e9)
+    out = native.synthesize_native(low)
+    t = np.arange(-5e-9, 40e-9, 0.5e-9)
+    for i, w_ in enumerate([w1, w2]):
+        scale = np.abs(w_(t)).max()
+        assert np.abs(out[i] - w_(t)).max() / scale < 5e-7

@@ -83,6 +83,9 @@ def synthesize_native(low, n_threads: int = 0) -> np.ndarray:
              low.power, low.shift_hi, low.q32)]
     f32s = [np.ascontiguousarray(x, dtype=np.float32) for x in
             (low.amp, low.args, clip)]
+    ext = np.ascontiguousarray(
+        low.ext if low.ext is not None and low.ext.size else np.zeros(1),
+        dtype=np.float64)
 
     def ip(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -94,7 +97,8 @@ def synthesize_native(low, n_threads: int = 0) -> np.ndarray:
     amp, args, clipf = f32s
     lib.wavecore_synthesize(
         ip(seg_lo), ip(seg_hi), ip(nterm), ip(nfac), fp(amp), ip(op),
-        ip(power), ip(shift_hi), ip(q32), fp(args), fp(clipf),
+        ip(power), ip(shift_hi), ip(q32), fp(args),
+        ext.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), fp(clipf),
         ctypes.c_int32(C), ctypes.c_int32(NB), ctypes.c_int32(Sb),
         ctypes.c_int32(T), ctypes.c_int32(F), ctypes.c_int32(W_ARGS),
         ctypes.c_int64(low.n_samples), ctypes.c_int64(low.bucket_samples),

@@ -46,6 +46,10 @@ enum Op : int32_t {
   OP_DRAG = 11,
   OP_POLY_GAUSS = 12,
   OP_MOLLIFIER = 13,
+  // extended opcodes: read the float64 ext side-buffer
+  OP_INTERP = 14,
+  OP_DRAG_SIN = 15,
+  OP_DRAG_SINX = 16,
 };
 
 struct Factor {
@@ -54,7 +58,14 @@ struct Factor {
   int32_t shift_hi;
   const int32_t* q32;   // 4 fixed-point phase increments
   const float* a;       // W args
+  const double* ext;    // float64 side-buffer (whole schedule)
 };
+
+inline double polyval_ascending_d(const double* c, int count, double x) {
+  double acc = 0.0;
+  for (int k = count - 1; k >= 0; --k) acc = acc * x + c[k];
+  return acc;
+}
 
 inline double carrier_phase(int64_t di64, int32_t q32, double eps,
                             double cst) {
@@ -216,6 +227,94 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
       }
       break;
     }
+    case OP_INTERP: {
+      const double a1 = f.a[1], a2 = f.a[2];
+      const double* tab = f.ext + static_cast<int64_t>(f.a[7]);
+      const int np = static_cast<int>(f.a[8]);
+      for (int i = 0; i < n; ++i) {
+        double pos = a1 * (di0 + i - frac) + a2;
+        pos = std::min(std::max(pos, 0.0), static_cast<double>(np - 1));
+        int i0 = static_cast<int>(pos);
+        if (i0 >= np - 1) i0 = np - 2;
+        double w = pos - i0;
+        buf[i] = tab[i0] * (1.0 - w) + tab[i0 + 1] * w;
+      }
+      break;
+    }
+    case OP_DRAG_SIN:
+    case OP_DRAG_SINX: {
+      // ext block: [m, cx[0..m], cy[0..m], flat_x, flat_y,
+      //             (sinx: blend_half_samples, then 4x {len, coeffs...}
+      //              with coefficients pre-scaled to sample units)]
+      const double* e = f.ext + static_cast<int64_t>(f.a[7]);
+      const int m = static_cast<int>(e[0]);
+      const double* cx = e + 1;
+      const double* cy = cx + (m + 1);
+      const double flat_x = cy[m + 1];
+      const double flat_y = cy[m + 2];
+      const double o_dt = f.a[1];
+      const double eps = f.a[3], cst = f.a[4];
+      const double w_samp = f.a[5], p_samp = f.a[6];
+      const int32_t q = f.q32[0];
+      const int32_t d0 = static_cast<int32_t>(di0);
+
+      double blend_half = 0.0;
+      const double *lx = nullptr, *ly = nullptr, *rx = nullptr,
+                   *ry = nullptr;
+      int lx_n = 0, ly_n = 0, rx_n = 0, ry_n = 0;
+      if (f.op == OP_DRAG_SINX) {
+        const double* p = cy + (m + 3);
+        blend_half = p[0];
+        ++p;
+        lx_n = static_cast<int>(p[0]); lx = p + 1; p = lx + lx_n;
+        ly_n = static_cast<int>(p[0]); ly = p + 1; p = ly + ly_n;
+        rx_n = static_cast<int>(p[0]); rx = p + 1; p = rx + rx_n;
+        ry_n = static_cast<int>(p[0]); ry = p + 1;
+      }
+      const double left_hi = w_samp / 2;
+      const double right_lo = w_samp / 2 + p_samp;
+      // NB: the reference's plateau construction is *discontinuous* at
+      // t0 + width/2 (the flat override replaces only row 0); a sample
+      // landing exactly on that edge classifies by floating-point
+      // tie-break, so a grid point coinciding with the edge may take
+      // either side (sub-sample descriptor quantization ~1e-7 samples).
+      const double kEdge = 0.0;
+
+      for (int i = 0; i < n; ++i) {
+        const double u = d0 + i - frac;      // samples since t0'
+        double ox, oy;
+        if (lx && u >= left_hi - blend_half && u <= left_hi) {
+          const double x = u - left_hi;
+          ox = polyval_ascending_d(lx, lx_n, x);
+          oy = polyval_ascending_d(ly, ly_n, x);
+        } else if (rx && u >= right_lo && u <= right_lo + blend_half) {
+          const double x = u - right_lo;
+          ox = polyval_ascending_d(rx, rx_n, x);
+          oy = polyval_ascending_d(ry, ry_n, x);
+        } else if (u > left_hi + kEdge && u < right_lo - kEdge) {
+          ox = flat_x;
+          oy = flat_y;
+        } else {
+          const double bt = (u <= left_hi + kEdge) ? u : u - p_samp;
+          const double s = std::sin(o_dt * bt);
+          const double c = std::cos(o_dt * bt);
+          double sp = 1.0;                   // s^p
+          ox = 0.0; oy = 0.0;
+          for (int pp = 0; pp <= m; ++pp) {
+            const double basis = (pp & 1) ? sp * c : sp;
+            ox += cx[pp] * basis;
+            oy += cy[pp] * basis;
+            sp *= s;
+          }
+        }
+        const int32_t di = d0 + i;
+        const int32_t turns = static_cast<int32_t>(
+            static_cast<uint32_t>(q) * static_cast<uint32_t>(di));
+        const double theta = turns * kPhaseScale + eps * di + cst;
+        buf[i] = ox * std::cos(theta) + oy * std::sin(theta);
+      }
+      break;
+    }
     default:
       for (int i = 0; i < n; ++i) buf[i] = 0.0;
   }
@@ -242,6 +341,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
                          const float* amp, const int32_t* op,
                          const int32_t* power, const int32_t* shift_hi,
                          const int32_t* q32, const float* args,
+                         const double* ext,
                          const float* clip, int32_t C, int32_t NB,
                          int32_t Sb, int32_t T, int32_t F, int32_t W,
                          int64_t n_samples, int64_t bucket_samples,
@@ -279,7 +379,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
           for (int f = 0; f < n_use; ++f) {
             const int64_t fi = ti * F + f;
             facs[f] = Factor{op[fi], power[fi], shift_hi[fi],
-                             q32 + fi * 4, args + fi * W};
+                             q32 + fi * 4, args + fi * W, ext};
           }
           constexpr int kBlock = 1024;
           double prod[kBlock], fbuf[kBlock];
@@ -310,6 +410,6 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
   }
 }
 
-int32_t wavecore_version() { return 1; }
+int32_t wavecore_version() { return 2; }
 
 }  // extern "C"

@@ -60,7 +60,15 @@ OP_SINH = 10
 OP_DRAG = 11
 OP_POLY_GAUSS = 12
 OP_MOLLIFIER = 13
-N_OPS = 14
+# Extended opcodes: use the float64 ext side-buffer (native engine only for
+# now; the Pallas kernel reports them via LoweredSchedule.pallas_ok=False).
+OP_INTERP = 14
+OP_DRAG_SIN = 15
+OP_DRAG_SINX = 16
+N_OPS = 17
+PALLAS_OPS = frozenset(range(14))
+# max sin-power order in OP_DRAG_SIN/SINX coefficient vectors
+DRAG_SIN_MAXM = 12
 
 _TWO_PI = 2 * np.pi
 
@@ -107,12 +115,48 @@ class FactorDesc:
     q32: tuple = (0, 0, 0, 0)
 
 
-def _lower_factor(factor, power, start: float, dt: float) -> FactorDesc:
+def _drag_sin_static(width, delta, block_freq, coeff_norm):
+    """Host math for OP_DRAG_SIN(X): per-power coefficient vectors.
+
+    Returns (o, C[2, m+1], flat[2]) with
+    Omega_j(x) = sum_p C[j,p] * sin(o*bt)^p * (cos(o*bt) if p odd) off the
+    plateau and Omega_j = flat[j] on it (cf. models/multy_drag.py).
+    """
+    from ..models.multy_drag import B_series_mat, sin_power_derivative_table
+    bs, m = [], 2
+    if block_freq is not None:
+        bs = 1 / np.pi / 2 / (np.asarray(block_freq) - delta)
+        m = max((len(bs) + 2) >> 1 << 1, m)
+    if m > DRAG_SIN_MAXM:
+        raise UnsupportedFactor(f"drag_sin order {m} > {DRAG_SIN_MAXM}")
+    B_mat = B_series_mat(np.asarray(bs))
+    o = np.pi / width
+    A_mat = sin_power_derivative_table(m, len(bs), o)
+
+    C = np.einsum('ij,ip->jp', B_mat[:, :, 0], A_mat)  # (2, m+1)
+
+    peak = np.ones([m + 1])
+    peak[1::2] = 0
+    peak = A_mat @ peak
+    coe = np.einsum('ijk,ki->j', B_mat,
+                    np.array([peak, np.zeros_like(peak)]))
+    coeff = np.sqrt(np.sum(np.abs(coe)**2)) if coeff_norm else 1.0
+
+    # plateau: base_0 == 1, base_{p>0} == 0, and row 0 overridden to 1
+    flat = (B_mat[0, :, 0]
+            + B_mat[1:, :, 0].T @ A_mat[1:, 0]) / coeff
+    return o, C / coeff, flat, bs, m, A_mat, B_mat
+
+
+def _lower_factor(factor, power, start: float, dt: float,
+                  ext: list) -> FactorDesc:
     """Lower one IR factor ``(fun_id, *args, shift)`` to a kernel descriptor.
 
-    Raises :class:`UnsupportedFactor` for bases (or parameter ranges) the
-    kernel does not cover; the schedule then falls back to the XLA path for
-    that channel.
+    *ext* is the schedule's float64 side-buffer (tables, coefficient
+    vectors); extended opcodes append to it and store (offset, length) in
+    their arg slots.  Raises :class:`UnsupportedFactor` for bases the
+    descriptor program cannot express; the schedule then falls back to the
+    XLA path for that channel.
     """
     fun_id, *fargs, shift = factor
     if power != int(power):
@@ -257,6 +301,88 @@ def _lower_factor(factor, power, start: float, dt: float) -> FactorDesc:
             a[3:3 + len(coeffs)] = (coeffs / r ** d)[::-1]
         return FactorDesc(OP_MOLLIFIER, power, hi, a)
 
+    if fun_id == _reg.INTERP:
+        xstart, xstop, points = fargs
+        pts = np.asarray(points, dtype=float)
+        n = len(pts)
+        if n < 2 or xstop == xstart:
+            raise UnsupportedFactor("degenerate interp table")
+        hi = plain_shift()
+        step = (xstop - xstart) / (n - 1)
+        # table position: pos = a1*(u - frac) + a2, clamped to [0, n-1]
+        a[1] = dt / step
+        a[2] = -xstart / step
+        a[7] = len(ext)
+        a[8] = n
+        ext.extend(pts.tolist())
+        return FactorDesc(OP_INTERP, power, hi, a)
+
+    try:
+        from ..models.multy_drag import DRAG_SIN as _DS, DRAG_SINX as _DSX
+    except ImportError:  # pragma: no cover
+        _DS = _DSX = None
+
+    if fun_id == _DS or fun_id == _DSX:
+        if fun_id == _DS:
+            t0, freq, width, delta, block_freq, phase, plateau = fargs
+            tab = None
+        else:
+            t0, freq, width, delta, block_freq, phase, plateau, tab = fargs
+        if isinstance(block_freq, float):
+            block_freq = (block_freq,)
+        o, C, flat, bs, m, A_mat, B_mat = _drag_sin_static(
+            width, delta, block_freq, coeff_norm=(fun_id == _DS))
+
+        hi, frac = _split_shift((shift + t0 - start) / dt)
+        a[0] = frac
+        a[1] = o * dt
+        w = _TWO_PI * (freq + delta)
+        q32, eps = _phase_q32(w * dt)
+        a[3] = eps
+        a[4] = np.float32((w * (start + hi * dt - shift)
+                           - _TWO_PI * delta * t0 - phase) % _TWO_PI)
+        a[5] = width / dt       # width in samples
+        a[6] = plateau / dt     # plateau in samples
+        a[7] = len(ext)
+        # ext block: [m, cx[0..m], cy[0..m], flat_x, flat_y, (sinx blend)]
+        block = [float(m)]
+        block += C[0].tolist() + C[1].tolist()
+        block += [float(flat[0]), float(flat[1])]
+
+        if fun_id == _DSX:
+            from ..models.multy_drag import edge_blend_poly
+
+            def edge_rows(sign):
+                x = np.sin(o * (1 + sign * tab) * width / 2) ** np.arange(
+                    m + 1)
+                x[1::2] = x[1::2] * np.cos(o * (1 + sign * tab) * width / 2)
+                return A_mat @ x
+
+            poly_left = edge_blend_poly(edge_rows(-1), -tab * width / 2)
+            poly_right = edge_blend_poly(edge_rows(+1), tab * width / 2)
+            # Q_j(dt) = sum_i B[i, j, 0] * d^i/dx^i P(dt): one polynomial
+            # per quadrature per side
+            def q_poly(poly, j):
+                acc = np.poly1d([0.0])
+                for i in range(len(bs) + 1):
+                    acc = acc + B_mat[i, j, 0] * np.polyder(poly, m=i)
+                c = acc.coeffs[::-1].copy()  # ascending, argument in seconds
+                # rescale to sample units: Q(x_samp) = sum c_k (dt*x_samp)^k
+                c *= dt ** np.arange(len(c))
+                return c
+
+            qxl = q_poly(poly_left, 0)
+            qyl = q_poly(poly_left, 1)
+            qxr = q_poly(poly_right, 0)
+            qyr = q_poly(poly_right, 1)
+            block += [tab * width / (2 * dt)]  # blend half-width in samples
+            for qq in (qxl, qyl, qxr, qyr):
+                block += [float(len(qq))] + qq.tolist()
+        a[8] = len(block)
+        ext.extend(block)
+        op_code = OP_DRAG_SIN if fun_id == _DS else OP_DRAG_SINX
+        return FactorDesc(op_code, power, hi, a, (q32, 0, 0, 0))
+
     raise UnsupportedFactor(f"basis id {fun_id}")
 
 
@@ -296,6 +422,8 @@ class LoweredSchedule:
     start: float
     sample_rate: float
     bucket_samples: int
+    ext: np.ndarray = None          # float64 side-buffer (tables, coeffs)
+    pallas_ok: bool = True          # all opcodes within the kernel's set
 
     @property
     def shape(self):
@@ -320,11 +448,15 @@ def _waveform_pieces(wav):
 
 
 def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
-                  part: str = 'real') -> tuple[list[SegmentDesc], float, float]:
+                  part: str = 'real',
+                  ext: list | None = None
+                  ) -> tuple[list[SegmentDesc], float, float]:
     """Lower one channel; returns its segment descriptors and clip limits.
 
     ``part`` selects the real or imaginary component of complex amplitudes
     (factors themselves are always real-valued)."""
+    if ext is None:
+        ext = []
     segments: list[SegmentDesc] = []
     vmin, vmax = -np.inf, np.inf
     for bounds, seq, bmin, bmax in _waveform_pieces(wav):
@@ -341,7 +473,7 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
                         continue
                     amps.append(amp)
                     facs.append([
-                        _lower_factor(f, n, start, dt)
+                        _lower_factor(f, n, start, dt, ext)
                         for f, n in zip(factors, powers)
                     ])
                 if amps:
@@ -373,7 +505,9 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     else:
         NB = max(-(-n // bucket_samples), 1)
 
-    lowered = [lower_channel(ch, grid, start, dt, part) for ch in channels]
+    ext: list = []
+    lowered = [lower_channel(ch, grid, start, dt, part, ext)
+               for ch in channels]
     C = len(lowered)
 
     # distribute segments into every bucket they overlap
@@ -412,6 +546,7 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
         clip_max=np.full((C,), np.inf, np.float32),
         n_samples=n, start=start, sample_rate=sample_rate,
         bucket_samples=bucket_samples,
+        ext=np.asarray(ext, dtype=np.float64),
     )
 
     for c, (segs, vmin, vmax) in enumerate(lowered):
@@ -431,4 +566,5 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
                         out.shift_hi[c, b, s, t, f] = fd.shift_hi
                         out.q32[c, b, s, t, f] = fd.q32
                         out.args[c, b, s, t, f] = fd.args
+    out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS))))
     return out

@@ -30,10 +30,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lowering import (N_OPS, OP_COS, OP_COSH, OP_DRAG, OP_ERF, OP_EXP,
+from .lowering import (OP_COS, OP_COSH, OP_DRAG, OP_ERF, OP_EXP,
                        OP_EXPCHIRP, OP_GAUSSIAN, OP_HYPCHIRP, OP_LINEAR,
                        OP_LINEARCHIRP, OP_MOLLIFIER, OP_POLY_GAUSS, OP_SINC,
-                       OP_SINH, W_ARGS, LoweredSchedule, lower_schedule)
+                       OP_SINH, W_ARGS, LoweredSchedule, UnsupportedFactor,
+                       lower_schedule)
+N_OPS = 14  # the kernel's opcode set (extended opcodes are native-only)
 
 __all__ = ['synthesize', 'synthesize_lowered']
 
@@ -306,6 +308,11 @@ class DeviceSchedule:
     """
 
     def __init__(self, low: LoweredSchedule):
+        if not low.pallas_ok:
+            raise UnsupportedFactor(
+                "schedule uses extended opcodes (interp tables / multi-tone "
+                "DRAG) outside the Pallas kernel's set; use the native or "
+                "XLA engine")
         C, NB, S, T, F = low.shape
         self.shape = low.shape
         self.n_samples = low.n_samples
