@@ -90,20 +90,21 @@ def main():
             return acc + out[0, 0, 0]
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    # accuracy spot-check vs the numpy float64 oracle, fused into one
-    # program so only a scalar leaves the device
-    t = np.arange(start, stop, 1 / fs)[:100000]
-    oracle = chans[0](t)
-
-    @jax.jit
-    def spot_err(oracle_dev):
-        out = run_once(0)
-        sig = out.reshape(C, n_rows * 128)[0, :100000]
-        return jnp.max(jnp.abs(sig - oracle_dev))
-
-    rel = float(spot_err(jnp.asarray(oracle, dtype=np.float32))) / max(
-        np.abs(oracle).max(), 1e-30)
-    assert rel < 1e-5, f"accuracy regression: rel err {rel}"
+    # accuracy spot-check vs the numpy float64 oracle on a small schedule
+    # through the same kernel (keeps d2h traffic tiny and avoids fusing the
+    # 1GB output into host-visible ops)
+    from waveforms_tpu.ops.pallas_synth import synthesize_device
+    small = build_schedule(n_channels=4, seed=3)
+    small_stop = 40e-6
+    low_s = lower_schedule(small, start, small_stop, fs)
+    out_s = np.asarray(synthesize_device(DeviceSchedule(low_s),
+                                         interpret=interpret))
+    t = np.arange(start, small_stop, 1 / fs)
+    for ci in range(len(small)):
+        oracle = small[ci](t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        rel = np.abs(out_s[ci] - oracle).max() / scale
+        assert rel < 1e-5, f"accuracy regression ch{ci}: rel err {rel}"
 
     timed_loop().block_until_ready()  # compile + warmup
     t0 = time.perf_counter()

@@ -1,0 +1,7 @@
+"""Device-mesh sharding for multi-chip synthesis."""
+
+from .mesh import (channel_mesh, shard_schedule, synthesize_on_mesh,
+                   synthesize_sharded)
+
+__all__ = ['channel_mesh', 'shard_schedule', 'synthesize_sharded',
+           'synthesize_on_mesh']
