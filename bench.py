@@ -122,4 +122,20 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    import traceback
+
+    # The dev TPU tunnel occasionally wedges and recovers after idle time;
+    # retry a few times before giving up so a transient fault doesn't
+    # zero out the round's benchmark.
+    for attempt in range(4):
+        try:
+            main()
+            break
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            if attempt == 3:
+                raise
+            print(f"bench attempt {attempt + 1} failed; retrying in 60s",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)

@@ -128,3 +128,22 @@ def test_graft_entry_single():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert out.dtype == np.float32
+
+
+def test_bucketed_time_sharded_matches_single():
+    """Bucket axis shards across 'time' with per-shard descriptor windows."""
+    rng = np.random.default_rng(5)
+    stacks = [WaveVStack([(0.3 * cosPulse(40e-9) >> o)
+                          for o in rng.uniform(0, 7e-6, 60)])
+              for _ in range(4)]
+    from waveforms_tpu.ops.lowering import lower_schedule as _ls
+    from waveforms_tpu.ops.pallas_synth import synthesize_lowered
+    from waveforms_tpu.parallel.mesh import synthesize_sharded
+    low = _ls(stacks, 0, 8.192e-6, 2e9, bucket_samples=2048)
+    assert low.n_buckets > 1
+    mesh = channel_mesh(n_channel=2, n_time=4)
+    sharded = np.asarray(synthesize_sharded(low, mesh, rows_per_tile=8,
+                                            interpret=True))
+    single = np.asarray(synthesize_lowered(low, rows_per_tile=8,
+                                           interpret=True))
+    np.testing.assert_allclose(sharded, single, atol=1e-7)

@@ -46,22 +46,42 @@ def _pad_channels(arr: np.ndarray, c_pad: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
-def shard_schedule(low: LoweredSchedule, mesh: Mesh):
-    """Device-put descriptor tensors sharded along the mesh channel axis.
+def _pad_axis(arr: np.ndarray, axis: int, size: int) -> np.ndarray:
+    if arr.shape[axis] == size:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, size - arr.shape[axis])
+    return np.pad(arr, widths)
+
+
+def shard_schedule(low: LoweredSchedule, mesh: Mesh,
+                   nb_pad: int | None = None):
+    """Device-put descriptor tensors sharded along the mesh axes.
 
     Channels pad up to a multiple of the channel-axis size (padded channels
-    have zero segments and synthesize to silence).
+    have zero segments and synthesize to silence).  With ``nb_pad`` set,
+    the bucket axis pads to that count and shards along 'time' so each
+    shard holds exactly the descriptor windows of its sample slice.
     """
     C, NB, S, T, F = low.shape
     nc = mesh.shape['channel']
     c_pad = -(-C // nc) * nc
-    sharding = NamedSharding(mesh, P('channel', None, None, None))
+    bucket_spec = 'time' if nb_pad is not None and nb_pad > 1 else None
+    sharding = NamedSharding(mesh, P('channel', bucket_spec, None, None))
+    nb = nb_pad if nb_pad is not None else NB
 
     def put(arr, k):
-        return jax.device_put(
-            _pad_channels(arr.reshape(C, NB, 1, k), c_pad), sharding)
+        a = _pad_channels(arr.reshape(C, NB, 1, k), c_pad)
+        a = _pad_axis(a, 1, nb)
+        return jax.device_put(a, sharding)
 
     clip = np.stack([low.clip_min, low.clip_max], axis=1)
+    # clip is per-channel only: replicate over the bucket axis if sharded
+    clip4 = np.broadcast_to(clip.reshape(C, 1, 1, 2), (C, nb, 1, 2)).copy() \
+        if bucket_spec else clip.reshape(C, 1, 1, 2)
+    clipd = jax.device_put(
+        _pad_channels(clip4, c_pad),
+        NamedSharding(mesh, P('channel', bucket_spec, None, None)))
     return dict(
         seg_lo=put(low.seg_lo, S), seg_hi=put(low.seg_hi, S),
         nterm=put(low.nterm, S),
@@ -69,7 +89,7 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh):
         op=put(low.op, S * T * F), pw=put(low.power, S * T * F),
         sh=put(low.shift_hi, S * T * F), q32=put(low.q32, S * T * F * 4),
         args=put(low.args, S * T * F * W_ARGS),
-        clip=put(clip, 2),
+        clip=clipd,
     ), c_pad
 
 
@@ -84,30 +104,41 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
     """
     C, NB, S, T, F = low.shape
     nt_shards = mesh.shape['time']
-    if NB > 1 and nt_shards > 1:
-        raise NotImplementedError(
-            "time-sharding of bucketed schedules (shard the bucket axis "
-            "alongside the sample axis) is not wired up yet; use "
-            "bucket_samples=None or n_time=1")
     R = rows_per_tile
-    n_rows = -(-low.n_samples // 128)
-    n_rows = -(-n_rows // (R * nt_shards)) * (R * nt_shards)
-    rows_local = n_rows // nt_shards
+    if NB > 1:
+        # bucketed: shard whole buckets across 'time' so every local tile's
+        # bucket window lives on its own shard
+        tile = R * 128
+        if low.bucket_samples % tile:
+            raise ValueError("bucket_samples must be a multiple of the tile")
+        nb_pad = -(-NB // nt_shards) * nt_shards
+        rows_local = (nb_pad // nt_shards) * (low.bucket_samples // 128)
+        n_rows = rows_local * nt_shards
+        tensors, c_pad = shard_schedule(low, mesh, nb_pad=nb_pad)
+        G = low.bucket_samples // tile
+    else:
+        n_rows = -(-low.n_samples // 128)
+        n_rows = -(-n_rows // (R * nt_shards)) * (R * nt_shards)
+        rows_local = n_rows // nt_shards
+        tensors, c_pad = shard_schedule(low, mesh)
+        G = max(rows_local // R, 1)
 
-    tensors, c_pad = shard_schedule(low, mesh)
+    bucket_spec = 'time' if NB > 1 else None
+    in_spec = P('channel', bucket_spec, None, None)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P('channel', None, None, None),) * len(tensors),
+        in_specs=(in_spec,) * len(tensors),
         out_specs=P('channel', 'time', None),
         check_vma=False)
     def run(seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, clip):
         row0 = jax.lax.axis_index('time').astype(jnp.int32) * (
             rows_local * 128)
+        clip_local = clip[:, :1]  # per-channel clip (bucket axis replicated)
         out = _run_kernel(row0.reshape(1, 1, 1, 1), seg_lo, seg_hi, nterm,
-                          nfac, amp, op, pw, sh, q32, args, clip,
+                          nfac, amp, op, pw, sh, q32, args, clip_local,
                           S=S, T=T, F=F, R=R, n_rows=rows_local,
-                          tiles_per_bucket=max(rows_local // R, 1),
+                          tiles_per_bucket=G,
                           interpret=interpret)
         return out.reshape(out.shape[0], rows_local * 128)[:, None, :]
 
