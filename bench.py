@@ -56,7 +56,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from waveforms_tpu.ops.lowering import W_ARGS, lower_schedule
+    from waveforms_tpu.ops.lowering import lower_schedule
     from waveforms_tpu.ops.pallas_synth import DeviceSchedule, _run_kernel
 
     interpret = jax.default_backend() != 'tpu'

@@ -25,7 +25,7 @@ import numpy as np
 from numpy import inf
 from numpy.typing import NDArray
 
-from .ir.algebra import NDIGITS, ZERO, add, const as _const, is_const, mul, \
+from .ir.algebra import NDIGITS, ZERO, add, const as _const, mul, \
     pow as _pow, shift as _shift
 from .ir.canonical import filter as _filter_expr, simplify as _simplify_expr
 from .ir.piecewise import calc_parts, merge_piecewise, wave_sum

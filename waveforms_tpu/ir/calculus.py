@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 from numpy import pi
 
-from .algebra import ZERO, add, basic_wave, const, is_const, mul
+from .algebra import ZERO, add, const, is_const, mul
 from .registry import (COS, COSH, D_GAUSSIAN, ERF, EXP, EXPONENTIALCHIRP,
                        GAUSSIAN, HYPERBOLICCHIRP, INTERP, LINEAR, LINEARCHIRP,
                        MOLLIFIER, SINC, SINH, derivativeBaseFunc,

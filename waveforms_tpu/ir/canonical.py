@@ -27,7 +27,7 @@ from math import comb
 import numpy as np
 
 from .algebra import ZERO, add, basic_wave, const, is_const, mul
-from .registry import COS, EXP, GAUSSIAN, SINC
+from .registry import COS, EXP, GAUSSIAN
 
 ONE = const(1.0)
 
