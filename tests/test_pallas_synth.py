@@ -147,3 +147,26 @@ def test_bucketed_time_sharded_matches_single():
     single = np.asarray(synthesize_lowered(low, rows_per_tile=8,
                                            interpret=True))
     np.testing.assert_allclose(sharded, single, atol=1e-7)
+
+
+def test_interp_expansion_in_kernel():
+    """samplingPoints lowers to affine segments -- full kernel support."""
+    from waveforms_tpu.models.shapes import samplingPoints
+    y = np.sin(np.linspace(0, 3, 33)) + 0.1
+    w = samplingPoints(1e-7, 10e-6, y)
+    w2 = samplingPoints(0, 8e-6, np.linspace(-1, 1, 9)) * gaussian(12e-6)
+    check([w, w2], -1e-6, 12e-6, 1e9)
+
+
+def test_multitone_drag_in_kernel():
+    """drag_sin/drag_sinx run in the kernel via the ext side-buffer."""
+    from waveforms_tpu import drag_sin, drag_sinx
+    bf = (151e6, -83e6, 217e6)
+    w1 = drag_sin(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                  block_freq=bf, phase=0.1)
+    w2 = drag_sinx(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                   block_freq=bf, phase=0.1, tab=0.5)
+    from waveforms_tpu.ops.lowering import lower_schedule as _ls
+    low = _ls([w1, w2], -5e-9, 40e-9, 2e9)
+    assert low.pallas_ok
+    check([w1, w2], -5e-9, 40e-9, 2e9, rtol=5e-6)

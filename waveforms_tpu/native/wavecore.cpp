@@ -243,15 +243,17 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
     }
     case OP_DRAG_SIN:
     case OP_DRAG_SINX: {
-      // ext block: [m, cx[0..m], cy[0..m], flat_x, flat_y,
-      //             (sinx: blend_half_samples, then 4x {len, coeffs...}
-      //              with coefficients pre-scaled to sample units)]
+      // fixed-layout ext block (see lowering.py):
+      //   [m, cx[0..MAXM], cy[0..MAXM], flat_x, flat_y,
+      //    (sinx: blend_half, {len, coeffs[MAXQ]} x4)]
+      constexpr int kNC = 13;   // DRAG_SIN_NC
+      constexpr int kMQ = 40;   // DRAG_SINX_MAXQ
       const double* e = f.ext + static_cast<int64_t>(f.a[7]);
       const int m = static_cast<int>(e[0]);
       const double* cx = e + 1;
-      const double* cy = cx + (m + 1);
-      const double flat_x = cy[m + 1];
-      const double flat_y = cy[m + 2];
+      const double* cy = cx + kNC;
+      const double flat_x = cy[kNC];
+      const double flat_y = cy[kNC + 1];
       const double o_dt = f.a[1];
       const double eps = f.a[3], cst = f.a[4];
       const double w_samp = f.a[5], p_samp = f.a[6];
@@ -263,12 +265,12 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
                    *ry = nullptr;
       int lx_n = 0, ly_n = 0, rx_n = 0, ry_n = 0;
       if (f.op == OP_DRAG_SINX) {
-        const double* p = cy + (m + 3);
+        const double* p = cy + kNC + 2;
         blend_half = p[0];
         ++p;
-        lx_n = static_cast<int>(p[0]); lx = p + 1; p = lx + lx_n;
-        ly_n = static_cast<int>(p[0]); ly = p + 1; p = ly + ly_n;
-        rx_n = static_cast<int>(p[0]); rx = p + 1; p = rx + rx_n;
+        lx_n = static_cast<int>(p[0]); lx = p + 1; p = lx + kMQ;
+        ly_n = static_cast<int>(p[0]); ly = p + 1; p = ly + kMQ;
+        rx_n = static_cast<int>(p[0]); rx = p + 1; p = rx + kMQ;
         ry_n = static_cast<int>(p[0]); ry = p + 1;
       }
       const double left_hi = w_samp / 2;

@@ -60,15 +60,20 @@ OP_SINH = 10
 OP_DRAG = 11
 OP_POLY_GAUSS = 12
 OP_MOLLIFIER = 13
-# Extended opcodes: use the float64 ext side-buffer (native engine only for
-# now; the Pallas kernel reports them via LoweredSchedule.pallas_ok=False).
+# Extended opcodes read the ext side-buffer.  OP_INTERP is reserved (linear
+# interpolation expands to affine segments before lowering, see
+# _expand_interp); the multi-tone DRAG opcodes run on every engine.
 OP_INTERP = 14
 OP_DRAG_SIN = 15
 OP_DRAG_SINX = 16
 N_OPS = 17
-PALLAS_OPS = frozenset(range(14))
-# max sin-power order in OP_DRAG_SIN/SINX coefficient vectors
-DRAG_SIN_MAXM = 12
+PALLAS_OPS = frozenset(range(14)) | {OP_DRAG_SIN, OP_DRAG_SINX}
+# fixed ext-block geometry for OP_DRAG_SIN/SINX
+DRAG_SIN_MAXM = 12      # max sin-power order (m)
+DRAG_SIN_NC = DRAG_SIN_MAXM + 1   # padded coefficients per quadrature
+DRAG_SINX_MAXQ = 40     # padded blend-polynomial length
+# SMEM budget for the ext buffer on the Pallas path (f32 words)
+PALLAS_EXT_MAX = 8192
 
 _TWO_PI = 2 * np.pi
 
@@ -344,9 +349,15 @@ def _lower_factor(factor, power, start: float, dt: float,
         a[5] = width / dt       # width in samples
         a[6] = plateau / dt     # plateau in samples
         a[7] = len(ext)
-        # ext block: [m, cx[0..m], cy[0..m], flat_x, flat_y, (sinx blend)]
+        # fixed-layout ext block:
+        #   [m, cx[0..MAXM], cy[0..MAXM], flat_x, flat_y,
+        #    (sinx: blend_half, {len, coeffs[MAXQ]} x4 for lx/ly/rx/ry)]
+        cx = np.zeros(DRAG_SIN_NC)
+        cy = np.zeros(DRAG_SIN_NC)
+        cx[:m + 1] = C[0]
+        cy[:m + 1] = C[1]
         block = [float(m)]
-        block += C[0].tolist() + C[1].tolist()
+        block += cx.tolist() + cy.tolist()
         block += [float(flat[0]), float(flat[1])]
 
         if fun_id == _DSX:
@@ -377,7 +388,12 @@ def _lower_factor(factor, power, start: float, dt: float,
             qyr = q_poly(poly_right, 1)
             block += [tab * width / (2 * dt)]  # blend half-width in samples
             for qq in (qxl, qyl, qxr, qyr):
-                block += [float(len(qq))] + qq.tolist()
+                if len(qq) > DRAG_SINX_MAXQ:
+                    raise UnsupportedFactor(
+                        f"drag_sinx blend degree {len(qq)} > {DRAG_SINX_MAXQ}")
+                padded = np.zeros(DRAG_SINX_MAXQ)
+                padded[:len(qq)] = qq
+                block += [float(len(qq))] + padded.tolist()
         a[8] = len(block)
         ext.extend(block)
         op_code = OP_DRAG_SIN if fun_id == _DS else OP_DRAG_SINX
@@ -447,6 +463,101 @@ def _waveform_pieces(wav):
     yield wav.bounds, wav.seq, wav.min, wav.max
 
 
+def _interp_affine(factor, k):
+    """IR expression for knot interval k of a linear-interp factor.
+
+    ``k < 0`` / ``k >= n-1`` give the clamped end values (np.interp
+    semantics); interior intervals give ``y_k + m_k*((t-s) - x_k)``.
+    """
+    from ..ir.algebra import add as _add, const as _cst
+    _, xstart, xstop, points, s = (None, *factor[1:])
+    pts = np.asarray(points, dtype=float)
+    n = len(pts)
+    step = (xstop - xstart) / (n - 1)
+    if k < 0:
+        return _cst(float(pts[0]))
+    if k >= n - 1:
+        return _cst(float(pts[-1]))
+    x_k = xstart + k * step
+    m = (pts[k + 1] - pts[k]) / step
+    if m == 0:
+        return _cst(float(pts[k]))
+    return _add(_cst(float(pts[k] - m * x_k)),
+                (((((_reg.LINEAR, s),), (1,)),), (m,)))
+
+
+def _expand_interp(bounds, seq):
+    """Rewrite INTERP factors into exact per-knot affine segments.
+
+    Linear interpolation IS piecewise-linear, so it lowers losslessly onto
+    the IR's own piecewise structure: each segment containing an INTERP
+    factor splits at the table knots, and within each piece the factor
+    becomes an affine (or clamped constant) expression.  No descriptor
+    engine needs a table gather.
+    """
+    from ..ir.algebra import add as _add, mul as _mul, pow as _pow
+    if not any(f[0] == _reg.INTERP
+               for expr in seq if expr != ZERO
+               for term in expr[0] for f in term[0]):
+        return bounds, seq
+
+    new_bounds: list = []
+    new_seq: list = []
+    lo = -np.inf
+    for b, expr in zip(bounds, seq):
+        knots: set = set()
+        if expr != ZERO:
+            for term in expr[0]:
+                for f in term[0]:
+                    if f[0] == _reg.INTERP:
+                        _, xstart, xstop, points, s = (None, *f[1:])
+                        n = len(points)
+                        step = (xstop - xstart) / (n - 1)
+                        for k in range(n):
+                            x = s + xstart + k * step
+                            if lo < x < b:
+                                knots.add(x)
+        pieces = sorted(knots) + [b]
+        piece_lo = lo
+        for piece_hi in pieces:
+            if expr == ZERO:
+                sub = ZERO
+            else:
+                sub = ZERO
+                for term, v in zip(*expr):
+                    if v == 0:
+                        continue
+                    piece = ((((), ()),), (v,))
+                    for f, nn in zip(*term):
+                        if f[0] == _reg.INTERP:
+                            _, xstart, xstop, points, s = (None, *f[1:])
+                            n = len(points)
+                            step = (xstop - xstart) / (n - 1)
+                            # the piece lies within one knot interval of f:
+                            # index it from whichever edge is finite
+                            if piece_lo != -np.inf:
+                                k = int(np.floor(
+                                    (piece_lo - s - xstart) / step + 1e-9))
+                            else:
+                                k = int(np.ceil(
+                                    (piece_hi - s - xstart) / step
+                                    - 1e-9)) - 1
+                            fac_expr = _interp_affine(f, k)
+                            piece = _mul(piece, _pow(fac_expr, nn)
+                                         if nn != 1 else fac_expr)
+                        else:
+                            piece = _mul(piece, ((((f,), (nn,)),), (1.0,)))
+                    sub = _add(sub, piece)
+            if new_seq and sub == new_seq[-1]:
+                new_bounds[-1] = piece_hi
+            else:
+                new_bounds.append(piece_hi)
+                new_seq.append(sub)
+            piece_lo = piece_hi
+        lo = b
+    return tuple(new_bounds), tuple(new_seq)
+
+
 def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
                   part: str = 'real',
                   ext: list | None = None
@@ -461,6 +572,7 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
     vmin, vmax = -np.inf, np.inf
     for bounds, seq, bmin, bmax in _waveform_pieces(wav):
         vmin, vmax = bmin, bmax
+        bounds, seq = _expand_interp(bounds, seq)
         edges = np.searchsorted(grid, np.asarray(bounds, dtype=float))
         lo = 0
         for hi, expr in zip(edges, seq):
@@ -566,5 +678,6 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
                         out.shift_hi[c, b, s, t, f] = fd.shift_hi
                         out.q32[c, b, s, t, f] = fd.q32
                         out.args[c, b, s, t, f] = fd.args
-    out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS))))
+    out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS)))
+                         and len(ext) <= PALLAS_EXT_MAX)
     return out

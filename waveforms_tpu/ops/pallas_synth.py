@@ -30,12 +30,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lowering import (OP_COS, OP_COSH, OP_DRAG, OP_ERF, OP_EXP,
-                       OP_EXPCHIRP, OP_GAUSSIAN, OP_HYPCHIRP, OP_LINEAR,
-                       OP_LINEARCHIRP, OP_MOLLIFIER, OP_POLY_GAUSS, OP_SINC,
-                       OP_SINH, W_ARGS, LoweredSchedule, UnsupportedFactor,
-                       lower_schedule)
-N_OPS = 14  # the kernel's opcode set (extended opcodes are native-only)
+from .lowering import (DRAG_SIN_NC, DRAG_SINX_MAXQ, N_OPS, OP_COS, OP_COSH,
+                       OP_DRAG, OP_DRAG_SIN, OP_DRAG_SINX, OP_ERF, OP_EXP,
+                       OP_EXPCHIRP, OP_GAUSSIAN, OP_HYPCHIRP, OP_INTERP,
+                       OP_LINEAR, OP_LINEARCHIRP, OP_MOLLIFIER,
+                       OP_POLY_GAUSS, OP_SINC, OP_SINH, W_ARGS,
+                       LoweredSchedule, UnsupportedFactor, lower_schedule)
 
 __all__ = ['synthesize', 'synthesize_lowered']
 
@@ -75,7 +75,7 @@ def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
 
 def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
                   amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
-                  clip_ref, out_ref, *, S, T, F, R):
+                  ext_ref, clip_ref, out_ref, *, S, T, F, R):
     tile = R * 128
     # row0 is this shard's global sample offset (time-axis sharding over a
     # device mesh: each shard synthesizes its slice of the sample axis).
@@ -84,12 +84,12 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     idx = base + rows * 128 + cols
 
-    def factor_value(flat):
+    def factor_value(flat_idx):
         """Evaluate one factor's opcode over the whole tile."""
-        op = op_ref[0, 0, 0, flat]
-        di = idx - sh_ref[0, 0, 0, flat]
+        op = op_ref[0, 0, 0, flat_idx]
+        di = idx - sh_ref[0, 0, 0, flat_idx]
         dif = di.astype(jnp.float32)
-        aoff = flat * W_ARGS
+        aoff = flat_idx * W_ARGS
 
         def arg(k):
             return args_ref[0, 0, 0, aoff + k]
@@ -119,7 +119,7 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
             return sign * (1.0 - poly * jnp.exp(-(ax * ax)))
 
         def op_cos():
-            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat], arg(2),
+            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat_idx], arg(2),
                                    arg(3))
             return jnp.cos(theta)
 
@@ -137,8 +137,8 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         def op_linearchirp():
             theta = _quadratic_phase(
                 di,
-                q32_ref[0, 0, 0, 4 * flat], q32_ref[0, 0, 0, 4 * flat + 1],
-                q32_ref[0, 0, 0, 4 * flat + 2], q32_ref[0, 0, 0, 4 * flat + 3],
+                q32_ref[0, 0, 0, 4 * flat_idx], q32_ref[0, 0, 0, 4 * flat_idx + 1],
+                q32_ref[0, 0, 0, 4 * flat_idx + 2], q32_ref[0, 0, 0, 4 * flat_idx + 3],
                 arg(2), arg(3), arg(4), arg(5), arg(6))
             return jnp.sin(theta)
 
@@ -165,7 +165,7 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
             x = arg(1) * u()                      # o * (t - t0')
             s = jnp.sin(x)
             env_x = s * s
-            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat], arg(3),
+            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat_idx], arg(3),
                                    arg(4))
             main = env_x * jnp.cos(theta)
             b = arg(5)
@@ -182,6 +182,66 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         def op_poly_gauss():
             x = arg(1) * u()
             return arg(2) * _polyval_asc(x, 3, 9) * jnp.exp(-(x * x))
+
+        def _drag_sin_like(with_blend):
+            # fixed-layout ext block, see lowering._lower_factor
+            eoff = arg(7).astype(jnp.int32)
+
+            def eread(k):
+                return ext_ref[0, 0, 0, eoff + k]
+
+            o_dt = arg(1)
+            uu = u()
+            left_hi = arg(5) * 0.5
+            right_lo = left_hi + arg(6)
+            rise = uu <= left_hi
+            flat = jnp.logical_not(rise) & (uu < right_lo)
+            bt = jnp.where(rise, uu, uu - arg(6))
+            s = jnp.sin(o_dt * bt)
+            c = jnp.cos(o_dt * bt)
+
+            ox = jnp.zeros_like(uu)
+            oy = jnp.zeros_like(uu)
+            sp = jnp.ones_like(uu)
+            for p in range(DRAG_SIN_NC):          # padded coeffs: zeros no-op
+                basis = sp * c if p % 2 else sp
+                ox = ox + eread(1 + p) * basis
+                oy = oy + eread(1 + DRAG_SIN_NC + p) * basis
+                sp = sp * s
+            ox = jnp.where(flat, eread(1 + 2 * DRAG_SIN_NC), ox)
+            oy = jnp.where(flat, eread(2 + 2 * DRAG_SIN_NC), oy)
+
+            if with_blend:
+                b0 = 3 + 2 * DRAG_SIN_NC
+                bh = eread(b0)
+
+                def horner(base, x):
+                    # descending Horner over zero-padded ascending storage:
+                    # never forms large powers of x (x is in samples)
+                    acc = jnp.zeros_like(x)
+                    for k in range(DRAG_SINX_MAXQ - 1, -1, -1):
+                        acc = acc * x + eread(base + k)
+                    return acc
+
+                stride = 1 + DRAG_SINX_MAXQ
+                dl_ = uu - left_hi
+                dr_ = uu - right_lo
+                in_l = (uu >= left_hi - bh) & (uu <= left_hi)
+                in_r = (uu >= right_lo) & (uu <= right_lo + bh)
+                ox = jnp.where(in_l, horner(b0 + 2, dl_), ox)
+                oy = jnp.where(in_l, horner(b0 + 2 + stride, dl_), oy)
+                ox = jnp.where(in_r, horner(b0 + 2 + 2 * stride, dr_), ox)
+                oy = jnp.where(in_r, horner(b0 + 2 + 3 * stride, dr_), oy)
+
+            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat_idx],
+                                   arg(3), arg(4))
+            return ox * jnp.cos(theta) + oy * jnp.sin(theta)
+
+        def op_drag_sin():
+            return _drag_sin_like(False)
+
+        def op_drag_sinx():
+            return _drag_sin_like(True)
 
         def op_mollifier():
             x = arg(1) * u()
@@ -209,10 +269,13 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         branches[OP_DRAG] = op_drag
         branches[OP_POLY_GAUSS] = op_poly_gauss
         branches[OP_MOLLIFIER] = op_mollifier
+        branches[OP_INTERP] = op_linear     # reserved: never emitted
+        branches[OP_DRAG_SIN] = op_drag_sin
+        branches[OP_DRAG_SINX] = op_drag_sinx
 
         val = jax.lax.switch(op, branches)
 
-        p = pw_ref[0, 0, 0, flat]
+        p = pw_ref[0, 0, 0, flat_idx]
 
         def raise_power(v):
             ap = jnp.abs(p)
@@ -260,9 +323,10 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
                    static_argnames=('S', 'T', 'F', 'R', 'n_rows',
                                     'tiles_per_bucket', 'interpret'))
 def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
-                args, clip, *, S, T, F, R, n_rows, tiles_per_bucket,
+                args, ext, clip, *, S, T, F, R, n_rows, tiles_per_bucket,
                 interpret):
     C = seg_lo.shape[0]
+    E = ext.shape[-1]
     grid = (C, n_rows // R)
     G = tiles_per_bucket
 
@@ -288,6 +352,7 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
             smem(S * T * F), smem(S * T * F),            # op, power
             smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
             smem(S * T * F * W_ARGS),                    # args
+            smem(E, bcast=True),                         # ext side-buffer
             pl.BlockSpec((1, 1, 1, 2), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.SMEM),       # clip (per channel)
         ],
@@ -295,7 +360,8 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, n_rows, 128), jnp.float32),
         interpret=interpret,
-    )(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, clip)
+    )(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, ext,
+      clip)
 
 
 class DeviceSchedule:
@@ -310,14 +376,20 @@ class DeviceSchedule:
     def __init__(self, low: LoweredSchedule):
         if not low.pallas_ok:
             raise UnsupportedFactor(
-                "schedule uses extended opcodes (interp tables / multi-tone "
-                "DRAG) outside the Pallas kernel's set; use the native or "
-                "XLA engine")
+                "schedule uses opcodes or ext-buffer sizes outside the "
+                "Pallas kernel's set; use the native or XLA engine")
         C, NB, S, T, F = low.shape
         self.shape = low.shape
         self.n_samples = low.n_samples
         self.bucket_samples = low.bucket_samples
         clip = np.stack([low.clip_min, low.clip_max], axis=1)
+        # ext pads to a multiple of 256 so similar schedules share kernels
+        n_ext = max(int(low.ext.size) if low.ext is not None else 0, 1)
+        e_pad = -(-n_ext // 256) * 256
+        ext = np.zeros(e_pad, np.float32)
+        if low.ext is not None and low.ext.size:
+            ext[:low.ext.size] = low.ext
+        self.ext = jnp.asarray(ext.reshape(1, 1, 1, e_pad))
         self.tensors = (
             jnp.asarray(low.seg_lo.reshape(C, NB, 1, S)),
             jnp.asarray(low.seg_hi.reshape(C, NB, 1, S)),
@@ -329,6 +401,7 @@ class DeviceSchedule:
             jnp.asarray(low.shift_hi.reshape(C, NB, 1, S * T * F)),
             jnp.asarray(low.q32.reshape(C, NB, 1, S * T * F * 4)),
             jnp.asarray(low.args.reshape(C, NB, 1, S * T * F * W_ARGS)),
+            self.ext,
             jnp.asarray(clip.reshape(C, 1, 1, 2)),
         )
 

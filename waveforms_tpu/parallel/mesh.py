@@ -75,6 +75,14 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh,
         a = _pad_axis(a, 1, nb)
         return jax.device_put(a, sharding)
 
+    n_ext = max(int(low.ext.size) if low.ext is not None else 0, 1)
+    e_pad = -(-n_ext // 256) * 256
+    ext_np = np.zeros(e_pad, np.float32)
+    if low.ext is not None and low.ext.size:
+        ext_np[:low.ext.size] = low.ext
+    ext = jax.device_put(ext_np.reshape(1, 1, 1, e_pad),
+                         NamedSharding(mesh, P(None, None, None, None)))
+
     clip = np.stack([low.clip_min, low.clip_max], axis=1)
     # clip is per-channel only: replicate over the bucket axis if sharded
     clip4 = np.broadcast_to(clip.reshape(C, 1, 1, 2), (C, nb, 1, 2)).copy() \
@@ -89,7 +97,7 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh,
         op=put(low.op, S * T * F), pw=put(low.power, S * T * F),
         sh=put(low.shift_hi, S * T * F), q32=put(low.q32, S * T * F * 4),
         args=put(low.args, S * T * F * W_ARGS),
-        clip=clipd,
+        ext=ext, clip=clipd,
     ), c_pad
 
 
@@ -125,18 +133,20 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
 
     bucket_spec = 'time' if NB > 1 else None
     in_spec = P('channel', bucket_spec, None, None)
+    specs = [in_spec] * 10 + [P(None, None, None, None), in_spec]
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(in_spec,) * len(tensors),
+        in_specs=tuple(specs),
         out_specs=P('channel', 'time', None),
         check_vma=False)
-    def run(seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, clip):
+    def run(seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, ext,
+            clip):
         row0 = jax.lax.axis_index('time').astype(jnp.int32) * (
             rows_local * 128)
         clip_local = clip[:, :1]  # per-channel clip (bucket axis replicated)
         out = _run_kernel(row0.reshape(1, 1, 1, 1), seg_lo, seg_hi, nterm,
-                          nfac, amp, op, pw, sh, q32, args, clip_local,
+                          nfac, amp, op, pw, sh, q32, args, ext, clip_local,
                           S=S, T=T, F=F, R=R, n_rows=rows_local,
                           tiles_per_bucket=G,
                           interpret=interpret)
@@ -145,7 +155,7 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
     out = run(tensors['seg_lo'], tensors['seg_hi'], tensors['nterm'],
               tensors['nfac'], tensors['amp'], tensors['op'], tensors['pw'],
               tensors['sh'], tensors['q32'], tensors['args'],
-              tensors['clip'])
+              tensors['ext'], tensors['clip'])
     out = out.reshape(c_pad, n_rows * 128)
     return out[:C, :low.n_samples]
 
