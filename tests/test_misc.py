@@ -127,3 +127,18 @@ def test_version_and_all():
     assert waveforms_tpu.__version__
     for name in waveforms_tpu.__all__:
         assert hasattr(waveforms_tpu, name), name
+
+
+def test_demodulate_matches_getFTMatrix():
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.demod import demod_matrix, demodulate
+    numOfPoints, fs = 1000, 1e9
+    f1, f2 = -12.7e6, 32.8e6
+    t = np.arange(numOfPoints) / fs
+    sig = (0.8 * np.sin(2 * np.pi * f1 * t)
+           + 0.2 * np.cos(2 * np.pi * f2 * t))
+    host = sig @ getFTMatrix([f1, f2], numOfPoints, sampleRate=fs)
+    m = demod_matrix([f1, f2], numOfPoints, fs, dtype=jnp.complex128)
+    dev = np.asarray(demodulate(jnp.asarray(sig)[None, :], m))[0]
+    np.testing.assert_allclose(dev, host, rtol=1e-9, atol=1e-12)

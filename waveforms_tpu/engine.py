@@ -97,6 +97,10 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
                                    bucket_samples, part)
         except (UnsupportedFactor, ImportError):
             pass
+        except Exception as exc:  # device/runtime fault: degrade gracefully
+            import warnings
+            warnings.warn(f"pallas engine failed ({exc!r}); "
+                          "falling back to host synthesis")
         try:
             from . import native
             if native.available():

@@ -376,8 +376,11 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
           const int64_t ti = si * T + t;
           const double a0 = amp[ti];
           const int32_t nf = nfac[ti];
-          Factor facs[16];
-          const int n_use = std::min<int32_t>(nf, 16);
+          // F is host-padded; descriptor factor counts never exceed the
+          // static factor axis, but guard anyway rather than truncate
+          constexpr int kMaxFac = 32;
+          Factor facs[kMaxFac];
+          const int n_use = std::min<int32_t>(nf, kMaxFac);
           for (int f = 0; f < n_use; ++f) {
             const int64_t fi = ti * F + f;
             facs[f] = Factor{op[fi], power[fi], shift_hi[fi],

@@ -637,6 +637,10 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     F = max((len(fl) for segs, _, _ in lowered for s in segs
              for fl in s.factors), default=1)
     Sb, T, F = max(Sb, 1), max(T, 1), max(F, 1)
+    if F > 32:
+        raise UnsupportedFactor(
+            f"{F} factors in one term exceeds the engines' limit (32); "
+            "simplify() the waveform first")
     if pad_to is not None:
         if pad_to[0] < Sb or pad_to[1] < T or pad_to[2] < F:
             raise ValueError(f"pad_to {pad_to} smaller than required "
