@@ -27,10 +27,18 @@ _build_error: str | None = None
 
 
 def _build() -> None:
-    cmd = ['g++', '-O3', '-march=native', '-ffast-math', '-fopenmp',
-           '-shared', '-fPIC',
-           '-o', _LIB, _SRC, '-lmvec', '-lm']
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    # Compile with -ffast-math (enables libmvec SIMD transcendentals) but
+    # LINK without it: GCC 12 would otherwise embed crtfastmath.o in the
+    # shared library, which sets FTZ/DAZ for the whole host process at
+    # dlopen and silently changes float64 subnormal semantics everywhere.
+    obj = _LIB + '.o'
+    subprocess.run(['g++', '-O3', '-march=native', '-ffast-math',
+                    '-fopenmp', '-fPIC', '-c', _SRC, '-o', obj],
+                   check=True, capture_output=True, text=True)
+    subprocess.run(['g++', '-shared', '-fopenmp', '-o', _LIB, obj,
+                    '-lmvec', '-lm'],
+                   check=True, capture_output=True, text=True)
+    os.unlink(obj)
 
 
 def _load():

@@ -24,6 +24,26 @@
 #if defined(_OPENMP)
 #include <omp.h>
 #endif
+#if defined(__SSE__) || defined(__x86_64__)
+#include <xmmintrin.h>
+#include <pmmintrin.h>
+#define WAVECORE_HAVE_MXCSR 1
+#endif
+
+namespace {
+// Scoped FTZ/DAZ: flush-to-zero makes denormal-heavy tails (gaussian,
+// exp) run at full speed, but must NOT leak into the host process the way
+// crtfastmath.o would -- save and restore per call (and per OpenMP thread).
+struct ScopedFlushToZero {
+#if defined(WAVECORE_HAVE_MXCSR)
+  unsigned int saved;
+  ScopedFlushToZero() : saved(_mm_getcsr()) {
+    _mm_setcsr(saved | 0x8040);  // FTZ | DAZ
+  }
+  ~ScopedFlushToZero() { _mm_setcsr(saved); }
+#endif
+};
+}  // namespace
 
 namespace {
 
@@ -353,6 +373,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
 #pragma omp parallel for schedule(dynamic, 1)
 #endif
   for (int32_t c = 0; c < C; ++c) {
+    ScopedFlushToZero ftz;
     double* ch = out + static_cast<int64_t>(c) * n_samples;
     std::memset(ch, 0, sizeof(double) * n_samples);
     const double cmin = clip[2 * c];
