@@ -4,6 +4,10 @@ Tests run JAX on a virtual 8-device CPU mesh (multi-chip sharding logic is
 validated without TPU hardware) with x64 enabled so the device evaluators can
 be checked against the numpy float64 oracle at 1e-9 relative tolerance.
 These env vars must be set before jax initializes.
+
+Set ``WFTPU_TEST_TPU=1`` to keep the session's default (TPU) platform
+instead -- kernel tests then compile for real hardware (x64 parity tests
+will be skipped by their own tolerance failures; intended for smoke runs).
 """
 
 import os
@@ -16,5 +20,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (after env setup, before any test imports jax)
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not os.environ.get("WFTPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

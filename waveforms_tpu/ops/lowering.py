@@ -402,6 +402,41 @@ def _lower_factor(factor, power, start: float, dt: float,
     raise UnsupportedFactor(f"basis id {fun_id}")
 
 
+def _lower_factor_cached(factor, power, start, dt, ext, cache):
+    """Template-cached factor lowering (per schedule).
+
+    Factors that differ only in their time shift (the overwhelmingly common
+    case in pulse trains) share one template; per instance only the shift
+    split and the shift-dependent phase slots are recomputed, and identical
+    ext blocks are emitted once.  Linear chirps fall through (their
+    fixed-point decomposition mixes frac into several slots).
+    """
+    fun_id = factor[0]
+    if fun_id == _reg.LINEARCHIRP:
+        return _lower_factor(factor, power, start, dt, ext)
+    key = (factor[:-1], power)
+    shift = factor[-1]
+    hit = cache.get(key)
+    if hit is None:
+        fd = _lower_factor(factor, power, start, dt, ext)
+        cache[key] = (fd, shift)
+        return fd
+    T, shift0 = hit
+    off = (T.shift_hi + float(T.args[0])) + (shift - shift0) / dt
+    hi, frac = _split_shift(off)
+    a = T.args.copy()
+    a[0] = frac
+    if T.op == OP_COS:
+        dphi = factor[1] * dt
+        a[3] = np.float32(-dphi * frac)
+    elif T.op in (OP_DRAG, OP_DRAG_SIN, OP_DRAG_SINX):
+        freq, delta = factor[2], factor[4]
+        wdt = _TWO_PI * (freq + delta) * dt
+        pc = (float(T.args[4]) + wdt * float(T.args[0])) % _TWO_PI
+        a[4] = np.float32((pc - wdt * frac) % _TWO_PI)
+    return FactorDesc(T.op, T.power, hi, a, T.q32)
+
+
 @dataclass
 class SegmentDesc:
     lo: int
@@ -560,7 +595,8 @@ def _expand_interp(bounds, seq):
 
 def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
                   part: str = 'real',
-                  ext: list | None = None
+                  ext: list | None = None,
+                  cache: dict | None = None
                   ) -> tuple[list[SegmentDesc], float, float]:
     """Lower one channel; returns its segment descriptors and clip limits.
 
@@ -568,6 +604,8 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
     (factors themselves are always real-valued)."""
     if ext is None:
         ext = []
+    if cache is None:
+        cache = {}
     segments: list[SegmentDesc] = []
     vmin, vmax = -np.inf, np.inf
     for bounds, seq, bmin, bmax in _waveform_pieces(wav):
@@ -585,7 +623,7 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
                         continue
                     amps.append(amp)
                     facs.append([
-                        _lower_factor(f, n, start, dt, ext)
+                        _lower_factor_cached(f, n, start, dt, ext, cache)
                         for f, n in zip(factors, powers)
                     ])
                 if amps:
@@ -618,7 +656,8 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
         NB = max(-(-n // bucket_samples), 1)
 
     ext: list = []
-    lowered = [lower_channel(ch, grid, start, dt, part, ext)
+    cache: dict = {}
+    lowered = [lower_channel(ch, grid, start, dt, part, ext, cache)
                for ch in channels]
     C = len(lowered)
 
@@ -665,23 +704,47 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
         ext=np.asarray(ext, dtype=np.float64),
     )
 
+    # vectorized scatter fill: collect flat index/value lists, assign once
+    si, sv = [], []            # segment rows: (c, b, s) -> lo, hi, nterm
+    ti, tv = [], []            # term rows: amp, nfac
+    fi = []                    # factor rows
+    f_op, f_pw, f_sh, f_q32, f_args = [], [], [], [], []
     for c, (segs, vmin, vmax) in enumerate(lowered):
         out.clip_min[c] = vmin
         out.clip_max[c] = vmax
         for b in range(NB):
             for s, seg in enumerate(buckets[c][b]):
-                out.seg_lo[c, b, s] = seg.lo
-                out.seg_hi[c, b, s] = seg.hi
-                out.nterm[c, b, s] = len(seg.amps)
+                si.append((c, b, s))
+                sv.append((seg.lo, seg.hi, len(seg.amps)))
                 for t, (amp, facs) in enumerate(zip(seg.amps, seg.factors)):
-                    out.amp[c, b, s, t] = amp
-                    out.nfac[c, b, s, t] = len(facs)
+                    ti.append((c, b, s, t))
+                    tv.append((amp, len(facs)))
                     for f, fd in enumerate(facs):
-                        out.op[c, b, s, t, f] = fd.op
-                        out.power[c, b, s, t, f] = fd.power
-                        out.shift_hi[c, b, s, t, f] = fd.shift_hi
-                        out.q32[c, b, s, t, f] = fd.q32
-                        out.args[c, b, s, t, f] = fd.args
+                        fi.append((c, b, s, t, f))
+                        f_op.append(fd.op)
+                        f_pw.append(fd.power)
+                        f_sh.append(fd.shift_hi)
+                        f_q32.append(fd.q32)
+                        f_args.append(fd.args)
+    if si:
+        ci, bi, sj = np.array(si, np.intp).T
+        svv = np.array(sv)
+        out.seg_lo[ci, bi, sj] = svv[:, 0]
+        out.seg_hi[ci, bi, sj] = svv[:, 1]
+        out.nterm[ci, bi, sj] = svv[:, 2]
+    if ti:
+        ci, bi, sj, tj = np.array(ti, np.intp).T
+        tvv = np.array(tv)
+        out.amp[ci, bi, sj, tj] = tvv[:, 0]
+        out.nfac[ci, bi, sj, tj] = tvv[:, 1].astype(np.int32)
+    if fi:
+        ci, bi, sj, tj, fj = np.array(fi, np.intp).T
+        out.op[ci, bi, sj, tj, fj] = f_op
+        out.power[ci, bi, sj, tj, fj] = f_pw
+        out.shift_hi[ci, bi, sj, tj, fj] = f_sh
+        out.q32[ci, bi, sj, tj, fj] = np.array(f_q32, np.int64).astype(
+            np.int32)
+        out.args[ci, bi, sj, tj, fj] = np.stack(f_args)
     out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS)))
                          and len(ext) <= PALLAS_EXT_MAX)
     return out
