@@ -142,3 +142,19 @@ def test_demodulate_matches_getFTMatrix():
     m = demod_matrix([f1, f2], numOfPoints, fs, dtype=jnp.complex128)
     dev = np.asarray(demodulate(jnp.asarray(sig)[None, :], m))[0]
     np.testing.assert_allclose(dev, host, rtol=1e-9, atol=1e-12)
+
+
+def test_engine_sample_applies_filters():
+    from scipy.signal import butter, tf2sos
+
+    from waveforms_tpu import step
+    fs = 1000
+    b, a = butter(3, 4.0, 'lowpass', fs=fs)
+    w = step(0)
+    w.start, w.stop, w.sample_rate = -1, 1, fs
+    w.filters = (tf2sos(b, a), 0.0)
+    host = w.sample()
+    for eng in ('numpy', 'xla', 'native'):
+        got = np.asarray(sample(w, engine=eng))
+        np.testing.assert_allclose(got, host, rtol=1e-7, atol=1e-9,
+                                   err_msg=eng)

@@ -115,10 +115,30 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
 
 
 def sample(wav: Waveform, sample_rate=None, engine: str = 'auto'):
-    """Engine-selected analog of ``Waveform.sample()`` (no filters here)."""
+    """Engine-selected analog of ``Waveform.sample()``.
+
+    SOS filters attached to the waveform apply on device for jax-backed
+    engines (associative-scan IIR) and on the host otherwise.
+    """
     if sample_rate is None:
         sample_rate = wav.sample_rate
     if wav.start is None or wav.stop is None or sample_rate is None:
         raise ValueError('Waveform is not initialized')
-    return synthesize([wav], wav.start, wav.stop, sample_rate,
-                      engine=engine)[0]
+    sig = synthesize([wav], wav.start, wav.stop, sample_rate,
+                     engine=engine)[0]
+    if wav.filters is None:
+        return sig
+    sos, initial = wav.filters
+    if isinstance(sig, np.ndarray):
+        from scipy.signal import sosfilt as _sosfilt
+        sos = np.asarray(sos, dtype=float)
+        if initial:
+            return _sosfilt(sos, sig - initial) + initial
+        return _sosfilt(sos, sig)
+    import jax.numpy as jnp
+
+    from .ops.iir import sosfilt as _sosfilt_dev
+    sosd = jnp.asarray(np.asarray(sos, dtype=float), dtype=sig.dtype)
+    if initial:
+        return _sosfilt_dev(sosd, sig - initial) + initial
+    return _sosfilt_dev(sosd, sig)
