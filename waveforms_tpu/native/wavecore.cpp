@@ -370,17 +370,27 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
                          double* out, int32_t n_threads) {
 #if defined(_OPENMP)
   if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  // Buckets write disjoint sample windows (segments are clipped to their
+  // bucket), so (channel x bucket) parallelism scales even for
+  // single-channel schedules on many-core hosts.
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < static_cast<int64_t>(C) * n_samples; i += 65536) {
+    const int64_t n = std::min<int64_t>(65536, C * n_samples - i);
+    std::memset(out + i, 0, sizeof(double) * n);
+  }
+#if defined(_OPENMP)
+#pragma omp parallel for collapse(2) schedule(dynamic, 1)
 #endif
   for (int32_t c = 0; c < C; ++c) {
-    ScopedFlushToZero ftz;
-    double* ch = out + static_cast<int64_t>(c) * n_samples;
-    std::memset(ch, 0, sizeof(double) * n_samples);
-    const double cmin = clip[2 * c];
-    const double cmax = clip[2 * c + 1];
-    const bool has_clip = !(std::isinf(cmin) && std::isinf(cmax));
-
     for (int32_t b = 0; b < NB; ++b) {
+      ScopedFlushToZero ftz;
+      double* ch = out + static_cast<int64_t>(c) * n_samples;
+      const double cmin = clip[2 * c];
+      const double cmax = clip[2 * c + 1];
+      const bool has_clip = !(std::isinf(cmin) && std::isinf(cmax));
       const int64_t bucket_lo = static_cast<int64_t>(b) * bucket_samples;
       const int64_t bucket_hi =
           std::min<int64_t>(bucket_lo + bucket_samples, n_samples);

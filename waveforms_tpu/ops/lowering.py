@@ -306,21 +306,9 @@ def _lower_factor(factor, power, start: float, dt: float,
             a[3:3 + len(coeffs)] = (coeffs / r ** d)[::-1]
         return FactorDesc(OP_MOLLIFIER, power, hi, a)
 
-    if fun_id == _reg.INTERP:
-        xstart, xstop, points = fargs
-        pts = np.asarray(points, dtype=float)
-        n = len(pts)
-        if n < 2 or xstop == xstart:
-            raise UnsupportedFactor("degenerate interp table")
-        hi = plain_shift()
-        step = (xstop - xstart) / (n - 1)
-        # table position: pos = a1*(u - frac) + a2, clamped to [0, n-1]
-        a[1] = dt / step
-        a[2] = -xstart / step
-        a[7] = len(ext)
-        a[8] = n
-        ext.extend(pts.tolist())
-        return FactorDesc(OP_INTERP, power, hi, a)
+    # NB: INTERP factors never reach this point -- _expand_interp rewrites
+    # them into affine segments before lowering (OP_INTERP stays reserved
+    # for engines fed hand-built descriptors).
 
     try:
         from ..models.multy_drag import DRAG_SIN as _DS, DRAG_SINX as _DSX
