@@ -75,7 +75,7 @@ def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
 
 def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
                   amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
-                  ext_ref, clip_ref, out_ref, *, S, T, F, R):
+                  ext_ref, clip_ref, out_ref, *, S, T, F, R, ops_present):
     tile = R * 128
     # row0 is this shard's global sample offset (time-axis sharding over a
     # device mesh: each shard synthesizes its slice of the sample axis).
@@ -254,26 +254,33 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
             poly = jnp.where(d > 0, _polyval_asc(x, 3, 9), 1.0)
             return jnp.where(inside, bump / denom * poly, 0.0)
 
-        branches = [None] * N_OPS
-        branches[OP_LINEAR] = op_linear
-        branches[OP_GAUSSIAN] = op_gaussian
-        branches[OP_ERF] = op_erf
-        branches[OP_COS] = op_cos
-        branches[OP_SINC] = op_sinc
-        branches[OP_EXP] = op_exp
-        branches[OP_LINEARCHIRP] = op_linearchirp
-        branches[OP_EXPCHIRP] = op_expchirp
-        branches[OP_HYPCHIRP] = op_hypchirp
-        branches[OP_COSH] = op_cosh
-        branches[OP_SINH] = op_sinh
-        branches[OP_DRAG] = op_drag
-        branches[OP_POLY_GAUSS] = op_poly_gauss
-        branches[OP_MOLLIFIER] = op_mollifier
-        branches[OP_INTERP] = op_linear     # reserved: never emitted
-        branches[OP_DRAG_SIN] = op_drag_sin
-        branches[OP_DRAG_SINX] = op_drag_sinx
-
-        val = jax.lax.switch(op, branches)
+        builders = {
+            OP_LINEAR: op_linear,
+            OP_GAUSSIAN: op_gaussian,
+            OP_ERF: op_erf,
+            OP_COS: op_cos,
+            OP_SINC: op_sinc,
+            OP_EXP: op_exp,
+            OP_LINEARCHIRP: op_linearchirp,
+            OP_EXPCHIRP: op_expchirp,
+            OP_HYPCHIRP: op_hypchirp,
+            OP_COSH: op_cosh,
+            OP_SINH: op_sinh,
+            OP_DRAG: op_drag,
+            OP_POLY_GAUSS: op_poly_gauss,
+            OP_MOLLIFIER: op_mollifier,
+            OP_INTERP: op_linear,   # reserved: never emitted
+            OP_DRAG_SIN: op_drag_sin,
+            OP_DRAG_SINX: op_drag_sinx,
+        }
+        # only the opcodes this schedule actually uses compile into the
+        # switch (descriptor op values are compact indices into
+        # ops_present); one-op schedules branch not at all
+        branches = [builders[o] for o in ops_present]
+        if len(branches) == 1:
+            val = branches[0]()
+        else:
+            val = jax.lax.switch(op, branches)
 
         p = pw_ref[0, 0, 0, flat_idx]
 
@@ -321,10 +328,11 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=('S', 'T', 'F', 'R', 'n_rows',
-                                    'tiles_per_bucket', 'interpret'))
+                                    'tiles_per_bucket', 'ops_present',
+                                    'interpret'))
 def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
                 args, ext, clip, *, S, T, F, R, n_rows, tiles_per_bucket,
-                interpret):
+                ops_present=tuple(range(N_OPS)), interpret=False):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
     grid = (C, n_rows // R)
@@ -341,7 +349,8 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
         return pl.BlockSpec((1, 1, 1, k), lambda c, j: (c, j // G, 0, 0),
                             memory_space=pltpu.SMEM)
 
-    kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R)
+    kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R,
+                               ops_present=ops_present)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -390,13 +399,21 @@ class DeviceSchedule:
         if low.ext is not None and low.ext.size:
             ext[:low.ext.size] = low.ext
         self.ext = jnp.asarray(ext.reshape(1, 1, 1, e_pad))
+        # compact opcode renumbering: only the branches a schedule uses
+        # compile into the kernel's switch
+        present = np.unique(low.op)
+        self.ops_present = tuple(int(o) for o in present)
+        remap = np.zeros(N_OPS, np.int32)
+        for i, o in enumerate(self.ops_present):
+            remap[o] = i
+        op_compact = remap[low.op]
         self.tensors = (
             jnp.asarray(low.seg_lo.reshape(C, NB, 1, S)),
             jnp.asarray(low.seg_hi.reshape(C, NB, 1, S)),
             jnp.asarray(low.nterm.reshape(C, NB, 1, S)),
             jnp.asarray(low.nfac.reshape(C, NB, 1, S * T)),
             jnp.asarray(low.amp.reshape(C, NB, 1, S * T)),
-            jnp.asarray(low.op.reshape(C, NB, 1, S * T * F)),
+            jnp.asarray(op_compact.reshape(C, NB, 1, S * T * F)),
             jnp.asarray(low.power.reshape(C, NB, 1, S * T * F)),
             jnp.asarray(low.shift_hi.reshape(C, NB, 1, S * T * F)),
             jnp.asarray(low.q32.reshape(C, NB, 1, S * T * F * 4)),
@@ -425,7 +442,7 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
     out = _run_kernel(
         jnp.zeros((1, 1, 1, 1), jnp.int32), *dev.tensors,
         S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
-        interpret=interpret)
+        ops_present=dev.ops_present, interpret=interpret)
     return out.reshape(C, n_rows * 128)[:, :dev.n_samples]
 
 

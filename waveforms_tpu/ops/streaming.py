@@ -80,7 +80,7 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
             tensors = list(dev.tensors)
         out = _run_kernel(row0, *tensors, S=S, T=T, F=F, R=R,
                           n_rows=chunk_rows, tiles_per_bucket=G,
-                          interpret=interpret)
+                          ops_present=dev.ops_present, interpret=interpret)
         sig = out.reshape(C, chunk_rows * 128)
 
         if filters is not None:
