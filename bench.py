@@ -56,6 +56,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: once any run compiles the kernel on a
+    # healthy terminal, later runs skip the remote compile entirely
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/repo/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    except Exception:
+        pass
+
     from waveforms_tpu.ops.lowering import lower_schedule
     from waveforms_tpu.ops.pallas_synth import DeviceSchedule, _run_kernel
 

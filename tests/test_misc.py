@@ -158,3 +158,13 @@ def test_engine_sample_applies_filters():
         got = np.asarray(sample(w, engine=eng))
         np.testing.assert_allclose(got, host, rtol=1e-7, atol=1e-9,
                                    err_msg=eng)
+
+
+def test_dsl_unary_minus_precedence():
+    """The grammar puts unary minus below every binary operator (the
+    reference's ANTLR alternatives order), so -a + b == -(a + b)."""
+    from waveforms_tpu import const, wave_eval
+    assert wave_eval("const(-2 + 3)") == const(-(2 + 3))
+    assert wave_eval("const(2 * -3)") == const(2 * -(3))
+    assert wave_eval("const(-2)") == const(-2)
+    assert wave_eval("const((-2) + 3)") == const(1)
