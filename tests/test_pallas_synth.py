@@ -170,3 +170,29 @@ def test_multitone_drag_in_kernel():
     low = _ls([w1, w2], -5e-9, 40e-9, 2e9)
     assert low.pallas_ok
     check([w1, w2], -5e-9, 40e-9, 2e9, rtol=5e-6)
+
+
+def test_production_step_pipeline():
+    """Sharded synthesis -> IIR precompensation -> demod in one step."""
+    from waveforms_tpu.distortion import exp_decay_filter
+    from waveforms_tpu.parallel.pipeline import run_step
+
+    chans = [0.5 * cosPulse(50e-9) >> (k * 100e-9) for k in range(4)]
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    sig, iq = run_step(chans, 0, 0.8192e-6, 2e9, mesh,
+                       ba_filters=[exp_decay_filter(0.05, 100e-9, 2e9,
+                                                    inv=True)],
+                       demod_freqs=[50e6, 100e6],
+                       rows_per_tile=8, interpret=True)
+    sig = np.asarray(sig)
+    iq = np.asarray(iq)
+    assert sig.shape == (4, 1639)
+    assert iq.shape == (4, 2)
+    assert np.isfinite(sig).all() and np.isfinite(np.abs(iq)).all()
+
+    # parity: same filtering applied on the host oracle
+    from waveforms_tpu.distortion import predistort
+    t = np.arange(0, 0.8192e-6, 0.5e-9)
+    oracle = predistort(
+        chans[0](t), [exp_decay_filter(0.05, 100e-9, 2e9, inv=True)])
+    np.testing.assert_allclose(sig[0], oracle, atol=2e-6)

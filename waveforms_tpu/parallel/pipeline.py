@@ -1,0 +1,94 @@
+"""The full production step, sharded: synthesize -> predistort -> demodulate.
+
+One call builds everything a control stack runs per experiment shot:
+
+1. fused kernel synthesis of all channels over a ('channel', 'time') mesh,
+2. per-channel IIR pre-compensation (associative scan; the carry crosses
+   time shards over ICI collectives inserted by the SPMD partitioner),
+3. optional MXU readout demodulation against a tone comb (psum over the
+   sharded sample axis).
+
+``make_step`` returns a jitted callable so repeated shots pay zero retrace;
+descriptor tensors live on device via :class:`DeviceSchedule` semantics
+(sharded by :func:`waveforms_tpu.parallel.shard_schedule`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lowering import LoweredSchedule
+from .mesh import synthesize_sharded
+
+__all__ = ['make_step', 'run_step']
+
+
+def make_step(low: LoweredSchedule, mesh, ba_filters=None, demod_freqs=None,
+              rows_per_tile: int = 16, interpret: bool = False):
+    """Build the jitted sharded production step for a lowered schedule.
+
+    ``ba_filters``: list of (b, a) pre-compensation filters (combined and
+    applied per channel).  ``demod_freqs``: tone frequencies for readout
+    demodulation (None skips it).  Returns ``step() -> (signals, iq)`` with
+    ``signals`` sharded P('channel', 'time') and ``iq`` (C, n_tones) or
+    None.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fs = low.sample_rate
+    n = low.n_samples
+
+    zi = None
+    ba = None
+    if ba_filters:
+        from scipy.signal import lfiltic
+
+        from ..distortion import combine_filters
+        b, a = combine_filters(ba_filters)
+        zi = jnp.asarray(lfiltic(b, a, np.zeros(len(a) - 1),
+                                 np.zeros(len(b) - 1)))
+        ba = (b, a)
+
+    demod = None
+    if demod_freqs is not None:
+        from ..ops.demod import demod_matrix
+        # shard the sample axis when it divides the time shards (the psum
+        # then reduces over ICI); replicate otherwise
+        spec = P('time', None) if n % mesh.shape['time'] == 0 else P(None,
+                                                                     None)
+        demod = jax.device_put(demod_matrix(demod_freqs, n, fs),
+                               NamedSharding(mesh, spec))
+
+    def postprocess(sig):
+        if ba is not None:
+            from ..ops.iir import lfilter
+            sig = jax.vmap(
+                lambda x: lfilter(ba[0], ba[1], x, zi=zi)[0])(sig)
+        iq = None
+        if demod is not None:
+            iq = jnp.einsum('cn,nk->ck',
+                            sig.astype(demod.real.dtype), demod.real) + \
+                1j * jnp.einsum('cn,nk->ck',
+                                sig.astype(demod.imag.dtype), demod.imag)
+        return sig, iq
+
+    post = jax.jit(postprocess)
+
+    def step():
+        sig = synthesize_sharded(low, mesh, rows_per_tile=rows_per_tile,
+                                 interpret=interpret)
+        return post(sig)
+
+    return step
+
+
+def run_step(channels, start, stop, sample_rate, mesh, ba_filters=None,
+             demod_freqs=None, **kw):
+    """Lower + build + run one sharded production step."""
+    from ..ops.lowering import lower_schedule
+    low = lower_schedule(channels, start, stop, sample_rate)
+    return make_step(low, mesh, ba_filters=ba_filters,
+                     demod_freqs=demod_freqs, **kw)()
