@@ -31,14 +31,17 @@ def _build() -> None:
     # LINK without it: GCC 12 would otherwise embed crtfastmath.o in the
     # shared library, which sets FTZ/DAZ for the whole host process at
     # dlopen and silently changes float64 subnormal semantics everywhere.
-    obj = _LIB + '.o'
+    # unique temp names + atomic rename: concurrent builders never clobber
+    tmp = f"{_LIB}.{os.getpid()}"
+    obj = tmp + '.o'
     subprocess.run(['g++', '-O3', '-march=native', '-ffast-math',
                     '-fopenmp', '-fPIC', '-c', _SRC, '-o', obj],
                    check=True, capture_output=True, text=True)
-    subprocess.run(['g++', '-shared', '-fopenmp', '-o', _LIB, obj,
+    subprocess.run(['g++', '-shared', '-fopenmp', '-o', tmp, obj,
                     '-lmvec', '-lm'],
                    check=True, capture_output=True, text=True)
     os.unlink(obj)
+    os.replace(tmp, _LIB)
 
 
 def _load():
