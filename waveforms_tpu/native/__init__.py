@@ -20,10 +20,14 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, 'wavecore.cpp')
 _LIB = os.path.join(_HERE, '_wavecore.so')
+_LOWER_SRC = os.path.join(_HERE, 'lowerext.cpp')
+_LOWER_LIB = os.path.join(_HERE, '_lowerext.so')
 
 _lock = threading.Lock()
 _lib = None
 _build_error: str | None = None
+_lower_mod = None
+_lower_error: str | None = None
 
 
 def _build() -> None:
@@ -61,6 +65,68 @@ def _load():
             _build_error = str(exc)
             _lib = None
     return _lib
+
+
+def _load_lower():
+    """Build/load the native IR->descriptor lowering extension."""
+    global _lower_mod, _lower_error
+    with _lock:
+        if _lower_mod is not None or _lower_error is not None:
+            return _lower_mod
+        try:
+            import sysconfig
+            if (not os.path.exists(_LOWER_LIB)
+                    or os.path.getmtime(_LOWER_LIB)
+                    < os.path.getmtime(_LOWER_SRC)):
+                inc = sysconfig.get_paths()['include']
+                tmp = f"{_LOWER_LIB}.{os.getpid()}"
+                subprocess.run(
+                    ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+                     f'-I{inc}', _LOWER_SRC, '-o', tmp],
+                    check=True, capture_output=True, text=True)
+                os.replace(tmp, _LOWER_LIB)
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                'waveforms_tpu.native._lowerext', _LOWER_LIB)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _lower_mod = mod
+        except Exception as exc:
+            _lower_error = str(exc)
+            _lower_mod = None
+    return _lower_mod
+
+
+def lower_available() -> bool:
+    return _load_lower() is not None
+
+
+def lower_channel_flat(pieces, grid, start, dt, want_imag):
+    """Native channel lowering -> flat numpy arrays, or None (fallback).
+
+    Returns (seg_lo, seg_hi, seg_nterm, term_amp, term_nfac, f_op, f_pw,
+    f_sh, f_q32(n,4), f_args(n,12)) or None when a factor (or the build)
+    requires the Python path.
+    """
+    mod = _load_lower()
+    if mod is None:
+        return None
+    res = mod.lower_channel(list(pieces), memoryview(grid), float(start),
+                            float(dt), int(want_imag))
+    if res is None:
+        return None
+    (b_lo, b_hi, b_nt), (b_amp, b_nf), (b_op, b_pw, b_sh, b_q, b_a) = res
+    seg_lo = np.frombuffer(b_lo, np.int64)
+    seg_hi = np.frombuffer(b_hi, np.int64)
+    seg_nt = np.frombuffer(b_nt, np.int32)
+    t_amp = np.frombuffer(b_amp, np.float32)
+    t_nf = np.frombuffer(b_nf, np.int32)
+    f_op = np.frombuffer(b_op, np.int32)
+    f_pw = np.frombuffer(b_pw, np.int32)
+    f_sh = np.frombuffer(b_sh, np.int32)
+    f_q = np.frombuffer(b_q, np.int32).reshape(-1, 4)
+    f_a = np.frombuffer(b_a, np.float32).reshape(-1, 12)
+    return seg_lo, seg_hi, seg_nt, t_amp, t_nf, f_op, f_pw, f_sh, f_q, f_a
 
 
 def available() -> bool:

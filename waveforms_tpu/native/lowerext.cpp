@@ -1,0 +1,469 @@
+// lowerext: native IR -> descriptor lowering (CPython extension).
+//
+// Walks a channel's piecewise IR (nested Python tuples, see
+// waveforms_tpu/ir/algebra.py) directly via the C API and emits the same
+// flat factor descriptors as waveforms_tpu/ops/lowering.py -- the
+// "graph-builder" role the reference gave its compiled Cython layer
+// (/root/reference/waveforms/_waveform.pyx), here producing the device
+// descriptor program instead of walking tuples per sample.
+//
+// Channels using bases this walker does not cover (interp tables before
+// expansion, multi-tone DRAG, user callbacks, fractional powers) return
+// None and the caller falls back to the Python lowering -- semantics are
+// identical either way (same formulas, same int32 fixed-point phase
+// quantization, same searchsorted boundary rule on the shared f64 grid).
+//
+// Build: g++ -O3 -shared -fPIC -I<python-include> (see native/__init__.py).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int W_ARGS = 12;
+constexpr double kTwoPi = 6.283185307179586476925286766559;
+
+// registry basis IDs (waveforms_tpu/ir/registry.py, stable 1..15)
+enum Basis : long {
+  B_LINEAR = 1, B_GAUSSIAN = 2, B_ERF = 3, B_COS = 4, B_SINC = 5,
+  B_EXP = 6, B_INTERP = 7, B_LINEARCHIRP = 8, B_EXPONENTIALCHIRP = 9,
+  B_HYPERBOLICCHIRP = 10, B_COSH = 11, B_SINH = 12, B_DRAG = 13,
+  B_MOLLIFIER = 14, B_D_GAUSSIAN = 15,
+};
+
+// kernel opcodes (waveforms_tpu/ops/lowering.py)
+enum Op : int32_t {
+  OP_LINEAR = 0, OP_GAUSSIAN = 1, OP_ERF = 2, OP_COS = 3, OP_SINC = 4,
+  OP_EXP = 5, OP_LINEARCHIRP = 6, OP_EXPCHIRP = 7, OP_HYPCHIRP = 8,
+  OP_COSH = 9, OP_SINH = 10, OP_DRAG = 11, OP_POLY_GAUSS = 12,
+  OP_MOLLIFIER = 13,
+};
+
+struct Unsupported {};  // thrown to trigger the Python fallback
+
+struct FactorRow {
+  int32_t op;
+  int32_t power;
+  int32_t shift_hi;
+  int32_t q32[4];
+  float a[W_ARGS];
+};
+
+struct Emit {
+  // per segment: sample range + term count
+  std::vector<int64_t> seg_lo, seg_hi;
+  std::vector<int32_t> seg_nterm;
+  // per term
+  std::vector<float> term_amp;
+  std::vector<int32_t> term_nfac;
+  // per factor
+  std::vector<FactorRow> facs;
+};
+
+double as_double(PyObject* o) {
+  double v = PyFloat_AsDouble(o);
+  if (v == -1.0 && PyErr_Occurred()) throw Unsupported{};
+  return v;
+}
+
+long as_long(PyObject* o) {
+  PyObject* idx = PyNumber_Index(o);
+  if (!idx) { PyErr_Clear(); throw Unsupported{}; }
+  long v = PyLong_AsLong(idx);
+  Py_DECREF(idx);
+  if (v == -1 && PyErr_Occurred()) throw Unsupported{};
+  return v;
+}
+
+void split_shift(double off_samples, int32_t* hi, double* frac) {
+  double r = std::nearbyint(off_samples);
+  if (r > 2147483000.0 || r < -2147483000.0) throw Unsupported{};
+  *hi = static_cast<int32_t>(r);
+  *frac = off_samples - r;
+}
+
+void phase_q32(double dphi_rad, int32_t* q32, double* eps) {
+  double turns = dphi_rad / kTwoPi;
+  double q = std::nearbyint(turns * 4294967296.0);
+  *eps = dphi_rad - q * (kTwoPi / 4294967296.0);
+  // wrap to signed int32 (mod 2^32)
+  double m = std::fmod(q, 4294967296.0);
+  if (m < 0) m += 4294967296.0;
+  uint32_t u = static_cast<uint32_t>(m);
+  *q32 = static_cast<int32_t>(u);
+}
+
+// Physicists' Hermite H_n coefficients, ascending (matches
+// ir/registry.hermite_coefficients reversed)
+void hermite_ascending(int n, double* c /* n+1 */) {
+  std::vector<double> prev{1.0}, cur{0.0, 2.0};  // ascending H_0, H_1
+  if (n == 0) { c[0] = 1.0; return; }
+  for (int k = 1; k < n; ++k) {
+    std::vector<double> nxt(k + 2, 0.0);
+    for (size_t i = 0; i < cur.size(); ++i) nxt[i + 1] = 2.0 * cur[i];
+    for (size_t i = 0; i < prev.size(); ++i) nxt[i] -= 2.0 * k * prev[i];
+    prev.swap(cur);
+    cur.swap(nxt);
+  }
+  for (int i = 0; i <= n; ++i) c[i] = cur[i];
+}
+
+// Mollifier derivative polynomial, ascending coefficients (matches
+// ir/registry.mollifier_poly): p1 = -2x;
+// p_{n+1} = (x^4 - 2x^2 + 1) p' + (-4n x^3 + (4n-2) x) p
+std::vector<double> mollifier_poly_ascending(int d) {
+  std::vector<double> p{0.0, -2.0};  // -2x
+  for (int n = 1; n < d; ++n) {
+    std::vector<double> dp(p.size() > 1 ? p.size() - 1 : 1, 0.0);
+    for (size_t i = 1; i < p.size(); ++i) dp[i - 1] = p[i] * i;
+    std::vector<double> a(dp.size() + 4, 0.0);   // (x^4 - 2x^2 + 1) * dp
+    for (size_t i = 0; i < dp.size(); ++i) {
+      a[i + 4] += dp[i];
+      a[i + 2] -= 2.0 * dp[i];
+      a[i] += dp[i];
+    }
+    std::vector<double> b(p.size() + 3, 0.0);    // (-4n x^3 + (4n-2) x) * p
+    for (size_t i = 0; i < p.size(); ++i) {
+      b[i + 3] += -4.0 * n * p[i];
+      b[i + 1] += (4.0 * n - 2.0) * p[i];
+    }
+    std::vector<double> out(std::max(a.size(), b.size()), 0.0);
+    for (size_t i = 0; i < a.size(); ++i) out[i] += a[i];
+    for (size_t i = 0; i < b.size(); ++i) out[i] += b[i];
+    while (out.size() > 1 && out.back() == 0.0) out.pop_back();
+    p.swap(out);
+  }
+  return p;
+}
+
+FactorRow lower_factor(PyObject* factor, long power, double start,
+                       double dt) {
+  if (!PyTuple_Check(factor)) throw Unsupported{};
+  const Py_ssize_t nf = PyTuple_GET_SIZE(factor);
+  if (nf < 2) throw Unsupported{};
+  const long fun_id = as_long(PyTuple_GET_ITEM(factor, 0));
+  const double shift = as_double(PyTuple_GET_ITEM(factor, nf - 1));
+
+  FactorRow r{};
+  r.power = static_cast<int32_t>(power);
+
+  auto arg = [&](int i) {  // basis arg i (0-based, after fun_id)
+    return as_double(PyTuple_GET_ITEM(factor, 1 + i));
+  };
+  auto plain = [&]() {
+    double frac;
+    split_shift((shift - start) / dt, &r.shift_hi, &frac);
+    r.a[0] = static_cast<float>(frac);
+    return frac;
+  };
+
+  switch (fun_id) {
+    case B_LINEAR:
+      plain();
+      r.op = OP_LINEAR;
+      r.a[1] = static_cast<float>(dt);
+      break;
+    case B_GAUSSIAN:
+      plain();
+      r.op = OP_GAUSSIAN;
+      r.a[1] = static_cast<float>(dt / arg(0));
+      break;
+    case B_ERF:
+      plain();
+      r.op = OP_ERF;
+      r.a[1] = static_cast<float>(dt / arg(0));
+      break;
+    case B_COS: {
+      double frac = plain();
+      r.op = OP_COS;
+      const double dphi = arg(0) * dt;
+      double eps;
+      phase_q32(dphi, &r.q32[0], &eps);
+      r.a[2] = static_cast<float>(eps);
+      r.a[3] = static_cast<float>(-dphi * frac);
+      break;
+    }
+    case B_SINC:
+      plain();
+      r.op = OP_SINC;
+      r.a[1] = static_cast<float>(arg(0) * dt);
+      break;
+    case B_EXP: {
+      if (PyComplex_Check(PyTuple_GET_ITEM(factor, 1))) throw Unsupported{};
+      plain();
+      r.op = OP_EXP;
+      r.a[1] = static_cast<float>(arg(0) * dt);
+      break;
+    }
+    case B_LINEARCHIRP: {
+      double frac = plain();
+      r.op = OP_LINEARCHIRP;
+      const double f0 = arg(0), f1 = arg(1), T = arg(2), phi0 = arg(3);
+      const double A = kTwoPi * (f1 - f0) / (2 * T) * dt * dt;
+      const double B = kTwoPi * f0 * dt;
+      // q32 slot order (matches FactorDesc/_quadratic_phase):
+      //   [0]=dh^2, [1]=dh*dl, [2]=dl^2, [3]=linear
+      double e_hh, e_hl, e_ll, e_lin;
+      phase_q32(A * 4194304.0, &r.q32[0], &e_hh);       // A * 2^22
+      phase_q32(A * 4096.0, &r.q32[1], &e_hl);          // A * 2^12
+      phase_q32(A, &r.q32[2], &e_ll);
+      phase_q32(B - 2 * A * frac, &r.q32[3], &e_lin);
+      r.a[2] = static_cast<float>(e_hh);
+      r.a[3] = static_cast<float>(e_hl);
+      r.a[4] = static_cast<float>(e_ll);
+      r.a[5] = static_cast<float>(e_lin);
+      r.a[6] = static_cast<float>(
+          std::fmod(std::fmod(A * frac * frac - B * frac + phi0, kTwoPi)
+                    + kTwoPi, kTwoPi));
+      break;
+    }
+    case B_EXPONENTIALCHIRP: {
+      plain();
+      r.op = OP_EXPCHIRP;
+      const double f0 = arg(0), alpha = arg(1), phi0 = arg(2);
+      r.a[1] = static_cast<float>(kTwoPi * f0 / alpha);
+      r.a[2] = static_cast<float>(alpha * dt);
+      r.a[3] = static_cast<float>(
+          std::fmod(std::fmod(phi0 - kTwoPi * f0 / alpha, kTwoPi) + kTwoPi,
+                    kTwoPi));
+      break;
+    }
+    case B_HYPERBOLICCHIRP: {
+      plain();
+      r.op = OP_HYPCHIRP;
+      const double f0 = arg(0), k = arg(1), phi0 = arg(2);
+      r.a[1] = static_cast<float>(kTwoPi * f0 / k);
+      r.a[2] = static_cast<float>(k * dt);
+      r.a[3] = static_cast<float>(
+          std::fmod(std::fmod(phi0, kTwoPi) + kTwoPi, kTwoPi));
+      break;
+    }
+    case B_COSH:
+      plain();
+      r.op = OP_COSH;
+      r.a[1] = static_cast<float>(arg(0) * dt);
+      break;
+    case B_SINH:
+      plain();
+      r.op = OP_SINH;
+      r.a[1] = static_cast<float>(arg(0) * dt);
+      break;
+    case B_DRAG: {
+      // (t0, freq, width, delta, block_freq|None, phase)
+      PyObject* bf = PyTuple_GET_ITEM(factor, 5);
+      const double t0 = arg(0), freq = arg(1), width = arg(2),
+                   delta = arg(3), phase = arg(5);
+      double frac;
+      split_shift((shift + t0 - start) / dt, &r.shift_hi, &frac);
+      r.a[0] = static_cast<float>(frac);
+      r.op = OP_DRAG;
+      const double o = M_PI / width;
+      r.a[1] = static_cast<float>(o * dt);
+      const double w = kTwoPi * (freq + delta);
+      double eps;
+      phase_q32(w * dt, &r.q32[0], &eps);
+      r.a[3] = static_cast<float>(eps);
+      const double phi0 = std::fmod(
+          std::fmod(w * (start + static_cast<double>(r.shift_hi) * dt
+                         - shift) - kTwoPi * delta * t0 - phase, kTwoPi)
+          + kTwoPi, kTwoPi);
+      r.a[4] = static_cast<float>(phi0);
+      if (bf == Py_None) {
+        r.a[5] = 0.0f;
+      } else {
+        const double block = as_double(bf);
+        r.a[5] = (block - delta == 0.0)
+            ? 0.0f
+            : static_cast<float>(-o / (kTwoPi * (block - delta)));
+      }
+      break;
+    }
+    case B_D_GAUSSIAN: {
+      plain();
+      const double std_sq2 = arg(0);
+      const long n = as_long(PyTuple_GET_ITEM(factor, 2));
+      if (n > 8) throw Unsupported{};
+      r.op = OP_POLY_GAUSS;
+      r.a[1] = static_cast<float>(dt / std_sq2);
+      r.a[2] = static_cast<float>(((n % 2) ? -1.0 : 1.0)
+                                  / std::pow(std_sq2, n));
+      double c[9] = {0};
+      hermite_ascending(static_cast<int>(n), c);
+      for (int i = 0; i <= n && i < 9; ++i)
+        r.a[3 + i] = static_cast<float>(c[i]);
+      break;
+    }
+    case B_MOLLIFIER: {
+      plain();
+      const double rr = arg(0);
+      const long d = as_long(PyTuple_GET_ITEM(factor, 2));
+      if (d > 3) throw Unsupported{};
+      r.op = OP_MOLLIFIER;
+      r.a[1] = static_cast<float>(dt / rr);
+      r.a[2] = static_cast<float>(d);
+      if (d > 0) {
+        auto p = mollifier_poly_ascending(static_cast<int>(d));
+        const double scale = std::pow(rr, d);
+        for (size_t i = 0; i < p.size() && i < 9; ++i)
+          r.a[3 + i] = static_cast<float>(p[i] / scale);
+      }
+      break;
+    }
+    default:
+      throw Unsupported{};
+  }
+  return r;
+}
+
+// np.searchsorted(grid, b, side='left') over the f64 grid
+int64_t searchsorted(const double* grid, int64_t n, double b) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (grid[mid] < b) lo = mid + 1;
+    else hi = mid;
+  }
+  return lo;
+}
+
+// Lower one channel's pieces into Emit; throws Unsupported for fallback.
+void lower_pieces(PyObject* pieces, const double* grid, int64_t n_grid,
+                  double start, double dt, int want_imag, Emit* out) {
+  const Py_ssize_t n_pieces = PyList_Check(pieces)
+      ? PyList_GET_SIZE(pieces) : PyTuple_GET_SIZE(pieces);
+  for (Py_ssize_t pi = 0; pi < n_pieces; ++pi) {
+    PyObject* piece = PyList_Check(pieces)
+        ? PyList_GET_ITEM(pieces, pi) : PyTuple_GET_ITEM(pieces, pi);
+    PyObject* bounds = PyTuple_GET_ITEM(piece, 0);
+    PyObject* seq = PyTuple_GET_ITEM(piece, 1);
+    const Py_ssize_t nseg = PyTuple_GET_SIZE(bounds);
+    int64_t lo = 0;
+    for (Py_ssize_t si = 0; si < nseg; ++si) {
+      const double b = as_double(PyTuple_GET_ITEM(bounds, si));
+      const int64_t hi = std::isinf(b) && b > 0
+          ? n_grid : searchsorted(grid, n_grid, b);
+      PyObject* expr = PyTuple_GET_ITEM(seq, si);
+      PyObject* terms = PyTuple_GET_ITEM(expr, 0);
+      PyObject* amps = PyTuple_GET_ITEM(expr, 1);
+      const Py_ssize_t nterm = PyTuple_GET_SIZE(terms);
+      if (lo < hi && nterm > 0) {
+        const size_t seg_mark = out->term_amp.size();
+        int32_t emitted_terms = 0;
+        for (Py_ssize_t ti = 0; ti < nterm; ++ti) {
+          PyObject* amp_o = PyTuple_GET_ITEM(amps, ti);
+          Py_complex av;
+          if (PyComplex_Check(amp_o)) {
+            av = PyComplex_AsCComplex(amp_o);
+          } else {
+            av.real = as_double(amp_o);
+            av.imag = 0.0;
+          }
+          const double amp = want_imag ? av.imag : av.real;
+          if (amp == 0.0) continue;
+          PyObject* term = PyTuple_GET_ITEM(terms, ti);
+          PyObject* factors = PyTuple_GET_ITEM(term, 0);
+          PyObject* powers = PyTuple_GET_ITEM(term, 1);
+          const Py_ssize_t nfac = PyTuple_GET_SIZE(factors);
+          out->term_amp.push_back(static_cast<float>(amp));
+          out->term_nfac.push_back(static_cast<int32_t>(nfac));
+          ++emitted_terms;
+          for (Py_ssize_t fi2 = 0; fi2 < nfac; ++fi2) {
+            PyObject* pw = PyTuple_GET_ITEM(powers, fi2);
+            double pw_d = as_double(pw);
+            long pw_l = static_cast<long>(pw_d);
+            if (pw_d != static_cast<double>(pw_l)) throw Unsupported{};
+            out->facs.push_back(lower_factor(
+                PyTuple_GET_ITEM(factors, fi2), pw_l, start, dt));
+          }
+        }
+        if (emitted_terms > 0) {
+          out->seg_lo.push_back(lo);
+          out->seg_hi.push_back(hi);
+          out->seg_nterm.push_back(emitted_terms);
+        } else {
+          // roll back nothing: no terms/factors were emitted
+          (void)seg_mark;
+        }
+      }
+      lo = hi;
+    }
+  }
+}
+
+PyObject* bytes_from(const void* data, size_t nbytes) {
+  return PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(data), nbytes);
+}
+
+PyObject* py_lower_channel(PyObject*, PyObject* args) {
+  PyObject* pieces;
+  Py_buffer gridbuf;
+  double start, dt;
+  int want_imag;
+  if (!PyArg_ParseTuple(args, "Oy*ddi", &pieces, &gridbuf, &start, &dt,
+                        &want_imag))
+    return nullptr;
+  const double* grid = reinterpret_cast<const double*>(gridbuf.buf);
+  const int64_t n_grid = gridbuf.len / 8;
+
+  Emit out;
+  bool ok = true;
+  try {
+    lower_pieces(pieces, grid, n_grid, start, dt, want_imag, &out);
+  } catch (Unsupported&) {
+    ok = false;
+  }
+  PyBuffer_Release(&gridbuf);
+  if (PyErr_Occurred()) return nullptr;
+  if (!ok) Py_RETURN_NONE;
+
+  // pack factor rows into parallel byte buffers
+  const size_t nf = out.facs.size();
+  std::vector<int32_t> f_op(nf), f_pw(nf), f_sh(nf);
+  std::vector<int32_t> f_q32(nf * 4);
+  std::vector<float> f_args(nf * W_ARGS);
+  for (size_t i = 0; i < nf; ++i) {
+    const FactorRow& r = out.facs[i];
+    f_op[i] = r.op;
+    f_pw[i] = r.power;
+    f_sh[i] = r.shift_hi;
+    std::memcpy(&f_q32[i * 4], r.q32, sizeof(r.q32));
+    std::memcpy(&f_args[i * W_ARGS], r.a, sizeof(r.a));
+  }
+  return Py_BuildValue(
+      "(NNN)(NN)(NNNNN)",
+      bytes_from(out.seg_lo.data(), out.seg_lo.size() * 8),
+      bytes_from(out.seg_hi.data(), out.seg_hi.size() * 8),
+      bytes_from(out.seg_nterm.data(), out.seg_nterm.size() * 4),
+      bytes_from(out.term_amp.data(), out.term_amp.size() * 4),
+      bytes_from(out.term_nfac.data(), out.term_nfac.size() * 4),
+      bytes_from(f_op.data(), nf * 4),
+      bytes_from(f_pw.data(), nf * 4),
+      bytes_from(f_sh.data(), nf * 4),
+      bytes_from(f_q32.data(), nf * 16),
+      bytes_from(f_args.data(), nf * W_ARGS * 4));
+}
+
+PyMethodDef methods[] = {
+    {"lower_channel", py_lower_channel, METH_VARARGS,
+     "Lower one channel's (bounds, seq) pieces to flat descriptors; "
+     "returns None when a factor needs the Python path."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_lowerext",
+    "native IR -> descriptor lowering", -1, methods,
+    nullptr, nullptr, nullptr, nullptr,
+};
+
+}  // namespace
+
+extern "C" PyMODINIT_FUNC PyInit__lowerext(void) {
+  return PyModule_Create(&moduledef);
+}

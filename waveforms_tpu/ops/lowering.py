@@ -643,6 +643,14 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     else:
         NB = max(-(-n // bucket_samples), 1)
 
+    # fast path: the native (C++) walker lowers whole channels directly to
+    # flat arrays; falls back to the Python path when any channel uses a
+    # basis outside its set (ext-block ops, user callbacks, ...)
+    flat = _lower_schedule_native(channels, grid, start, dt, part)
+    if flat is not None:
+        return _assemble_from_flat(flat, n, NB, bucket_samples, start,
+                                   sample_rate, pad_to)
+
     ext: list = []
     cache: dict = {}
     lowered = [lower_channel(ch, grid, start, dt, part, ext, cache)
@@ -735,4 +743,146 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
         out.args[ci, bi, sj, tj, fj] = np.stack(f_args)
     out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS)))
                          and len(ext) <= PALLAS_EXT_MAX)
+    return out
+
+
+def _lower_schedule_native(channels, grid, start, dt, part):
+    """Native-walker lowering of all channels, or None for Python fallback."""
+    try:
+        from ..native import lower_available, lower_channel_flat
+    except ImportError:
+        return None
+    if not lower_available():
+        return None
+    want_imag = 1 if part == 'imag' else 0
+    flat = []
+    for ch in channels:
+        pieces = []
+        vmin, vmax = -np.inf, np.inf
+        for bounds, seq, bmin, bmax in _waveform_pieces(ch):
+            vmin, vmax = bmin, bmax
+            pieces.append(_expand_interp(bounds, seq))
+        res = lower_channel_flat(pieces, grid, start, dt, want_imag)
+        if res is None:
+            return None
+        flat.append((res, vmin, vmax))
+    return flat
+
+
+def _grouped_arange(counts):
+    """[0..c0-1, 0..c1-1, ...] for counts c_i (vectorized intra-indices)."""
+    counts = np.asarray(counts, np.intp)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.intp)
+    starts = np.zeros(len(counts), np.intp)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.intp) - np.repeat(starts, counts)
+
+
+def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
+                        pad_to):
+    """Bucket + pad flat per-channel descriptor arrays (all vectorized)."""
+    C = len(flat)
+
+    # per-channel bucket expansion (segments replicated per bucket window)
+    expanded = []
+    Sb = T = F = 1
+    for res, _, _ in flat:
+        seg_lo, seg_hi, seg_nt, t_amp, t_nf = res[:5]
+        ns = len(seg_lo)
+        if ns == 0:
+            expanded.append(None)
+            continue
+        b0 = np.maximum(seg_lo // bucket_samples, 0)
+        b1 = np.minimum(-(-seg_hi // bucket_samples), NB)
+        reps = np.maximum(b1 - b0, 1).astype(np.intp)
+        row_seg = np.repeat(np.arange(ns, dtype=np.intp), reps)
+        row_b = np.repeat(b0, reps).astype(np.intp) + _grouped_arange(reps)
+        # slot index: order of appearance within each bucket
+        order = np.argsort(row_b, kind='stable')
+        sorted_b = row_b[order]
+        group_start = np.zeros(len(sorted_b), np.intp)
+        new_group = np.flatnonzero(np.diff(sorted_b)) + 1
+        starts = np.concatenate([[0], new_group])
+        counts = np.diff(np.concatenate([starts, [len(sorted_b)]]))
+        slot_sorted = np.arange(len(sorted_b), dtype=np.intp) - np.repeat(
+            starts, counts)
+        slot = np.empty(len(row_b), np.intp)
+        slot[order] = slot_sorted
+        del group_start
+        expanded.append((row_seg, row_b, slot))
+        if len(slot):
+            Sb = max(Sb, int(slot.max()) + 1)
+        if ns:
+            T = max(T, int(seg_nt.max()))
+        if len(t_nf):
+            F = max(F, int(t_nf.max()))
+    if F > 32:
+        raise UnsupportedFactor(
+            f"{F} factors in one term exceeds the engines' limit (32); "
+            "simplify() the waveform first")
+    if pad_to is not None:
+        if pad_to[0] < Sb or pad_to[1] < T or pad_to[2] < F:
+            raise ValueError(f"pad_to {pad_to} smaller than required "
+                             f"{(Sb, T, F)}")
+        Sb, T, F = pad_to
+
+    out = LoweredSchedule(
+        seg_lo=np.zeros((C, NB, Sb), np.int32),
+        seg_hi=np.zeros((C, NB, Sb), np.int32),
+        nterm=np.zeros((C, NB, Sb), np.int32),
+        amp=np.zeros((C, NB, Sb, T), np.float32),
+        nfac=np.zeros((C, NB, Sb, T), np.int32),
+        op=np.zeros((C, NB, Sb, T, F), np.int32),
+        power=np.ones((C, NB, Sb, T, F), np.int32),
+        shift_hi=np.zeros((C, NB, Sb, T, F), np.int32),
+        q32=np.zeros((C, NB, Sb, T, F, 4), np.int32),
+        args=np.zeros((C, NB, Sb, T, F, W_ARGS), np.float32),
+        clip_min=np.full((C,), -np.inf, np.float32),
+        clip_max=np.full((C,), np.inf, np.float32),
+        n_samples=n, start=start, sample_rate=sample_rate,
+        bucket_samples=bucket_samples,
+        ext=np.zeros(0, dtype=np.float64),
+    )
+
+    for c, ((res, vmin, vmax), exp) in enumerate(zip(flat, expanded)):
+        out.clip_min[c] = vmin
+        out.clip_max[c] = vmax
+        if exp is None:
+            continue
+        seg_lo, seg_hi, seg_nt, t_amp, t_nf, f_op, f_pw, f_sh, f_q, f_a = res
+        row_seg, row_b, slot = exp
+
+        seg_t0 = np.zeros(len(seg_lo), np.intp)
+        np.cumsum(seg_nt[:-1], out=seg_t0[1:])
+        term_f0 = np.zeros(len(t_nf), np.intp)
+        np.cumsum(t_nf[:-1], out=term_f0[1:])
+
+        out.seg_lo[c, row_b, slot] = seg_lo[row_seg]
+        out.seg_hi[c, row_b, slot] = seg_hi[row_seg]
+        out.nterm[c, row_b, slot] = seg_nt[row_seg]
+
+        # term rows, expanded per bucket replica
+        nterm_e = seg_nt[row_seg].astype(np.intp)
+        e_idx = np.repeat(np.arange(len(row_seg), dtype=np.intp), nterm_e)
+        t_intra = _grouped_arange(nterm_e)
+        t_flat = np.repeat(seg_t0[row_seg], nterm_e) + t_intra
+        tb, ts = row_b[e_idx], slot[e_idx]
+        out.amp[c, tb, ts, t_intra] = t_amp[t_flat]
+        out.nfac[c, tb, ts, t_intra] = t_nf[t_flat]
+
+        # factor rows
+        nfac_e = t_nf[t_flat].astype(np.intp)
+        te_idx = np.repeat(np.arange(len(t_flat), dtype=np.intp), nfac_e)
+        f_intra = _grouped_arange(nfac_e)
+        f_flat = np.repeat(term_f0[t_flat], nfac_e) + f_intra
+        fb, fs, ft = tb[te_idx], ts[te_idx], t_intra[te_idx]
+        out.op[c, fb, fs, ft, f_intra] = f_op[f_flat]
+        out.power[c, fb, fs, ft, f_intra] = f_pw[f_flat]
+        out.shift_hi[c, fb, fs, ft, f_intra] = f_sh[f_flat]
+        out.q32[c, fb, fs, ft, f_intra] = f_q[f_flat]
+        out.args[c, fb, fs, ft, f_intra] = f_a[f_flat]
+
+    out.pallas_ok = True  # native-walker ops are all within the kernel set
     return out
