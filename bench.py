@@ -82,7 +82,7 @@ def main():
     n_rows = -(-n_rows // R) * R
     G = max(dev.bucket_samples // (R * 128), 1)
     kw = dict(S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
-              interpret=interpret)
+              ops_present=dev.ops_present, interpret=interpret)
 
     def run_once(row0_scalar):
         row0 = jnp.full((1, 1, 1, 1), row0_scalar, jnp.int32)
