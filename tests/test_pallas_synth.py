@@ -196,3 +196,16 @@ def test_production_step_pipeline():
     oracle = predistort(
         chans[0](t), [exp_decay_filter(0.05, 100e-9, 2e9, inv=True)])
     np.testing.assert_allclose(sig[0], oracle, atol=2e-6)
+
+
+def test_imag_part_lowering():
+    """part='imag' selects the imaginary amplitude component."""
+    from waveforms_tpu import exp as wexp
+    w = wexp(2j * np.pi * 40e6) * cosPulse(2e-7)
+    t = np.arange(-2e-7, 2e-7, 1e-9)
+    oracle = np.imag(w(t))
+    from waveforms_tpu.ops.lowering import lower_schedule as _ls
+    from waveforms_tpu.ops.pallas_synth import synthesize_lowered
+    low = _ls([w], -2e-7, 2e-7, 1e9, part='imag')
+    got = np.asarray(synthesize_lowered(low, interpret=True))[0]
+    np.testing.assert_allclose(got, oracle, atol=2e-7)
