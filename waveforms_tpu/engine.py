@@ -40,7 +40,7 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part):
 
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,
-               engine: str = 'auto', bucket_samples: int | None = None,
+               engine: str = 'auto', bucket_samples='auto',
                part: str = 'real'):
     """Synthesize a list of channels on the chosen engine -> (C, N).
 

@@ -626,29 +626,36 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
                    bucket_samples: int | None = None) -> LoweredSchedule:
     """Lower a list of channels into padded, time-bucketed descriptors.
 
-    ``bucket_samples`` sets the time-window size (None = one bucket spanning
-    everything -- right for schedules with few segments; use ~32768 for
-    dense many-pulse schedules so per-tile segment walks stay short).  Must
-    be a multiple of the synthesis tile (rows_per_tile * 128).
-    ``pad_to = (Sb, T, F)`` overrides bucket sizes to stabilize the kernel
-    cache across similar schedules.
+    ``bucket_samples`` sets the time-window size: None = one bucket
+    spanning everything, 'auto' picks a window once segment counts are
+    known (many-pulse schedules get short per-tile walks), an int sets it
+    explicitly (must be a multiple of the synthesis tile,
+    rows_per_tile * 128).  ``pad_to = (Sb, T, F)`` overrides bucket sizes
+    to stabilize the kernel cache across similar schedules.
     """
     dt = 1.0 / sample_rate
     grid = np.arange(start, stop, dt)
     n = len(grid)
 
-    if bucket_samples is None:
-        bucket_samples = max(n, 1)
-        NB = 1
-    else:
-        NB = max(-(-n // bucket_samples), 1)
+    def resolve_bucket(max_segments):
+        if bucket_samples == 'auto':
+            # worth bucketing when a channel's segment list is long enough
+            # that per-tile walks would dominate; window ~16 tiles
+            if max_segments > 48 and n > 65536:
+                return 32768, max(-(-n // 32768), 1)
+            return max(n, 1), 1
+        if bucket_samples is None:
+            return max(n, 1), 1
+        return bucket_samples, max(-(-n // bucket_samples), 1)
 
     # fast path: the native (C++) walker lowers whole channels directly to
     # flat arrays; falls back to the Python path when any channel uses a
     # basis outside its set (ext-block ops, user callbacks, ...)
     flat = _lower_schedule_native(channels, grid, start, dt, part)
     if flat is not None:
-        return _assemble_from_flat(flat, n, NB, bucket_samples, start,
+        max_seg = max((len(res[0]) for res, _, _ in flat), default=0)
+        bs, NB = resolve_bucket(max_seg)
+        return _assemble_from_flat(flat, n, NB, bs, start,
                                    sample_rate, pad_to)
 
     ext: list = []
@@ -656,6 +663,8 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     lowered = [lower_channel(ch, grid, start, dt, part, ext, cache)
                for ch in channels]
     C = len(lowered)
+    bucket_samples, NB = resolve_bucket(
+        max((len(segs) for segs, _, _ in lowered), default=0))
 
     # distribute segments into every bucket they overlap
     buckets: list[list[list[SegmentDesc]]] = [
