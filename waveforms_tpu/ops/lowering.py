@@ -648,18 +648,21 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
             return max(n, 1), 1
         return bucket_samples, max(-(-n // bucket_samples), 1)
 
-    # fast path: the native (C++) walker lowers whole channels directly to
-    # flat arrays; falls back to the Python path when any channel uses a
-    # basis outside its set (ext-block ops, user callbacks, ...)
-    flat = _lower_schedule_native(channels, grid, start, dt, part)
+    # fast path: the native (C++) walker lowers channels directly to flat
+    # arrays (Python per-channel fallback for exotic bases feeds the same
+    # vectorized assembly); the all-Python path remains for hosts without
+    # a toolchain
+    ext: list = []
+    cache: dict = {}
+    flat = _lower_schedule_native(channels, grid, start, dt, part, ext,
+                                  cache)
     if flat is not None:
         max_seg = max((len(res[0]) for res, _, _ in flat), default=0)
         bs, NB = resolve_bucket(max_seg)
         return _assemble_from_flat(flat, n, NB, bs, start,
-                                   sample_rate, pad_to)
+                                   sample_rate, pad_to,
+                                   np.asarray(ext, dtype=np.float64))
 
-    ext: list = []
-    cache: dict = {}
     lowered = [lower_channel(ch, grid, start, dt, part, ext, cache)
                for ch in channels]
     C = len(lowered)
@@ -755,8 +758,40 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     return out
 
 
-def _lower_schedule_native(channels, grid, start, dt, part):
-    """Native-walker lowering of all channels, or None for Python fallback."""
+def _segments_to_flat(segments):
+    """Convert Python-path SegmentDescs to the native walker's flat form."""
+    seg_lo = np.array([s.lo for s in segments], np.int64)
+    seg_hi = np.array([s.hi for s in segments], np.int64)
+    seg_nt = np.array([len(s.amps) for s in segments], np.int32)
+    amps, nfac = [], []
+    f_op, f_pw, f_sh, f_q, f_a = [], [], [], [], []
+    for s in segments:
+        for amp, facs in zip(s.amps, s.factors):
+            amps.append(amp)
+            nfac.append(len(facs))
+            for fd in facs:
+                f_op.append(fd.op)
+                f_pw.append(fd.power)
+                f_sh.append(fd.shift_hi)
+                f_q.append(fd.q32)
+                f_a.append(fd.args)
+    return (seg_lo, seg_hi, seg_nt,
+            np.array(amps, np.float32), np.array(nfac, np.int32),
+            np.array(f_op, np.int32), np.array(f_pw, np.int32),
+            np.array(f_sh, np.int32),
+            (np.array(f_q, np.int64).astype(np.int32)
+             if f_q else np.zeros((0, 4), np.int32)),
+            (np.stack(f_a).astype(np.float32)
+             if f_a else np.zeros((0, W_ARGS), np.float32)))
+
+
+def _lower_schedule_native(channels, grid, start, dt, part, ext, cache):
+    """Flat-array lowering of all channels (native walker where possible).
+
+    Channels outside the walker's basis set lower on the Python path and
+    convert to the same flat form, so the vectorized assembly always runs.
+    Returns None only when the extension itself is unavailable.
+    """
     try:
         from ..native import lower_available, lower_channel_flat
     except ImportError:
@@ -773,7 +808,9 @@ def _lower_schedule_native(channels, grid, start, dt, part):
             pieces.append(_expand_interp(bounds, seq))
         res = lower_channel_flat(pieces, grid, start, dt, want_imag)
         if res is None:
-            return None
+            segments, vmin, vmax = lower_channel(ch, grid, start, dt, part,
+                                                 ext, cache)
+            res = _segments_to_flat(segments)
         flat.append((res, vmin, vmax))
     return flat
 
@@ -790,7 +827,7 @@ def _grouped_arange(counts):
 
 
 def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
-                        pad_to):
+                        pad_to, ext=None):
     """Bucket + pad flat per-channel descriptor arrays (all vectorized)."""
     C = len(flat)
 
@@ -852,7 +889,7 @@ def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
         clip_max=np.full((C,), np.inf, np.float32),
         n_samples=n, start=start, sample_rate=sample_rate,
         bucket_samples=bucket_samples,
-        ext=np.zeros(0, dtype=np.float64),
+        ext=(ext if ext is not None else np.zeros(0, dtype=np.float64)),
     )
 
     for c, ((res, vmin, vmax), exp) in enumerate(zip(flat, expanded)):
@@ -893,5 +930,6 @@ def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
         out.q32[c, fb, fs, ft, f_intra] = f_q[f_flat]
         out.args[c, fb, fs, ft, f_intra] = f_a[f_flat]
 
-    out.pallas_ok = True  # native-walker ops are all within the kernel set
+    out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS)))
+                         and out.ext.size <= PALLAS_EXT_MAX)
     return out
