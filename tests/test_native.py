@@ -111,3 +111,17 @@ def test_native_multitone_drag():
     for i, w_ in enumerate([w1, w2]):
         scale = np.abs(w_(t)).max()
         assert np.abs(out[i] - w_(t)).max() / scale < 5e-7
+
+
+def test_lowered_schedule_save_load(tmp_path):
+    from waveforms_tpu import cos, gaussian
+    from waveforms_tpu.ops.lowering import LoweredSchedule
+    chans = [gaussian(2e-7) * cos(2 * np.pi * 150e6)]
+    low = lower_schedule(chans, -5e-7, 5e-7, 2e9)
+    path = tmp_path / "sched.npz"
+    low.save(path)
+    low2 = LoweredSchedule.load(path)
+    a = native.synthesize_native(low)
+    b = native.synthesize_native(low2)
+    np.testing.assert_array_equal(a, b)
+    assert low2.pallas_ok == low.pallas_ok

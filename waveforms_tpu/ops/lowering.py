@@ -472,6 +472,36 @@ class LoweredSchedule:
     def n_buckets(self):
         return self.op.shape[1]
 
+    def save(self, path) -> None:
+        """Checkpoint the lowered schedule (np.savez archive).
+
+        Lab stations re-run the same schedule across many shots and hosts;
+        saving the *lowered* form skips both symbolic rebuild and lowering
+        on load (the analog of the reference's wire-format transport, at
+        the descriptor level).
+        """
+        np.savez_compressed(
+            path, seg_lo=self.seg_lo, seg_hi=self.seg_hi,
+            nterm=self.nterm, amp=self.amp, nfac=self.nfac, op=self.op,
+            power=self.power, shift_hi=self.shift_hi, q32=self.q32,
+            args=self.args, clip_min=self.clip_min, clip_max=self.clip_max,
+            ext=self.ext if self.ext is not None else np.zeros(0),
+            meta=np.array([self.n_samples, self.start, self.sample_rate,
+                           self.bucket_samples, float(self.pallas_ok)]))
+
+    @classmethod
+    def load(cls, path) -> 'LoweredSchedule':
+        z = np.load(path)
+        meta = z['meta']
+        return cls(
+            seg_lo=z['seg_lo'], seg_hi=z['seg_hi'], nterm=z['nterm'],
+            amp=z['amp'], nfac=z['nfac'], op=z['op'], power=z['power'],
+            shift_hi=z['shift_hi'], q32=z['q32'], args=z['args'],
+            clip_min=z['clip_min'], clip_max=z['clip_max'],
+            ext=z['ext'], n_samples=int(meta[0]), start=float(meta[1]),
+            sample_rate=float(meta[2]), bucket_samples=int(meta[3]),
+            pallas_ok=bool(meta[4]))
+
 
 def _waveform_pieces(wav):
     """Yield (bounds, seq, vmin, vmax) pieces of a Waveform or WaveVStack."""
