@@ -653,7 +653,7 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
 def lower_schedule(channels, start: float, stop: float, sample_rate: float,
                    part: str = 'real',
                    pad_to: tuple[int, int, int] | None = None,
-                   bucket_samples: int | None = None) -> LoweredSchedule:
+                   bucket_samples='auto') -> LoweredSchedule:
     """Lower a list of channels into padded, time-bucketed descriptors.
 
     ``bucket_samples`` sets the time-window size: None = one bucket
@@ -878,7 +878,6 @@ def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
         # slot index: order of appearance within each bucket
         order = np.argsort(row_b, kind='stable')
         sorted_b = row_b[order]
-        group_start = np.zeros(len(sorted_b), np.intp)
         new_group = np.flatnonzero(np.diff(sorted_b)) + 1
         starts = np.concatenate([[0], new_group])
         counts = np.diff(np.concatenate([starts, [len(sorted_b)]]))
@@ -886,7 +885,6 @@ def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
             starts, counts)
         slot = np.empty(len(row_b), np.intp)
         slot[order] = slot_sorted
-        del group_start
         expanded.append((row_seg, row_b, slot))
         if len(slot):
             Sb = max(Sb, int(slot.max()) + 1)
