@@ -113,6 +113,43 @@ def test_native_multitone_drag():
         assert np.abs(out[i] - w_(t)).max() / scale < 5e-7
 
 
+def test_native_lowering_matches_python_for_drag_sin():
+    """The C++ walker's drag_sin/sinx descriptors match the Python path.
+
+    Covers the ext side-buffer ABI: channel-local offsets rebase into the
+    shared buffer and identical static blocks dedup across channels.
+    """
+    from waveforms_tpu import cos, drag_sin, drag_sinx, gaussian
+    import waveforms_tpu.ops.lowering as L
+
+    if not native.lower_available():
+        pytest.skip(f"no lowering extension: {native._lower_error}")
+    bf = (151e6, -83e6, 217e6)
+    w1 = drag_sin(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                  block_freq=bf, phase=0.1)
+    w2 = drag_sinx(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                   block_freq=bf, phase=0.1, tab=0.5)
+    chans = [w1, w2, gaussian(20e-9) * cos(2 * np.pi * 250e6), w1 >> 5e-9]
+    low = L.lower_schedule(chans, -5e-9, 40e-9, 2e9)
+    orig = L._lower_schedule_native
+    L._lower_schedule_native = lambda *a, **k: None
+    try:
+        low_py = L.lower_schedule(chans, -5e-9, 40e-9, 2e9)
+    finally:
+        L._lower_schedule_native = orig
+    for name in ('seg_lo', 'seg_hi', 'nterm', 'amp', 'nfac', 'op',
+                 'power', 'shift_hi', 'q32'):
+        np.testing.assert_array_equal(getattr(low, name),
+                                      getattr(low_py, name), err_msg=name)
+    # args/ext carry independent f64 reductions: bit-level noise only
+    np.testing.assert_allclose(low.args, low_py.args, atol=1e-12)
+    assert low.ext.size == low_py.ext.size
+    np.testing.assert_allclose(low.ext, low_py.ext, rtol=1e-10, atol=1e-18)
+    # the shifted copy of w1 must share its ext block (dedup), and the
+    # sinx blend tables fit the pallas SMEM budget
+    assert low.pallas_ok
+
+
 def test_lowered_schedule_save_load(tmp_path):
     from waveforms_tpu import cos, gaussian
     from waveforms_tpu.ops.lowering import LoweredSchedule

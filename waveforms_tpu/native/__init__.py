@@ -105,8 +105,11 @@ def lower_channel_flat(pieces, grid, start, dt, want_imag):
     """Native channel lowering -> flat numpy arrays, or None (fallback).
 
     Returns (seg_lo, seg_hi, seg_nterm, term_amp, term_nfac, f_op, f_pw,
-    f_sh, f_q32(n,4), f_args(n,12)) or None when a factor (or the build)
-    requires the Python path.
+    f_sh, f_q32(n,4), f_args(n,12), ext(float64)) or None when a factor
+    (or the build) requires the Python path.  ``ext`` holds this channel's
+    float64 side-buffer blocks (multi-tone DRAG coefficient tables) with
+    CHANNEL-LOCAL offsets in args[:, 7]; the schedule assembler rebases
+    them into the shared schedule buffer.
     """
     mod = _load_lower()
     if mod is None:
@@ -115,7 +118,7 @@ def lower_channel_flat(pieces, grid, start, dt, want_imag):
                             float(dt), int(want_imag))
     if res is None:
         return None
-    (b_lo, b_hi, b_nt), (b_amp, b_nf), (b_op, b_pw, b_sh, b_q, b_a) = res
+    (b_lo, b_hi, b_nt), (b_amp, b_nf), (b_op, b_pw, b_sh, b_q, b_a), b_x = res
     seg_lo = np.frombuffer(b_lo, np.int64)
     seg_hi = np.frombuffer(b_hi, np.int64)
     seg_nt = np.frombuffer(b_nt, np.int32)
@@ -126,7 +129,9 @@ def lower_channel_flat(pieces, grid, start, dt, want_imag):
     f_sh = np.frombuffer(b_sh, np.int32)
     f_q = np.frombuffer(b_q, np.int32).reshape(-1, 4)
     f_a = np.frombuffer(b_a, np.float32).reshape(-1, 12)
-    return seg_lo, seg_hi, seg_nt, t_amp, t_nf, f_op, f_pw, f_sh, f_q, f_a
+    ext = np.frombuffer(b_x, np.float64)
+    return seg_lo, seg_hi, seg_nt, t_amp, t_nf, f_op, f_pw, f_sh, f_q, f_a, \
+        ext
 
 
 def available() -> bool:

@@ -18,6 +18,8 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <map>
+
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -34,6 +36,8 @@ enum Basis : long {
   B_EXP = 6, B_INTERP = 7, B_LINEARCHIRP = 8, B_EXPONENTIALCHIRP = 9,
   B_HYPERBOLICCHIRP = 10, B_COSH = 11, B_SINH = 12, B_DRAG = 13,
   B_MOLLIFIER = 14, B_D_GAUSSIAN = 15,
+  // registered by models/multy_drag.py at package import (stable order)
+  B_DRAG_SIN = 16, B_DRAG_SINX = 17,
 };
 
 // kernel opcodes (waveforms_tpu/ops/lowering.py)
@@ -41,8 +45,11 @@ enum Op : int32_t {
   OP_LINEAR = 0, OP_GAUSSIAN = 1, OP_ERF = 2, OP_COS = 3, OP_SINC = 4,
   OP_EXP = 5, OP_LINEARCHIRP = 6, OP_EXPCHIRP = 7, OP_HYPCHIRP = 8,
   OP_COSH = 9, OP_SINH = 10, OP_DRAG = 11, OP_POLY_GAUSS = 12,
-  OP_MOLLIFIER = 13,
+  OP_MOLLIFIER = 13, OP_DRAG_SIN = 15, OP_DRAG_SINX = 16,
 };
+constexpr int kDragSinMaxM = 12;   // DRAG_SIN_MAXM
+constexpr int kDragSinNC = 13;     // DRAG_SIN_NC
+constexpr int kDragSinxMaxQ = 40;  // DRAG_SINX_MAXQ
 
 struct Unsupported {};  // thrown to trigger the Python fallback
 
@@ -63,6 +70,9 @@ struct Emit {
   std::vector<int32_t> term_nfac;
   // per factor
   std::vector<FactorRow> facs;
+  // float64 side-buffer + dedup of identical static blocks
+  std::vector<double> ext;
+  std::map<std::vector<double>, int64_t> ext_index;
 };
 
 double as_double(PyObject* o) {
@@ -141,8 +151,193 @@ std::vector<double> mollifier_poly_ascending(int d) {
   return p;
 }
 
+// ---- multi-tone DRAG static math (mirrors ops/lowering.py) -------------
+
+struct DragSinStatic {
+  int m = 0;
+  int nb = 0;                    // number of blocking tones
+  double o = 0.0;
+  std::vector<double> B;         // (nb+1) x 2 x 2
+  std::vector<double> A;         // (nb+1) x (m+1)
+  double C[2][kDragSinNC] = {};  // per-power coefficients (scaled)
+  double flat[2] = {};
+};
+
+inline double& Bat(DragSinStatic& s, int i, int j, int k) {
+  return s.B[(static_cast<size_t>(i) * 2 + j) * 2 + k];
+}
+inline double& Aat(DragSinStatic& s, int i, int p) {
+  return s.A[static_cast<size_t>(i) * (s.m + 1) + p];
+}
+
+DragSinStatic drag_sin_static(double width, double delta,
+                              const std::vector<double>& block,
+                              bool coeff_norm) {
+  DragSinStatic s;
+  s.nb = static_cast<int>(block.size());
+  std::vector<double> bs(s.nb);
+  for (int i = 0; i < s.nb; ++i)
+    bs[i] = 1.0 / M_PI / 2.0 / (block[i] - delta);
+  s.m = std::max(((s.nb + 2) >> 1) << 1, 2);
+  if (s.m > kDragSinMaxM) throw Unsupported{};
+  s.o = M_PI / width;
+
+  // B series: B[0] = I; for b: B[1:] += B[:-1] @ [[0, b], [-b, 0]]
+  s.B.assign(static_cast<size_t>(s.nb + 1) * 4, 0.0);
+  Bat(s, 0, 0, 0) = 1.0;
+  Bat(s, 0, 1, 1) = 1.0;
+  for (double b : bs) {
+    for (int i = s.nb; i >= 1; --i) {
+      // [[a00, a01], [a10, a11]] @ [[0, b], [-b, 0]]
+      //   = [[-a01*b, a00*b], [-a11*b, a10*b]]
+      const double a00 = Bat(s, i - 1, 0, 0), a01 = Bat(s, i - 1, 0, 1);
+      const double a10 = Bat(s, i - 1, 1, 0), a11 = Bat(s, i - 1, 1, 1);
+      Bat(s, i, 0, 0) += -a01 * b;
+      Bat(s, i, 0, 1) += a00 * b;
+      Bat(s, i, 1, 0) += -a11 * b;
+      Bat(s, i, 1, 1) += a10 * b;
+    }
+  }
+
+  // sin-power derivative table (sin_power_derivative_table(m, nb, o))
+  const int m = s.m;
+  s.A.assign(static_cast<size_t>(s.nb + 1) * (m + 1), 0.0);
+  Aat(s, 0, m) = 1.0;
+  for (int i = 1; i <= s.nb; ++i) {
+    if (i % 2) {
+      for (int p = 0; p < m; ++p)
+        Aat(s, i, p) = Aat(s, i - 1, p + 1) * (p + 1) * s.o;
+    } else {
+      for (int p = 0; p <= m; ++p) {
+        double v = 0.0;
+        if (p + 2 <= m)
+          v = Aat(s, i - 2, p + 2) * (p + 1) * (p + 2);
+        v -= Aat(s, i - 2, p) * static_cast<double>(p) * p;
+        Aat(s, i, p) = v * s.o * s.o;
+      }
+    }
+  }
+
+  // C[j][p] = sum_i B[i][j][0] * A[i][p]
+  for (int j = 0; j < 2; ++j)
+    for (int p = 0; p <= m; ++p) {
+      double v = 0.0;
+      for (int i = 0; i <= s.nb; ++i) v += Bat(s, i, j, 0) * Aat(s, i, p);
+      s.C[j][p] = v;
+    }
+
+  double coeff = 1.0;
+  if (coeff_norm) {
+    double coe[2] = {0.0, 0.0};
+    for (int j = 0; j < 2; ++j)
+      for (int i = 0; i <= s.nb; ++i) {
+        double peakA = 0.0;
+        for (int p = 0; p <= m; p += 2) peakA += Aat(s, i, p);
+        coe[j] += Bat(s, i, j, 0) * peakA;
+      }
+    coeff = std::sqrt(coe[0] * coe[0] + coe[1] * coe[1]);
+  }
+
+  for (int j = 0; j < 2; ++j) {
+    double f = Bat(s, 0, j, 0);
+    for (int i = 1; i <= s.nb; ++i) f += Bat(s, i, j, 0) * Aat(s, i, 0);
+    s.flat[j] = f / coeff;
+    for (int p = 0; p <= m; ++p) s.C[j][p] /= coeff;
+  }
+  return s;
+}
+
+// Gauss-Jordan inverse with partial pivoting (n <= 13)
+bool invert(std::vector<double>& M, int n, std::vector<double>& inv) {
+  inv.assign(static_cast<size_t>(n) * n, 0.0);
+  for (int i = 0; i < n; ++i) inv[i * n + i] = 1.0;
+  for (int col = 0; col < n; ++col) {
+    int piv = col;
+    for (int r = col + 1; r < n; ++r)
+      if (std::fabs(M[r * n + col]) > std::fabs(M[piv * n + col])) piv = r;
+    if (M[piv * n + col] == 0.0) return false;
+    if (piv != col)
+      for (int k = 0; k < n; ++k) {
+        std::swap(M[piv * n + k], M[col * n + k]);
+        std::swap(inv[piv * n + k], inv[col * n + k]);
+      }
+    const double d = M[col * n + col];
+    for (int k = 0; k < n; ++k) {
+      M[col * n + k] /= d;
+      inv[col * n + k] /= d;
+    }
+    for (int r = 0; r < n; ++r) {
+      if (r == col) continue;
+      const double f = M[r * n + col];
+      if (f == 0.0) continue;
+      for (int k = 0; k < n; ++k) {
+        M[r * n + k] -= f * M[col * n + k];
+        inv[r * n + k] -= f * inv[col * n + k];
+      }
+    }
+  }
+  return true;
+}
+
+// edge_blend_poly (models/multy_drag.py): ASCENDING coefficients of the
+// polynomial matching value/derivatives f[0..msz-1] at x (f[0] offset by 1),
+// degree 2*msz - 1
+std::vector<double> edge_blend_poly(const std::vector<double>& f, double x) {
+  const int msz = static_cast<int>(f.size());
+  std::vector<double> fff(f);
+  fff[0] -= 1.0;
+  std::vector<double> C(static_cast<size_t>(msz) * msz);
+  for (int n = 0; n < msz; ++n)
+    for (int l = 0; l < msz; ++l) {
+      // x^(msz+l-n) * (msz+l)! / (msz+l-n)!
+      double fac = 1.0;
+      for (int t = msz + l - n + 1; t <= msz + l; ++t) fac *= t;
+      C[n * msz + l] = std::pow(x, msz + l - n) * fac;
+    }
+  std::vector<double> Cinv;
+  if (!invert(C, msz, Cinv)) throw Unsupported{};
+  std::vector<double> v(msz, 0.0);
+  for (int n = 0; n < msz; ++n)
+    for (int l = 0; l < msz; ++l) v[n] += Cinv[n * msz + l] * fff[l];
+  // descending: [flip(v), zeros(msz-1), 1]  ->  ascending:
+  // [1, zeros(msz-1), v[0], v[1], ..., v[msz-1]]
+  std::vector<double> asc(2 * msz, 0.0);
+  asc[0] = 1.0;
+  for (int i = 0; i < msz; ++i) asc[msz + i] = v[i];
+  return asc;
+}
+
+// q_poly: sum_i B[i][j][0] * d^i/dx^i P, ascending coeffs scaled to sample
+// units (coefficient k multiplied by dt^k), zero-padded to kDragSinxMaxQ.
+// Returns the logical length (exact high-order zeros trimmed, matching
+// numpy.poly1d semantics in ops/lowering.py's q_poly).
+int q_poly(const DragSinStatic& s, const std::vector<double>& P_asc, int j,
+           double dt, double* out /* kDragSinxMaxQ */) {
+  std::vector<double> acc(P_asc.size(), 0.0);
+  std::vector<double> der(P_asc);  // i-th derivative, ascending
+  for (int i = 0; i <= s.nb; ++i) {
+    const double w = s.B[(static_cast<size_t>(i) * 2 + j) * 2 + 0];
+    for (size_t k = 0; k < der.size(); ++k) acc[k] += w * der[k];
+    // differentiate ascending: der'[k] = der[k+1] * (k+1)
+    for (size_t k = 0; k + 1 < der.size(); ++k)
+      der[k] = der[k + 1] * (k + 1);
+    if (!der.empty()) der.back() = 0.0;
+  }
+  if (acc.size() > kDragSinxMaxQ) throw Unsupported{};
+  int len = 1;
+  for (size_t k = 0; k < acc.size(); ++k)
+    if (acc[k] != 0.0) len = static_cast<int>(k) + 1;
+  double scale = 1.0;
+  for (size_t k = 0; k < acc.size(); ++k) {
+    out[k] = acc[k] * scale;
+    scale *= dt;
+  }
+  for (size_t k = acc.size(); k < kDragSinxMaxQ; ++k) out[k] = 0.0;
+  return len;
+}
+
 FactorRow lower_factor(PyObject* factor, long power, double start,
-                       double dt) {
+                       double dt, Emit& em) {
   if (!PyTuple_Check(factor)) throw Unsupported{};
   const Py_ssize_t nf = PyTuple_GET_SIZE(factor);
   if (nf < 2) throw Unsupported{};
@@ -314,6 +509,92 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
       }
       break;
     }
+    case B_DRAG_SIN:
+    case B_DRAG_SINX: {
+      // (t0, freq, width, delta, block|None, phase, plateau[, tab])
+      const bool sinx = (fun_id == B_DRAG_SINX);
+      if (nf != (sinx ? 10 : 9)) throw Unsupported{};
+      const double t0 = arg(0), freq = arg(1), width = arg(2),
+                   delta = arg(3), phase = arg(5), plateau = arg(6);
+      const double tab = sinx ? arg(7) : 0.0;
+      PyObject* bf = PyTuple_GET_ITEM(factor, 5);
+      std::vector<double> block;
+      if (bf != Py_None) {
+        if (PyFloat_Check(bf) || PyLong_Check(bf)) {
+          block.push_back(as_double(bf));
+        } else if (PyTuple_Check(bf)) {
+          for (Py_ssize_t i = 0; i < PyTuple_GET_SIZE(bf); ++i)
+            block.push_back(as_double(PyTuple_GET_ITEM(bf, i)));
+        } else {
+          throw Unsupported{};
+        }
+      }
+
+      double frac;
+      split_shift((shift + t0 - start) / dt, &r.shift_hi, &frac);
+      r.a[0] = static_cast<float>(frac);
+      r.op = sinx ? OP_DRAG_SINX : OP_DRAG_SIN;
+      const double o = M_PI / width;
+      r.a[1] = static_cast<float>(o * dt);
+      const double w = kTwoPi * (freq + delta);
+      double eps;
+      phase_q32(w * dt, &r.q32[0], &eps);
+      r.a[3] = static_cast<float>(eps);
+      const double phi0 = std::fmod(
+          std::fmod(w * (start + static_cast<double>(r.shift_hi) * dt
+                         - shift) - kTwoPi * delta * t0 - phase, kTwoPi)
+          + kTwoPi, kTwoPi);
+      r.a[4] = static_cast<float>(phi0);
+      r.a[5] = static_cast<float>(width / dt);
+      r.a[6] = static_cast<float>(plateau / dt);
+
+      // dedup key: all static params except the time shift
+      std::vector<double> key{static_cast<double>(fun_id), width, delta,
+                              tab, dt};
+      key.insert(key.end(), block.begin(), block.end());
+      auto it = em.ext_index.find(key);
+      int64_t off;
+      if (it != em.ext_index.end()) {
+        off = it->second;
+      } else {
+        DragSinStatic s = drag_sin_static(width, delta, block, !sinx);
+        off = static_cast<int64_t>(em.ext.size());
+        em.ext.push_back(static_cast<double>(s.m));
+        for (int j = 0; j < 2; ++j)
+          for (int p = 0; p < kDragSinNC; ++p)
+            em.ext.push_back(p <= s.m ? s.C[j][p] : 0.0);
+        em.ext.push_back(s.flat[0]);
+        em.ext.push_back(s.flat[1]);
+        if (sinx) {
+          em.ext.push_back(tab * width / (2 * dt));  // blend half (samples)
+          for (int side = 0; side < 2; ++side) {
+            const double sign = side == 0 ? -1.0 : 1.0;
+            // edge rows at x = (1 + sign*tab) * width/2
+            const double xa = s.o * (1.0 + sign * tab) * width / 2.0;
+            std::vector<double> base(s.m + 1);
+            for (int p = 0; p <= s.m; ++p) {
+              base[p] = std::pow(std::sin(xa), p);
+              if (p % 2) base[p] *= std::cos(xa);
+            }
+            std::vector<double> eA(s.nb + 1, 0.0);
+            for (int i = 0; i <= s.nb; ++i)
+              for (int p = 0; p <= s.m; ++p)
+                eA[i] += Aat(s, i, p) * base[p];
+            auto P = edge_blend_poly(eA, sign * tab * width / 2.0);
+            double q[kDragSinxMaxQ];
+            for (int j = 0; j < 2; ++j) {
+              const int qlen = q_poly(s, P, j, dt, q);
+              em.ext.push_back(static_cast<double>(qlen));
+              for (int k = 0; k < kDragSinxMaxQ; ++k) em.ext.push_back(q[k]);
+            }
+          }
+        }
+        em.ext_index.emplace(std::move(key), off);
+      }
+      r.a[7] = static_cast<float>(off);
+      r.a[8] = static_cast<float>(em.ext.size() - off);
+      break;
+    }
     default:
       throw Unsupported{};
   }
@@ -378,7 +659,7 @@ void lower_pieces(PyObject* pieces, const double* grid, int64_t n_grid,
             long pw_l = static_cast<long>(pw_d);
             if (pw_d != static_cast<double>(pw_l)) throw Unsupported{};
             out->facs.push_back(lower_factor(
-                PyTuple_GET_ITEM(factors, fi2), pw_l, start, dt));
+                PyTuple_GET_ITEM(factors, fi2), pw_l, start, dt, *out));
           }
         }
         if (emitted_terms > 0) {
@@ -436,7 +717,7 @@ PyObject* py_lower_channel(PyObject*, PyObject* args) {
     std::memcpy(&f_args[i * W_ARGS], r.a, sizeof(r.a));
   }
   return Py_BuildValue(
-      "(NNN)(NN)(NNNNN)",
+      "(NNN)(NN)(NNNNN)N",
       bytes_from(out.seg_lo.data(), out.seg_lo.size() * 8),
       bytes_from(out.seg_hi.data(), out.seg_hi.size() * 8),
       bytes_from(out.seg_nterm.data(), out.seg_nterm.size() * 4),
@@ -446,7 +727,8 @@ PyObject* py_lower_channel(PyObject*, PyObject* args) {
       bytes_from(f_pw.data(), nf * 4),
       bytes_from(f_sh.data(), nf * 4),
       bytes_from(f_q32.data(), nf * 16),
-      bytes_from(f_args.data(), nf * W_ARGS * 4));
+      bytes_from(f_args.data(), nf * W_ARGS * 4),
+      bytes_from(out.ext.data(), out.ext.size() * 8));
 }
 
 PyMethodDef methods[] = {

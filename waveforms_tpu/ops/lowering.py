@@ -815,6 +815,32 @@ def _segments_to_flat(segments):
              if f_a else np.zeros((0, W_ARGS), np.float32)))
 
 
+def _merge_channel_ext(res, ext, ext_seen):
+    """Rebase a native channel's local ext blocks into the shared buffer.
+
+    The native walker emits channel-local (offset, length) pairs in
+    args[:, 7:9] of extended-opcode rows; identical blocks across channels
+    collapse to one shared copy (keyed on the block's f64 bytes).
+    """
+    ch_ext = res[10]
+    res = res[:10]
+    if ch_ext.size == 0:
+        return res
+    f_op, f_a = res[5], res[9].copy()
+    mask = np.flatnonzero((f_op == OP_DRAG_SIN) | (f_op == OP_DRAG_SINX))
+    for i in mask:
+        off, ln = int(f_a[i, 7]), int(f_a[i, 8])
+        block = ch_ext[off:off + ln]
+        key = block.tobytes()
+        goff = ext_seen.get(key)
+        if goff is None:
+            goff = len(ext)
+            ext.extend(block.tolist())
+            ext_seen[key] = goff
+        f_a[i, 7] = goff
+    return res[:9] + (f_a,)
+
+
 def _lower_schedule_native(channels, grid, start, dt, part, ext, cache):
     """Flat-array lowering of all channels (native walker where possible).
 
@@ -829,6 +855,7 @@ def _lower_schedule_native(channels, grid, start, dt, part, ext, cache):
     if not lower_available():
         return None
     want_imag = 1 if part == 'imag' else 0
+    ext_seen: dict = {}
     flat = []
     for ch in channels:
         pieces = []
@@ -841,6 +868,8 @@ def _lower_schedule_native(channels, grid, start, dt, part, ext, cache):
             segments, vmin, vmax = lower_channel(ch, grid, start, dt, part,
                                                  ext, cache)
             res = _segments_to_flat(segments)
+        else:
+            res = _merge_channel_ext(res, ext, ext_seen)
         flat.append((res, vmin, vmax))
     return flat
 
