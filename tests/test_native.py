@@ -53,11 +53,11 @@ def test_native_carriers_and_drag():
 
 def test_native_chirps():
     check([chirp(1e6, 50e6, 1e-5, 0.3, 'linear')], 0, 1e-5, 2e9, rtol=1e-6)
-    # exotic chirp phase multipliers are stored as f32 descriptor args:
-    # same ~1e-4 accuracy tier as the TPU kernel (see test_pallas_synth)
+    # exotic chirps lower as adaptively-windowed exact quadratic phases
+    # (see ops/lowering._expand_exotic_chirps): ~1e-6 tier on all engines
     check([chirp(1e6, 50e6, 1e-5, 0.3, 'exponential'),
            chirp(1e6, 50e6, 1e-5, 0.3, 'hyperbolic')],
-          0, 1e-5, 2e9, rtol=5e-4)
+          0, 1e-5, 2e9, rtol=2e-6)
 
 
 def test_native_clip_and_silence():

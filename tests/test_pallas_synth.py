@@ -63,12 +63,12 @@ def test_drag_and_mixing():
 
 def test_chirps():
     check([chirp(1e6, 50e6, 1e-5, 0.3, 'linear')], 0, 1e-5, 2e9, rtol=5e-6)
-    # exponential/hyperbolic phase goes through f32 exp/log times a large
-    # multiplier: ~2e-4 absolute accuracy (about 12 effective bits; fine for
-    # DAC output, use the x64 XLA path for exact work).
+    # exponential/hyperbolic chirps lower as adaptively-windowed exact
+    # quadratic phases (_expand_exotic_chirps): fit tolerance 3e-8 rad plus
+    # the usual f32 eps slots
     check([chirp(1e6, 50e6, 1e-5, 0.3, 'exponential'),
            chirp(1e6, 50e6, 1e-5, 0.3, 'hyperbolic')],
-          0, 1e-5, 2e9, rtol=5e-4)
+          0, 1e-5, 2e9, rtol=2e-6)
 
 
 def test_hermite_envelope():

@@ -611,6 +611,162 @@ def _expand_interp(bounds, seq):
     return tuple(new_bounds), tuple(new_seq)
 
 
+# -- exotic-chirp windowing ------------------------------------------------
+#
+# Exponential/hyperbolic chirp phases are transcendental in t, so a direct
+# f32 kernel evaluation carries the full accumulated phase (1e3..1e4 rad)
+# through f32 exp/log -- a ~1e-4 output-accuracy tier.  Instead of a
+# double-f32 transcendental path, the schedule lowers them the same way it
+# lowers interp tables: rewrite at lowering time into adaptively-sized time
+# windows whose phase is an f64-fit quadratic, each emitted as a standard
+# LINEARCHIRP factor.  Quadratic phase is the one thing the descriptor
+# engines evaluate EXACTLY (int32 fixed-point, wraps mod 2pi), so the only
+# residual error is the fit tolerance below plus the usual f32 eps slots.
+
+_CHIRP_TOL = 3e-8           # rad; max |quadratic fit - true phase| / window
+_CHIRP_MAX_WINDOWS = 4096   # per factor per segment (adaptive-split cap)
+
+
+def _chirp_phase_fn(f):
+    """f64 phase of an exotic-chirp factor as a function of absolute time."""
+    if f[0] == _reg.EXPONENTIALCHIRP:
+        _, f0, alpha, phi0, s = f
+        return lambda t: phi0 + _TWO_PI * f0 * np.expm1(alpha * (t - s)) \
+            / alpha
+    _, f0, k, phi0, s = f
+
+    def phase(t):
+        with np.errstate(invalid='ignore', divide='ignore'):
+            return phi0 + _TWO_PI * f0 / k * np.log1p(k * (t - s))
+    return phase
+
+
+def _quad_fit_vec(phi, was, wbs):
+    """3-point quadratic phase fits on windows [wa, wb), vectorized.
+
+    Returns (A, B, C, err): phase(wa + u) ~ A*u^2 + B*u + C with err the
+    max deviation over 9 probe points per window.
+    """
+    was = np.asarray(was, float)
+    h = np.asarray(wbs, float) - was
+    u = np.linspace(0.0, 1.0, 9)[:, None] * h          # (9, N)
+    y = phi(was + u)
+    A = 2.0 * (y[8] - 2.0 * y[4] + y[0]) / (h * h)
+    B = (4.0 * y[4] - 3.0 * y[0] - y[8]) / h
+    C = y[0]
+    err = np.max(np.abs(A * u * u + B * u + C - y), axis=0)
+    return A, B, C, err
+
+
+def _chirp_windows(phi, a, b, dt):
+    """Adaptive window boundaries on [a, b): bisect until the quadratic
+    fit meets _CHIRP_TOL (or the window is <= 2 samples / the cap hits)."""
+    out = []
+    stack = [(a, b)]
+    while stack:
+        wa, wb = stack.pop()
+        _, _, _, err = _quad_fit_vec(phi, [wa], [wb])
+        if (err[0] <= _CHIRP_TOL or not np.isfinite(err[0])
+                or wb - wa <= 2 * dt
+                or len(out) + len(stack) >= _CHIRP_MAX_WINDOWS):
+            out.append(wa)
+        else:
+            mid = 0.5 * (wa + wb)
+            stack.append((mid, wb))
+            stack.append((wa, mid))
+    return out  # ascending window starts; windows end at the next start / b
+
+
+def _expand_exotic_chirps(bounds, seq, t_lo, t_hi, dt):
+    """Rewrite exp/hyperbolic chirp factors into quadratic-phase windows.
+
+    Each factor instance splits the portion of its segment inside the
+    synthesis range [t_lo, t_hi) into windows carrying an exact-quadratic
+    LINEARCHIRP replacement; portions outside the range (never sampled)
+    keep the original factor.  Windows whose phase is non-finite (outside
+    a hyperbolic chirp's domain) also keep the original factor, preserving
+    reference NaN semantics.
+    """
+    from ..ir.algebra import add as _add, mul as _mul
+    ids = (_reg.EXPONENTIALCHIRP, _reg.HYPERBOLICCHIRP)
+    if t_hi <= t_lo or not any(
+            f[0] in ids for expr in seq if expr != ZERO
+            for term in expr[0] for f in term[0]):
+        return bounds, seq
+
+    new_bounds: list = []
+    new_seq: list = []
+
+    def emit(hi, sub):
+        if new_seq and sub == new_seq[-1]:
+            new_bounds[-1] = hi
+        else:
+            new_bounds.append(hi)
+            new_seq.append(sub)
+
+    lo = -np.inf
+    for b, expr in zip(bounds, seq):
+        facs = ([f for term in expr[0] for f in term[0] if f[0] in ids]
+                if expr != ZERO else [])
+        wa0, wb0 = max(lo, t_lo), min(b, t_hi)
+        if not facs or wb0 <= wa0:
+            emit(b, expr)
+            lo = b
+            continue
+
+        cuts: set = set()
+        fits: dict = {}
+        for f in set(facs):
+            phi = _chirp_phase_fn(f)
+            starts = _chirp_windows(phi, wa0, wb0, dt)
+            fits[f] = phi
+            cuts.update(starts[1:])
+        if wa0 > lo:
+            cuts.add(wa0)
+        if wb0 < b:
+            cuts.add(wb0)
+        pieces = sorted(x for x in cuts if lo < x < b) + [b]
+
+        # vectorized refit of every factor on the final window grid
+        inner = [(p_lo, p_hi) for p_lo, p_hi in
+                 zip([lo] + pieces[:-1], pieces)
+                 if p_lo >= wa0 and p_hi <= wb0]
+        refit = {}
+        if inner:
+            was = [w[0] for w in inner]
+            wbs = [w[1] for w in inner]
+            for f, phi in fits.items():
+                refit[f] = dict(zip(was, zip(*_quad_fit_vec(phi, was, wbs))))
+
+        piece_lo = lo
+        for piece_hi in pieces:
+            in_range = piece_lo >= wa0 and piece_hi <= wb0
+            if not in_range or expr == ZERO:
+                emit(piece_hi, expr)
+                piece_lo = piece_hi
+                continue
+            sub = ZERO
+            for term, v in zip(*expr):
+                if v == 0:
+                    continue
+                piece = ((((), ()),), (v,))
+                for f, nn in zip(*term):
+                    if f[0] in ids:
+                        A, B, C, err = refit[f][piece_lo]
+                        if np.isfinite(err):
+                            T = piece_hi - piece_lo
+                            f0L = B / _TWO_PI
+                            f1L = f0L + A * T / np.pi
+                            f = (_reg.LINEARCHIRP, float(f0L), float(f1L),
+                                 float(T), float(C), float(piece_lo))
+                    piece = _mul(piece, ((((f,), (nn,)),), (1.0,)))
+                sub = _add(sub, piece)
+            emit(piece_hi, sub)
+            piece_lo = piece_hi
+        lo = b
+    return tuple(new_bounds), tuple(new_seq)
+
+
 def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
                   part: str = 'real',
                   ext: list | None = None,
@@ -629,6 +785,9 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
     for bounds, seq, bmin, bmax in _waveform_pieces(wav):
         vmin, vmax = bmin, bmax
         bounds, seq = _expand_interp(bounds, seq)
+        if len(grid):
+            bounds, seq = _expand_exotic_chirps(bounds, seq, grid[0],
+                                                grid[-1] + dt, dt)
         edges = np.searchsorted(grid, np.asarray(bounds, dtype=float))
         lo = 0
         for hi, expr in zip(edges, seq):
@@ -670,9 +829,13 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     def resolve_bucket(max_segments):
         if bucket_samples == 'auto':
             # worth bucketing when a channel's segment list is long enough
-            # that per-tile walks would dominate; window ~16 tiles
+            # that per-tile walks would dominate; window ~16 tiles for long
+            # schedules, ~2 tiles for mid-size dense ones (e.g. windowed
+            # exotic chirps)
             if max_segments > 48 and n > 65536:
                 return 32768, max(-(-n // 32768), 1)
+            if max_segments > 48 and n > 8192:
+                return 4096, max(-(-n // 4096), 1)
             return max(n, 1), 1
         if bucket_samples is None:
             return max(n, 1), 1
@@ -862,7 +1025,11 @@ def _lower_schedule_native(channels, grid, start, dt, part, ext, cache):
         vmin, vmax = -np.inf, np.inf
         for bounds, seq, bmin, bmax in _waveform_pieces(ch):
             vmin, vmax = bmin, bmax
-            pieces.append(_expand_interp(bounds, seq))
+            bounds, seq = _expand_interp(bounds, seq)
+            if len(grid):
+                bounds, seq = _expand_exotic_chirps(bounds, seq, grid[0],
+                                                    grid[-1] + dt, dt)
+            pieces.append((bounds, seq))
         res = lower_channel_flat(pieces, grid, start, dt, want_imag)
         if res is None:
             segments, vmin, vmax = lower_channel(ch, grid, start, dt, part,
