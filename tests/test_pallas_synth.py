@@ -71,6 +71,24 @@ def test_chirps():
           0, 1e-5, 2e9, rtol=2e-6)
 
 
+def test_complex_pair_fused():
+    """part='complex' runs ONE kernel pass with two amplitude planes."""
+    from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,
+                                                synthesize_device)
+    I, Q = mixing(0.5 * cosPulse(50e-9), freq=-80e6, DRAGScaling=1e-10)
+    chans = [(1 + 0.5j) * gaussian(2e-7) * cos(2 * np.pi * 150e6),
+             I + 1j * Q]
+    low = lower_schedule(chans, -1e-7, 1e-7, 2e9, part='complex')
+    assert low.amp_im is not None
+    out = np.asarray(synthesize_device(DeviceSchedule(low), interpret=True))
+    assert out.dtype == np.complex64
+    t = np.arange(-1e-7, 1e-7, 0.5e-9)
+    for i, w in enumerate(chans):
+        ora = np.asarray(w(t)).astype(complex)
+        err = np.abs(out[i] - ora).max() / np.abs(ora).max()
+        assert err < 5e-7, f"channel {i}: rel err {err}"
+
+
 def test_hermite_envelope():
     check([gaussian(1e-6, d=2), gaussian(1e-6, plateau=0.5e-6, d=1)],
           -2e-6, 2e-6, 1e9)

@@ -34,8 +34,8 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part):
                              bucket_samples=bucket_samples)
         return synthesize_device(DeviceSchedule(low), interpret=interpret)
 
-    if part == 'complex':
-        return run('real') + 1j * run('imag')
+    # part='complex' runs ONE fused kernel pass: the factor products are
+    # computed once and scaled by both amplitude planes (pair mode)
     return run(part)
 
 

@@ -462,6 +462,7 @@ class LoweredSchedule:
     sample_rate: float
     bucket_samples: int
     ext: np.ndarray = None          # float64 side-buffer (tables, coeffs)
+    amp_im: np.ndarray = None       # f32[C, NB, Sb, T]; set by part='complex'
     pallas_ok: bool = True          # all opcodes within the kernel's set
 
     @property
@@ -487,7 +488,8 @@ class LoweredSchedule:
             args=self.args, clip_min=self.clip_min, clip_max=self.clip_max,
             ext=self.ext if self.ext is not None else np.zeros(0),
             meta=np.array([self.n_samples, self.start, self.sample_rate,
-                           self.bucket_samples, float(self.pallas_ok)]))
+                           self.bucket_samples, float(self.pallas_ok)]),
+            **({'amp_im': self.amp_im} if self.amp_im is not None else {}))
 
     @classmethod
     def load(cls, path) -> 'LoweredSchedule':
@@ -500,6 +502,7 @@ class LoweredSchedule:
             clip_min=z['clip_min'], clip_max=z['clip_max'],
             ext=z['ext'], n_samples=int(meta[0]), start=float(meta[1]),
             sample_rate=float(meta[2]), bucket_samples=int(meta[3]),
+            amp_im=z['amp_im'] if 'amp_im' in z.files else None,
             pallas_ok=bool(meta[4]))
 
 
@@ -795,7 +798,10 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
                 amps, facs = [], []
                 for (factors, powers), v in zip(*expr):
                     v = complex(v)
-                    amp = v.real if part == 'real' else v.imag
+                    if part == 'complex':
+                        amp = v
+                    else:
+                        amp = v.real if part == 'real' else v.imag
                     if amp == 0:
                         continue
                     amps.append(amp)
@@ -847,8 +853,11 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     # a toolchain
     ext: list = []
     cache: dict = {}
-    flat = _lower_schedule_native(channels, grid, start, dt, part, ext,
-                                  cache)
+    # the native walker emits real f32 amplitudes; part='complex' (fused
+    # re/im synthesis) lowers on the Python path with complex amps
+    flat = (None if part == 'complex' else
+            _lower_schedule_native(channels, grid, start, dt, part, ext,
+                                   cache))
     if flat is not None:
         max_seg = max((len(res[0]) for res, _, _ in flat), default=0)
         bs, NB = resolve_bucket(max_seg)
@@ -903,6 +912,8 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
         n_samples=n, start=start, sample_rate=sample_rate,
         bucket_samples=bucket_samples,
         ext=np.asarray(ext, dtype=np.float64),
+        amp_im=(np.zeros((C, NB, Sb, T), np.float32)
+                if part == 'complex' else None),
     )
 
     # vectorized scatter fill: collect flat index/value lists, assign once
@@ -936,8 +947,10 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     if ti:
         ci, bi, sj, tj = np.array(ti, np.intp).T
         tvv = np.array(tv)
-        out.amp[ci, bi, sj, tj] = tvv[:, 0]
-        out.nfac[ci, bi, sj, tj] = tvv[:, 1].astype(np.int32)
+        out.amp[ci, bi, sj, tj] = tvv[:, 0].real
+        if out.amp_im is not None:
+            out.amp_im[ci, bi, sj, tj] = tvv[:, 0].imag
+        out.nfac[ci, bi, sj, tj] = tvv[:, 1].real.astype(np.int32)
     if fi:
         ci, bi, sj, tj, fj = np.array(fi, np.intp).T
         out.op[ci, bi, sj, tj, fj] = f_op

@@ -75,7 +75,15 @@ def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
 
 def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
                   amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
-                  ext_ref, clip_ref, out_ref, *, S, T, F, R, ops_present):
+                  ext_ref, clip_ref, *rest, S, T, F, R, ops_present,
+                  pair=False):
+    # pair mode fuses a complex synthesis into one pass: the factor
+    # product (all the transcendental work) is computed once per term and
+    # scaled by two amplitude planes into two output planes.
+    if pair:
+        amp2_ref, out_ref, out2_ref = rest
+    else:
+        (out_ref,) = rest
     tile = R * 128
     # row0 is this shard's global sample offset (time-axis sharding over a
     # device mesh: each shard synthesizes its slice of the sample axis).
@@ -291,9 +299,12 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
 
         return jax.lax.cond(p == 1, lambda v: v, raise_power, val)
 
-    acc = jnp.zeros((R, 128), jnp.float32)
+    zeros = jnp.zeros((R, 128), jnp.float32)
     cmin = clip_ref[0, 0, 0, 0]
     cmax = clip_ref[0, 0, 0, 1]
+
+    def clip(v):
+        return jnp.minimum(jnp.maximum(v, cmin), cmax)
 
     def segment_body(s, acc):
         lo = seg_lo_ref[0, 0, 0, s]
@@ -303,27 +314,40 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         def add_segment(acc):
             def term_body(t, seg):
                 flat_t = s * T + t
-                prod = jnp.full((R, 128), amp_ref[0, 0, 0, flat_t],
-                                dtype=jnp.float32)
+                if pair:
+                    prod = jnp.full((R, 128), 1.0, dtype=jnp.float32)
+                else:
+                    prod = jnp.full((R, 128), amp_ref[0, 0, 0, flat_t],
+                                    dtype=jnp.float32)
 
                 def fac_body(f, prod):
                     return prod * factor_value(flat_t * F + f)
 
                 prod = jax.lax.fori_loop(0, nfac_ref[0, 0, 0, flat_t], fac_body,
                                          prod)
+                if pair:
+                    return (seg[0] + amp_ref[0, 0, 0, flat_t] * prod,
+                            seg[1] + amp2_ref[0, 0, 0, flat_t] * prod)
                 return seg + prod
 
-            seg = jax.lax.fori_loop(0, nt, term_body,
-                                    jnp.zeros((R, 128), jnp.float32))
-            seg = jnp.minimum(jnp.maximum(seg, cmin), cmax)
             mask = (idx >= lo) & (idx < hi)
-            return acc + jnp.where(mask, seg, 0.0)
+            if pair:
+                sr, si = jax.lax.fori_loop(0, nt, term_body, (zeros, zeros))
+                return (acc[0] + jnp.where(mask, clip(sr), 0.0),
+                        acc[1] + jnp.where(mask, clip(si), 0.0))
+            seg = jax.lax.fori_loop(0, nt, term_body, zeros)
+            return acc + jnp.where(mask, clip(seg), 0.0)
 
         overlap = (hi > base) & (lo < base + tile) & (nt > 0)
         return jax.lax.cond(overlap, add_segment, lambda a: a, acc)
 
-    acc = jax.lax.fori_loop(0, S, segment_body, acc)
-    out_ref[0] = acc
+    acc0 = (zeros, zeros) if pair else zeros
+    acc = jax.lax.fori_loop(0, S, segment_body, acc0)
+    if pair:
+        out_ref[0] = acc[0]
+        out2_ref[0] = acc[1]
+    else:
+        out_ref[0] = acc
 
 
 @functools.partial(jax.jit,
@@ -331,12 +355,14 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
                                     'tiles_per_bucket', 'ops_present',
                                     'interpret'))
 def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
-                args, ext, clip, *, S, T, F, R, n_rows, tiles_per_bucket,
-                ops_present=tuple(range(N_OPS)), interpret=False):
+                args, ext, clip, amp_im=None, *, S, T, F, R, n_rows,
+                tiles_per_bucket, ops_present=tuple(range(N_OPS)),
+                interpret=False):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
     grid = (C, n_rows // R)
     G = tiles_per_bucket
+    pair = amp_im is not None
 
     def smem(k, bcast=False):
         # (C, NB, 1, k) arrays with (1, 1, 1, k) blocks: the trailing two
@@ -350,7 +376,10 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
                             memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R,
-                               ops_present=ops_present)
+                               ops_present=ops_present, pair=pair)
+    out_spec = pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((C, n_rows, 128), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -364,13 +393,12 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
             smem(E, bcast=True),                         # ext side-buffer
             pl.BlockSpec((1, 1, 1, 2), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.SMEM),       # clip (per channel)
-        ],
-        out_specs=pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, n_rows, 128), jnp.float32),
+        ] + ([smem(S * T)] if pair else []),             # amp_im (pair mode)
+        out_specs=(out_spec, out_spec) if pair else out_spec,
+        out_shape=(out_shape, out_shape) if pair else out_shape,
         interpret=interpret,
     )(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, ext,
-      clip)
+      clip, *([amp_im] if pair else []))
 
 
 class DeviceSchedule:
@@ -421,6 +449,10 @@ class DeviceSchedule:
             self.ext,
             jnp.asarray(clip.reshape(C, 1, 1, 2)),
         )
+        # part='complex' schedules carry a second amplitude plane; the
+        # kernel then synthesizes re/im in one fused pass (pair mode)
+        self.amp_im = (jnp.asarray(low.amp_im.reshape(C, NB, 1, S * T))
+                       if low.amp_im is not None else None)
 
 
 def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
@@ -440,9 +472,12 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
     # holds because bucket_samples is a multiple of the tile (coarser
     # ceil-rounding of n_samples dominates the finer one).
     out = _run_kernel(
-        jnp.zeros((1, 1, 1, 1), jnp.int32), *dev.tensors,
+        jnp.zeros((1, 1, 1, 1), jnp.int32), *dev.tensors, dev.amp_im,
         S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
         ops_present=dev.ops_present, interpret=interpret)
+    if dev.amp_im is not None:
+        re, im = out
+        out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
     return out.reshape(C, n_rows * 128)[:, :dev.n_samples]
 
 
