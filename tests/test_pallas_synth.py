@@ -134,6 +134,24 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(sharded, single, atol=1e-7)
 
 
+def test_sharded_complex_pair():
+    """part='complex' pair mode under shard_map matches single-device."""
+    from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,
+                                                synthesize_device)
+    chans = [(0.5 + 0.3j) * cosPulse(50e-9) >> (k * 100e-9)
+             for k in range(6)]
+    start, stop, fs = 0, 0.8e-6, 2e9
+    mesh = channel_mesh(n_channel=2, n_time=4)
+    sharded = np.asarray(synthesize_on_mesh(chans, start, stop, fs, mesh,
+                                            part='complex', rows_per_tile=8,
+                                            interpret=True))
+    assert sharded.dtype == np.complex64
+    low = lower_schedule(chans, start, stop, fs, part='complex')
+    single = np.asarray(synthesize_device(DeviceSchedule(low),
+                                          rows_per_tile=8, interpret=True))
+    np.testing.assert_allclose(sharded, single, atol=1e-7)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

@@ -45,7 +45,8 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     """Synthesize a list of channels on the chosen engine -> (C, N).
 
     ``part`` selects 'real' (default, the physical-output convention of
-    WaveVStack), 'imag', or 'complex' (descriptor engines run twice).
+    WaveVStack), 'imag', or 'complex' (one fused pair-mode pass on the
+    pallas engine; the native engine runs its real and imag passes).
     Returns a jax.Array for device engines ('pallas'), ndarray otherwise.
     """
     if engine == 'pallas':

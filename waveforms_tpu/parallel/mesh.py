@@ -98,6 +98,8 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh,
         sh=put(low.shift_hi, S * T * F), q32=put(low.q32, S * T * F * 4),
         args=put(low.args, S * T * F * W_ARGS),
         ext=ext, clip=clipd,
+        **({'amp_im': put(low.amp_im, S * T)}
+           if low.amp_im is not None else {}),
     ), c_pad
 
 
@@ -131,9 +133,11 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
         tensors, c_pad = shard_schedule(low, mesh)
         G = max(rows_local // R, 1)
 
+    pair = low.amp_im is not None
     bucket_spec = 'time' if NB > 1 else None
     in_spec = P('channel', bucket_spec, None, None)
-    specs = [in_spec] * 10 + [P(None, None, None, None), in_spec]
+    specs = ([in_spec] * 10 + [P(None, None, None, None), in_spec]
+             + ([in_spec] if pair else []))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -141,21 +145,26 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
         out_specs=P('channel', 'time', None),
         check_vma=False)
     def run(seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, ext,
-            clip):
+            clip, *rest):
         row0 = jax.lax.axis_index('time').astype(jnp.int32) * (
             rows_local * 128)
         clip_local = clip[:, :1]  # per-channel clip (bucket axis replicated)
         out = _run_kernel(row0.reshape(1, 1, 1, 1), seg_lo, seg_hi, nterm,
                           nfac, amp, op, pw, sh, q32, args, ext, clip_local,
+                          rest[0] if pair else None,
                           S=S, T=T, F=F, R=R, n_rows=rows_local,
                           tiles_per_bucket=G,
                           interpret=interpret)
+        if pair:
+            re, im = out
+            out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
         return out.reshape(out.shape[0], rows_local * 128)[:, None, :]
 
     out = run(tensors['seg_lo'], tensors['seg_hi'], tensors['nterm'],
               tensors['nfac'], tensors['amp'], tensors['op'], tensors['pw'],
               tensors['sh'], tensors['q32'], tensors['args'],
-              tensors['ext'], tensors['clip'])
+              tensors['ext'], tensors['clip'],
+              *([tensors['amp_im']] if pair else []))
     out = out.reshape(c_pad, n_rows * 128)
     return out[:C, :low.n_samples]
 
