@@ -353,11 +353,11 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
 @functools.partial(jax.jit,
                    static_argnames=('S', 'T', 'F', 'R', 'n_rows',
                                     'tiles_per_bucket', 'ops_present',
-                                    'interpret'))
+                                    'interpret', 'dimsem'))
 def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
                 args, ext, clip, amp_im=None, *, S, T, F, R, n_rows,
                 tiles_per_bucket, ops_present=tuple(range(N_OPS)),
-                interpret=False):
+                interpret=False, dimsem=None):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
     grid = (C, n_rows // R)
@@ -397,6 +397,11 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
         out_specs=(out_spec, out_spec) if pair else out_spec,
         out_shape=(out_shape, out_shape) if pair else out_shape,
         interpret=interpret,
+        # opt-in Mosaic scheduling hint, e.g. ('parallel', 'arbitrary'):
+        # every grid step writes a disjoint output tile, so both dims are
+        # semantically parallel (tuning knob, see tools/tune.py)
+        **({'compiler_params': pltpu.CompilerParams(
+            dimension_semantics=dimsem)} if dimsem is not None else {}),
     )(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, ext,
       clip, *([amp_im] if pair else []))
 
