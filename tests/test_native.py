@@ -150,6 +150,21 @@ def test_native_lowering_matches_python_for_drag_sin():
     assert low.pallas_ok
 
 
+def test_native_complex_pair():
+    """part='complex' runs the C++ engine in one pair-mode pass."""
+    from waveforms_tpu import synthesize
+    I, Q = mixing(0.5 * cosPulse(50e-9), freq=-80e6, DRAGScaling=1e-10)
+    chans = [(1 + 0.5j) * gaussian(2e-7) * cos(2 * np.pi * 150e6),
+             I + 1j * Q]
+    low = lower_schedule(chans, -1e-7, 1e-7, 2e9, part='complex')
+    assert low.amp_im is not None
+    out = native.synthesize_native(low)
+    assert out.dtype == np.complex128
+    ora = synthesize(chans, -1e-7, 1e-7, 2e9, engine='numpy', part='complex')
+    err = np.abs(out - ora).max() / np.abs(ora).max()
+    assert err < 2e-7, f"rel err {err}"
+
+
 def test_lowered_schedule_save_load(tmp_path):
     from waveforms_tpu import cos, gaussian
     from waveforms_tpu.ops.lowering import LoweredSchedule

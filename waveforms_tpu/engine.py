@@ -72,14 +72,11 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
             raise RuntimeError(
                 f"native engine unavailable: {native.build_error()}")
 
-        def run(p):
-            low = lower_schedule(channels, start, stop, sample_rate, part=p,
-                                 bucket_samples=bucket_samples)
-            return native.synthesize_native(low)
-
-        if part == 'complex':
-            return run('real') + 1j * run('imag')
-        return run(part)
+        # part='complex' lowers once with both amplitude planes and runs
+        # one pair-mode pass (same fusion as the Pallas kernel)
+        low = lower_schedule(channels, start, stop, sample_rate, part=part,
+                             bucket_samples=bucket_samples)
+        return native.synthesize_native(low)
     if engine == 'numpy':
         t = np.arange(start, stop, 1 / sample_rate)
         vals = [np.asarray(ch(t)) for ch in channels]

@@ -147,6 +147,9 @@ def build_error() -> str | None:
 def synthesize_native(low, n_threads: int = 0) -> np.ndarray:
     """Synthesize a LoweredSchedule on the CPU -> (C, N) float64.
 
+    Schedules lowered with ``part='complex'`` (carrying an ``amp_im``
+    plane) run in pair mode -- one factor-product pass scaled by both
+    amplitude planes -- and return complex128.
     ``n_threads=0`` uses the OpenMP default (all cores).
     """
     lib = _load()
@@ -156,7 +159,9 @@ def synthesize_native(low, n_threads: int = 0) -> np.ndarray:
     from ..ops.lowering import W_ARGS
 
     C, NB, Sb, T, F = low.shape
+    pair = getattr(low, 'amp_im', None) is not None
     out = np.empty((C, low.n_samples), dtype=np.float64)
+    out_im = np.empty((C, low.n_samples), dtype=np.float64) if pair else None
 
     clip = np.stack([low.clip_min, low.clip_max], axis=1)
     # contiguous, correctly-typed holders kept alive for the call duration
@@ -165,6 +170,8 @@ def synthesize_native(low, n_threads: int = 0) -> np.ndarray:
              low.power, low.shift_hi, low.q32)]
     f32s = [np.ascontiguousarray(x, dtype=np.float32) for x in
             (low.amp, low.args, clip)]
+    amp_im = (np.ascontiguousarray(low.amp_im, dtype=np.float32)
+              if pair else None)
     ext = np.ascontiguousarray(
         low.ext if low.ext is not None and low.ext.size else np.zeros(1),
         dtype=np.float64)
@@ -175,15 +182,21 @@ def synthesize_native(low, n_threads: int = 0) -> np.ndarray:
     def fp(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
+    def dp(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
     seg_lo, seg_hi, nterm, nfac, op, power, shift_hi, q32 = i32s
     amp, args, clipf = f32s
     lib.wavecore_synthesize(
         ip(seg_lo), ip(seg_hi), ip(nterm), ip(nfac), fp(amp), ip(op),
-        ip(power), ip(shift_hi), ip(q32), fp(args),
-        ext.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), fp(clipf),
+        ip(power), ip(shift_hi), ip(q32), fp(args), dp(ext), fp(clipf),
         ctypes.c_int32(C), ctypes.c_int32(NB), ctypes.c_int32(Sb),
         ctypes.c_int32(T), ctypes.c_int32(F), ctypes.c_int32(W_ARGS),
         ctypes.c_int64(low.n_samples), ctypes.c_int64(low.bucket_samples),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dp(out),
+        fp(amp_im) if pair else None,
+        dp(out_im) if pair else None,
         ctypes.c_int32(n_threads))
+    if pair:
+        return out + 1j * out_im
     return out

@@ -357,7 +357,10 @@ extern "C" {
 
 // Synthesize all channels into out[C * n_samples] (double, zero-initialized
 // here).  Descriptor arrays use the (C, NB, Sb, T, F, W) flattened layout of
-// waveforms_tpu.ops.lowering.LoweredSchedule.
+// waveforms_tpu.ops.lowering.LoweredSchedule.  When amp_im/out_im are
+// non-null (pair mode, part='complex' schedules), each term's factor
+// product is computed once and scaled by both amplitude planes into the
+// two outputs -- the CPU analog of the Pallas kernel's pair mode.
 void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
                          const int32_t* nterm, const int32_t* nfac,
                          const float* amp, const int32_t* op,
@@ -367,7 +370,9 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
                          const float* clip, int32_t C, int32_t NB,
                          int32_t Sb, int32_t T, int32_t F, int32_t W,
                          int64_t n_samples, int64_t bucket_samples,
-                         double* out, int32_t n_threads) {
+                         double* out, const float* amp_im, double* out_im,
+                         int32_t n_threads) {
+  const bool pair = amp_im != nullptr && out_im != nullptr;
 #if defined(_OPENMP)
   if (n_threads > 0) omp_set_num_threads(n_threads);
 #endif
@@ -380,6 +385,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
   for (int64_t i = 0; i < static_cast<int64_t>(C) * n_samples; i += 65536) {
     const int64_t n = std::min<int64_t>(65536, C * n_samples - i);
     std::memset(out + i, 0, sizeof(double) * n);
+    if (pair) std::memset(out_im + i, 0, sizeof(double) * n);
   }
 #if defined(_OPENMP)
 #pragma omp parallel for collapse(2) schedule(dynamic, 1)
@@ -388,6 +394,8 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
     for (int32_t b = 0; b < NB; ++b) {
       ScopedFlushToZero ftz;
       double* ch = out + static_cast<int64_t>(c) * n_samples;
+      double* chi = pair ? out_im + static_cast<int64_t>(c) * n_samples
+                         : nullptr;
       const double cmin = clip[2 * c];
       const double cmax = clip[2 * c + 1];
       const bool has_clip = !(std::isinf(cmin) && std::isinf(cmax));
@@ -406,6 +414,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
         for (int32_t t = 0; t < nt; ++t) {
           const int64_t ti = si * T + t;
           const double a0 = amp[ti];
+          const double a0i = pair ? amp_im[ti] : 0.0;
           const int32_t nf = nfac[ti];
           // F is host-padded; descriptor factor counts never exceed the
           // static factor axis, but guard anyway rather than truncate
@@ -423,14 +432,22 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
             const int n = static_cast<int>(std::min<int64_t>(kBlock,
                                                              hi - blk));
 #pragma omp simd
-            for (int i = 0; i < n; ++i) prod[i] = a0;
+            for (int i = 0; i < n; ++i) prod[i] = pair ? 1.0 : a0;
             for (int f = 0; f < n_use; ++f) {
               eval_factor_block(facs[f], blk, n, fbuf);
 #pragma omp simd
               for (int i = 0; i < n; ++i) prod[i] *= fbuf[i];
             }
+            if (pair) {
 #pragma omp simd
-            for (int i = 0; i < n; ++i) ch[blk - 0 + i] += prod[i];
+              for (int i = 0; i < n; ++i) {
+                ch[blk + i] += a0 * prod[i];
+                chi[blk + i] += a0i * prod[i];
+              }
+            } else {
+#pragma omp simd
+              for (int i = 0; i < n; ++i) ch[blk + i] += prod[i];
+            }
           }
         }
         if (has_clip) {
@@ -440,12 +457,15 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
           // semantics: clip applies per non-zero part only).
           for (int64_t i = lo; i < hi; ++i)
             ch[i] = std::min(std::max(ch[i], cmin), cmax);
+          if (pair)
+            for (int64_t i = lo; i < hi; ++i)
+              chi[i] = std::min(std::max(chi[i], cmin), cmax);
         }
       }
     }
   }
 }
 
-int32_t wavecore_version() { return 2; }
+int32_t wavecore_version() { return 3; }
 
 }  // extern "C"
