@@ -1,0 +1,80 @@
+"""Sequence tables: K schedules stacked on device, played by traced index."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveforms_tpu import cos, cosPulse, drag_sin, gaussian, square
+from waveforms_tpu.ops.lowering import lower_schedule
+from waveforms_tpu.ops.pallas_synth import DeviceSchedule, synthesize_device
+from waveforms_tpu.ops.sequencer import Sequencer
+
+SPAN, FS = 1e-6, 2e9
+
+
+def build_lows(part='real'):
+    schemes = [
+        [gaussian(100e-9) >> 0.3e-6, cosPulse(80e-9) >> 0.7e-6],
+        [0.7 * square(200e-9, edge=20e-9) >> 0.5e-6,
+         drag_sin(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                  block_freq=(151e6,), phase=0.1) >> 0.4e-6],
+        [gaussian(60e-9) * cos(2 * np.pi * 150e6) >> 0.2e-6,
+         cosPulse(50e-9) >> 0.8e-6],
+    ]
+    return [lower_schedule(ch, 0, SPAN, FS, part=part) for ch in schemes]
+
+
+def test_play_matches_individual_schedules():
+    lows = build_lows()
+    seq = Sequencer(lows)
+    for k in range(3):
+        a = np.asarray(seq.play(k, rows_per_tile=8, interpret=True))
+        b = np.asarray(synthesize_device(DeviceSchedule(lows[k]),
+                                         rows_per_tile=8, interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_traced_index_shot_loop():
+    seq = Sequencer(build_lows())
+
+    @jax.jit
+    def shots(idx):
+        def body(i, acc):
+            return acc + seq.play(idx[i], rows_per_tile=8,
+                                  interpret=True).sum()
+        return jax.lax.fori_loop(0, idx.shape[0], body, jnp.float32(0))
+
+    expect = sum(float(np.asarray(seq.play(k, rows_per_tile=8,
+                                           interpret=True)).sum())
+                 for k in [0, 1, 2, 1])
+    got = float(shots(jnp.asarray([0, 1, 2, 1], jnp.int32)))
+    assert abs(got - expect) < 1e-2 * max(abs(expect), 1)
+
+
+def test_complex_table():
+    lows = build_lows(part='complex')
+    seq = Sequencer(lows)
+    assert seq.pair
+    out = np.asarray(seq.play(1, rows_per_tile=8, interpret=True))
+    ref = np.asarray(synthesize_device(DeviceSchedule(lows[1]),
+                                       rows_per_tile=8, interpret=True))
+    assert out.dtype == np.complex64
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_table_shape_mismatch_rejected():
+    a = lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN, FS)
+    b = lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN / 2, FS)
+    with pytest.raises(ValueError, match="share"):
+        Sequencer([a, b])
+    with pytest.raises(ValueError, match="empty"):
+        Sequencer([])
+
+
+def test_mixed_real_complex_rejected():
+    a = lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN, FS)
+    b = lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN, FS,
+                       part='complex')
+    with pytest.raises(ValueError, match="mix"):
+        Sequencer([a, b])

@@ -6,6 +6,7 @@ from .jax_eval import compile_waveform, evaluate, sample_waveform
 from .lowering import (LoweredSchedule, UnsupportedFactor, lower_schedule)
 from .pallas_synth import (DeviceSchedule, synthesize, synthesize_device,
                            synthesize_lowered)
+from .sequencer import Sequencer
 from .streaming import synthesize_stream
 
 __all__ = [
@@ -13,5 +14,5 @@ __all__ = [
     'sosfilt', 'lfilter', 'predistort_jax',
     'LoweredSchedule', 'UnsupportedFactor', 'lower_schedule',
     'DeviceSchedule', 'synthesize', 'synthesize_device',
-    'synthesize_lowered', 'synthesize_stream',
+    'synthesize_lowered', 'synthesize_stream', 'Sequencer',
 ]

@@ -1,0 +1,155 @@
+"""Device-resident sequence tables: K schedules uploaded once, played by index.
+
+Lab control systems run *sequences*: a table of pre-compiled waveform
+programs selected per shot (randomized benchmarking orders, parameter
+sweeps, conditional branches).  The reference's model for this is AWG
+waveform memory -- upload everything, then trigger by index.  Here the
+analog is a stacked descriptor tensor set: every schedule's (seg, term,
+factor) arrays pad to a common shape and stack along a leading K axis, and
+``play(k)`` gathers slice ``k`` *inside jit* and runs the synthesis
+kernel -- so ``k`` may be a traced value (a ``lax.fori_loop`` counter, a
+measurement-dependent branch) and the kernel compiles exactly once for the
+whole table.
+
+Zero-padding descriptors is sound by construction: padded segment rows have
+``nterm == 0`` (skipped) and padded factor rows sit behind ``nfac`` counts.
+
+Reference parity note: the reference has no sequencer; this is new TPU-
+native surface (SURVEY.md section 2.4 -- channel batching generalized to
+schedule batching).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .lowering import N_OPS, UnsupportedFactor, W_ARGS, LoweredSchedule
+
+__all__ = ['Sequencer']
+
+
+def _pad_to(arr: np.ndarray, shape) -> np.ndarray:
+    widths = [(0, s - a) for a, s in zip(arr.shape, shape)]
+    return np.pad(arr, widths)
+
+
+class Sequencer:
+    """Stack lowered schedules into one device-resident sequence table.
+
+    All schedules must share channel count, sample count, sample rate and
+    bucketing (lower them with the same ``bucket_samples``).  ``play(k)``
+    returns the (C, N) synthesis of schedule ``k``; complex (pair-mode)
+    tables require every schedule to be lowered with ``part='complex'``.
+    """
+
+    def __init__(self, schedules: list[LoweredSchedule]):
+        import jax.numpy as jnp
+
+        if not schedules:
+            raise ValueError("empty sequence table")
+        first = schedules[0]
+        for low in schedules:
+            if not low.pallas_ok:
+                raise UnsupportedFactor(
+                    "schedule uses opcodes or ext sizes outside the kernel")
+            if (low.shape[0], low.n_samples, low.sample_rate,
+                    low.bucket_samples, low.shape[1]) != (
+                    first.shape[0], first.n_samples, first.sample_rate,
+                    first.bucket_samples, first.shape[1]):
+                raise ValueError(
+                    "sequence schedules must share channels, samples, "
+                    "sample rate and bucketing")
+        pair = [low.amp_im is not None for low in schedules]
+        if any(pair) and not all(pair):
+            raise ValueError("mix of real and complex (part='complex') "
+                             "schedules in one table")
+        self.pair = pair[0]
+
+        C, NB = first.shape[0], first.shape[1]
+        Sb = max(low.shape[2] for low in schedules)
+        T = max(low.shape[3] for low in schedules)
+        F = max(low.shape[4] for low in schedules)
+        self.shape = (C, NB, Sb, T, F)
+        self.n_samples = first.n_samples
+        self.bucket_samples = first.bucket_samples
+        self.n_schedules = len(schedules)
+
+        # joint compact opcode numbering across the whole table
+        present = np.unique(np.concatenate(
+            [np.unique(low.op) for low in schedules]))
+        self.ops_present = tuple(int(o) for o in present)
+        remap = np.zeros(N_OPS, np.int32)
+        for i, o in enumerate(self.ops_present):
+            remap[o] = i
+
+        e_max = max((int(low.ext.size) if low.ext is not None else 0)
+                    for low in schedules)
+        E = max(-(-max(e_max, 1) // 256) * 256, 256)
+
+        def stack(get, shape, dtype=None):
+            out = np.stack([_pad_to(np.asarray(get(low)), shape)
+                            for low in schedules])
+            return jnp.asarray(out if dtype is None else out.astype(dtype))
+
+        self.tensors = (
+            stack(lambda l: l.seg_lo, (C, NB, Sb)).reshape(-1, C, NB, 1, Sb),
+            stack(lambda l: l.seg_hi, (C, NB, Sb)).reshape(-1, C, NB, 1, Sb),
+            stack(lambda l: l.nterm, (C, NB, Sb)).reshape(-1, C, NB, 1, Sb),
+            stack(lambda l: l.nfac, (C, NB, Sb, T)).reshape(
+                -1, C, NB, 1, Sb * T),
+            stack(lambda l: l.amp, (C, NB, Sb, T)).reshape(
+                -1, C, NB, 1, Sb * T),
+            stack(lambda l: remap[l.op], (C, NB, Sb, T, F)).reshape(
+                -1, C, NB, 1, Sb * T * F),
+            stack(lambda l: l.power, (C, NB, Sb, T, F)).reshape(
+                -1, C, NB, 1, Sb * T * F),
+            stack(lambda l: l.shift_hi, (C, NB, Sb, T, F)).reshape(
+                -1, C, NB, 1, Sb * T * F),
+            stack(lambda l: l.q32, (C, NB, Sb, T, F, 4)).reshape(
+                -1, C, NB, 1, Sb * T * F * 4),
+            stack(lambda l: l.args, (C, NB, Sb, T, F, W_ARGS)).reshape(
+                -1, C, NB, 1, Sb * T * F * W_ARGS),
+            stack(lambda l: (np.pad(
+                np.asarray(l.ext if l.ext is not None else np.zeros(0),
+                           np.float32), (0, E - (l.ext.size if l.ext is not
+                                                 None else 0)))), (E,)
+                  ).reshape(-1, 1, 1, 1, E),
+            stack(lambda l: np.stack([l.clip_min, l.clip_max], 1),
+                  (C, 2)).reshape(-1, C, 1, 1, 2),
+        )
+        self.amp_im = (stack(lambda l: l.amp_im, (C, NB, Sb, T)).reshape(
+            -1, C, NB, 1, Sb * T) if self.pair else None)
+
+    def play(self, k, rows_per_tile: int = 16, interpret: bool = False):
+        """Synthesize schedule ``k`` (int or traced int32) -> (C, N).
+
+        Safe inside jit/scan: the gather and the kernel trace once for the
+        whole table.
+        """
+        import jax.numpy as jnp
+
+        from .pallas_synth import _run_kernel
+
+        C, NB, Sb, T, F = self.shape
+        R = rows_per_tile
+        tile = R * 128
+        if NB > 1 and self.bucket_samples % tile != 0:
+            raise ValueError(
+                f"bucket_samples {self.bucket_samples} must be a multiple "
+                f"of the tile ({tile})")
+        G = max(self.bucket_samples // tile, 1)
+        n_rows = -(-self.n_samples // 128)
+        n_rows = -(-n_rows // R) * R
+        # mode='clip': out-of-range indices clamp to the table edges (the
+        # default 'fill' mode would synthesize from zero/NaN descriptors)
+        sel = [jnp.take(t, k, axis=0, mode='clip') for t in self.tensors]
+        amp_im = (jnp.take(self.amp_im, k, axis=0, mode='clip')
+                  if self.amp_im is not None else None)
+        out = _run_kernel(
+            jnp.zeros((1, 1, 1, 1), jnp.int32), *sel, amp_im,
+            S=Sb, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
+            ops_present=self.ops_present, interpret=interpret)
+        if self.pair:
+            re, im = out
+            out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
+        return out.reshape(C, n_rows * 128)[:, :self.n_samples]
