@@ -63,6 +63,27 @@ def test_complex_table():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_run_sequence_shot_pipeline():
+    """Shot table -> per-shot IQ via scan: selective demodulation."""
+    from waveforms_tpu.parallel import run_sequence
+    lows = [lower_schedule([gaussian(100e-9) * cos(2 * np.pi * 100e6)
+                            >> 0.3e-6], 0, SPAN, FS),
+            lower_schedule([cosPulse(80e-9) * cos(2 * np.pi * 150e6)
+                            >> 0.5e-6], 0, SPAN, FS)]
+    seq = Sequencer(lows)
+    iq = np.asarray(run_sequence(seq, [0, 1, 0], demod_freqs=[100e6, 150e6],
+                                 rows_per_tile=8, interpret=True))
+    assert iq.shape == (3, 1, 2)
+    # each shot's schedule demodulates onto its own tone, not the other
+    assert np.abs(iq[0, 0, 0]) > 100 * np.abs(iq[0, 0, 1])
+    assert np.abs(iq[1, 0, 1]) > 100 * np.abs(iq[1, 0, 0])
+    np.testing.assert_allclose(iq[2], iq[0], atol=1e-9)
+    # no demod -> stacked signals
+    sig = np.asarray(run_sequence(seq, [0, 1], rows_per_tile=8,
+                                  interpret=True))
+    assert sig.shape == (2, 1, int(SPAN * FS))
+
+
 def test_table_shape_mismatch_rejected():
     a = lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN, FS)
     b = lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN / 2, FS)

@@ -71,6 +71,7 @@ class Sequencer:
         F = max(low.shape[4] for low in schedules)
         self.shape = (C, NB, Sb, T, F)
         self.n_samples = first.n_samples
+        self.sample_rate = first.sample_rate
         self.bucket_samples = first.bucket_samples
         self.n_schedules = len(schedules)
 

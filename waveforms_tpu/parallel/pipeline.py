@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ops.lowering import LoweredSchedule
 from .mesh import synthesize_sharded
 
-__all__ = ['make_step', 'run_step']
+__all__ = ['make_step', 'run_step', 'run_sequence']
 
 
 def make_step(low: LoweredSchedule, mesh, ba_filters=None, demod_freqs=None,
@@ -92,3 +92,56 @@ def run_step(channels, start, stop, sample_rate, mesh, ba_filters=None,
     low = lower_schedule(channels, start, stop, sample_rate)
     return make_step(low, mesh, ba_filters=ba_filters,
                      demod_freqs=demod_freqs, **kw)()
+
+
+def run_sequence(seq, indices, ba_filters=None, demod_freqs=None,
+                 rows_per_tile: int = 16, interpret: bool = False):
+    """Run a shot table through a :class:`~waveforms_tpu.ops.Sequencer`.
+
+    ``indices`` is the per-shot schedule-index array (int32, length =
+    number of shots; e.g. a randomized-benchmarking order).  Each shot
+    synthesizes via ``seq.play`` (one kernel compile for the whole table),
+    applies the optional pre-compensation IIR and demodulates against the
+    tone comb -- a ``lax.scan`` carries only the per-shot IQ points, so
+    memory stays bounded at one shot's signal regardless of shot count.
+
+    Returns ``iq`` of shape (n_shots, C, n_tones) complex when
+    ``demod_freqs`` is given, otherwise the stacked signals
+    (n_shots, C, N).
+    """
+    zi = None
+    ba = None
+    if ba_filters:
+        from scipy.signal import lfiltic
+
+        from ..distortion import combine_filters
+        b, a = combine_filters(ba_filters)
+        zi = jnp.asarray(lfiltic(b, a, np.zeros(len(a) - 1),
+                                 np.zeros(len(b) - 1)))
+        ba = (b, a)
+
+    demod = None
+    if demod_freqs is not None:
+        from ..ops.demod import demod_matrix
+        demod = jnp.asarray(demod_matrix(demod_freqs, seq.n_samples,
+                                         seq.sample_rate))
+
+    @jax.jit
+    def shots(idx):
+        def one(carry, k):
+            sig = seq.play(k, rows_per_tile=rows_per_tile,
+                           interpret=interpret)
+            if ba is not None:
+                from ..ops.iir import lfilter
+                sig = jax.vmap(
+                    lambda x: lfilter(ba[0], ba[1], x, zi=zi)[0])(sig)
+            if demod is not None:
+                out = jnp.einsum('cn,nk->ck', sig.astype(demod.dtype), demod)
+            else:
+                out = sig
+            return carry, out
+
+        _, outs = jax.lax.scan(one, 0, idx)
+        return outs
+
+    return shots(jnp.asarray(indices, dtype=jnp.int32))
