@@ -1,0 +1,70 @@
+"""Randomized-benchmarking-style shot loop on a device-resident table.
+
+Builds K gate-sequence schedules, uploads them once as a Sequencer table,
+then runs a randomized shot order through synthesis -> pre-compensation ->
+MXU demodulation with a single kernel compilation.
+
+    python examples/sequence_table.py
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import os
+
+    import jax
+
+    # WFTPU_EXAMPLE_CPU=1 forces the CPU interpreter (e.g. when the TPU
+    # terminal is unavailable); NB the config call must precede any
+    # backend-initializing jax call on this platform.
+    if os.environ.get('WFTPU_EXAMPLE_CPU'):
+        jax.config.update('jax_platforms', 'cpu')
+    interpret = jax.default_backend() != 'tpu'
+
+    from waveforms_tpu import cosPulse, mixing, zero
+    from waveforms_tpu.ops import Sequencer, lower_schedule
+    from waveforms_tpu.parallel import run_sequence
+
+    fs, span = 2e9, 2e-6
+    rng = np.random.default_rng(0)
+
+    # -- K random Clifford-train schedules (one XY channel each) ----------
+    def gate_train(n_gates):
+        ch = zero()
+        for g in range(n_gates):
+            I, _ = mixing(0.5 * cosPulse(20e-9) >> (0.2e-6 + g * 0.1e-6),
+                          freq=-150e6, phase=rng.uniform(0, 2 * np.pi),
+                          DRAGScaling=1e-10)
+            ch += I
+        return [ch]
+
+    K = 6
+    lows = [lower_schedule(gate_train(rng.integers(2, 12)), 0, span, fs)
+            for _ in range(K)]
+    seq = Sequencer(lows)
+    print(f"table: {K} schedules, padded descriptors {seq.shape}, "
+          f"opcodes {seq.ops_present}")
+
+    # -- randomized shot order, demodulated at the drive IF ----------------
+    shots = rng.integers(0, K, size=32)
+    iq = np.asarray(run_sequence(seq, shots, demod_freqs=[150e6],
+                                 rows_per_tile=8, interpret=interpret))
+    print(f"ran {len(shots)} shots -> IQ {iq.shape} {iq.dtype}")
+    # |IQ| grows with the number of gates in the selected schedule
+    mags = np.abs(iq[:, 0, 0])
+    for k in range(K):
+        sel = mags[np.asarray(shots) == k]
+        if sel.size:
+            assert np.allclose(sel, sel[0], rtol=1e-5), "shot-order leak!"
+    print("per-schedule IQ consistent across the randomized order")
+    print("example |IQ| per shot:", np.round(mags[:8], 4))
+
+
+if __name__ == '__main__':
+    main()
