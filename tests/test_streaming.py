@@ -57,3 +57,37 @@ def test_stream_with_filters_matches_host():
                                 filters=(sos, 0.0), interpret=True)]
     got = np.concatenate(chunks, axis=1)[0]
     np.testing.assert_allclose(got, host, atol=2e-7)
+
+
+def test_stream_complex_pair_with_filters():
+    """Complex (pair-mode) streaming: chunks equal one-shot; SOS filtering
+    applies to the planes independently with carried state."""
+    from scipy.signal import sosfilt as sp_sosfilt
+
+    from waveforms_tpu import mixing
+    I, Q = mixing(0.5 * cosPulse(50e-9), freq=-80e6, DRAGScaling=1e-10)
+    rng = np.random.default_rng(2)
+    stack = WaveVStack([((I + 1j * Q) >> o)
+                        for o in rng.uniform(0, 7e-6, 30)])
+    low = lower_schedule([stack], 0, 8.192e-6, 2e9, part='complex',
+                         bucket_samples=2048)
+    dev = DeviceSchedule(low)
+    whole = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True))
+    chunks = [np.asarray(c) for c in
+              synthesize_stream(dev, chunk_rows=32, rows_per_tile=8,
+                                interpret=True)]
+    got = np.concatenate(chunks, axis=1)
+    assert got.dtype == np.complex64
+    np.testing.assert_array_equal(got, whole)
+
+    b, a = butter(3, 0.05)
+    sos = tf2sos(b, a)
+    fchunks = [np.asarray(c) for c in
+               synthesize_stream(dev, chunk_rows=32, rows_per_tile=8,
+                                 filters=(sos, 0), interpret=True)]
+    fgot = np.concatenate(fchunks, axis=1)
+    ref = (sp_sosfilt(sos, whole[0].real.astype(float))
+           + 1j * sp_sosfilt(sos, whole[0].imag.astype(float)))
+    scale = np.abs(ref).max()
+    assert np.abs(fgot[0] - ref).max() / scale < 2e-6

@@ -33,6 +33,8 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
     ``filters = (sos, initial)`` applies per-channel SOS filtering with
     state carried across chunks (matching the host streaming semantics).
     The final chunk is trimmed to the schedule's sample count.
+    Complex (pair-mode) schedules stream complex64 chunks; SOS filtering
+    applies to the real and imaginary planes independently.
     """
     C, NB, S, T, F = dev.shape
     R = rows_per_tile
@@ -76,20 +78,45 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
                 return sl
 
             tensors = [window(x) for x in dev.tensors]
+            amp_im = window(dev.amp_im) if dev.amp_im is not None else None
         else:
             tensors = list(dev.tensors)
-        out = _run_kernel(row0, *tensors, S=S, T=T, F=F, R=R,
+            amp_im = dev.amp_im
+        out = _run_kernel(row0, *tensors, amp_im, S=S, T=T, F=F, R=R,
                           n_rows=chunk_rows, tiles_per_bucket=G,
                           ops_present=dev.ops_present, interpret=interpret)
+        if amp_im is not None:
+            re, im = out
+            out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
         sig = out.reshape(C, chunk_rows * 128)
 
         if filters is not None:
-            sig = sig.astype(sos.dtype)  # f64 filtering under x64
-            if initial:
-                sig = sig - initial
-            sig, zi = jax.vmap(lambda x, z: sosfilt(sos, x, zi=z))(sig, zi)
-            if initial:
-                sig = sig + initial
+            if jnp.iscomplexobj(sig):
+                # filter the planes independently with separate state
+                if zi.shape[0] == C:  # first chunk: split the state too
+                    zi = jnp.stack([zi, zi])
+                re = sig.real.astype(sos.dtype)
+                im = sig.imag.astype(sos.dtype)
+                if initial:
+                    re = re - initial
+                    im = im - initial
+                re, z0 = jax.vmap(lambda x, z: sosfilt(sos, x, zi=z))(
+                    re, zi[0])
+                im, z1 = jax.vmap(lambda x, z: sosfilt(sos, x, zi=z))(
+                    im, zi[1])
+                zi = jnp.stack([z0, z1])
+                if initial:
+                    re = re + initial
+                    im = im + initial
+                sig = re + 1j * im
+            else:
+                sig = sig.astype(sos.dtype)  # f64 filtering under x64
+                if initial:
+                    sig = sig - initial
+                sig, zi = jax.vmap(lambda x, z: sosfilt(sos, x, zi=z))(sig,
+                                                                       zi)
+                if initial:
+                    sig = sig + initial
 
         remaining = dev.n_samples - emitted
         if remaining < sig.shape[1]:
