@@ -114,3 +114,34 @@ def test_fuzz_pallas_vs_oracle(seed):
                                        interpret=True))
     errs = oracle_and_errs(chans, out)
     assert max(errs) < 5e-6, f"seed {seed}: per-channel rel errs {errs}"
+
+
+@pytest.mark.parametrize('seed', range(2))
+def test_fuzz_complex_pair(seed):
+    """Random complex-amplitude schedules: pair engines vs oracle."""
+    from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,
+                                                synthesize_device)
+    rng = np.random.default_rng(3000 + seed)
+    chans = [(rng.uniform(0.3, 1.0) + 1j * rng.uniform(0.3, 1.0))
+             * random_channel(rng) for _ in range(2)]
+    for ch in chans:  # complex clip is a documented divergence: disable
+        ch.max, ch.min = np.inf, -np.inf
+    low = lower_schedule(chans, 0, SPAN, FS, part='complex')
+    t = np.arange(0, SPAN, 1 / FS)
+    # WaveVStack.__call__ takes .real (reference convention); complex
+    # parity compares against the stack's complex accumulation
+    oras = [np.asarray((ch.simplify() if isinstance(ch, WaveVStack)
+                        else ch)(t)).astype(complex) for ch in chans]
+
+    out_n = native.synthesize_native(low)
+    for i, ora in enumerate(oras):
+        scale = max(np.abs(ora).max(), 1e-3)
+        assert np.abs(out_n[i] - ora).max() / scale < 5e-6, f"native ch{i}"
+
+    if low.pallas_ok:
+        out_p = np.asarray(synthesize_device(DeviceSchedule(low),
+                                             rows_per_tile=8,
+                                             interpret=True))
+        for i, ora in enumerate(oras):
+            scale = max(np.abs(ora).max(), 1e-3)
+            assert np.abs(out_p[i] - ora).max() / scale < 5e-6, f"pallas ch{i}"

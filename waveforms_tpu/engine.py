@@ -55,9 +55,12 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     if engine == 'xla':
         import jax.numpy as jnp
 
+        from .core import WaveVStack
         from .ops.jax_eval import evaluate
         t = jnp.asarray(np.arange(start, stop, 1 / sample_rate))
-        vals = [evaluate(ch, t) for ch in channels]
+        vals = [evaluate(ch.simplify() if part != 'real'
+                         and isinstance(ch, WaveVStack) else ch, t)
+                for ch in channels]
         if part == 'real':
             vals = [v.real for v in vals]
         elif part == 'imag':
@@ -78,8 +81,15 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
                              bucket_samples=bucket_samples)
         return native.synthesize_native(low)
     if engine == 'numpy':
+        from .core import WaveVStack
         t = np.arange(start, stop, 1 / sample_rate)
-        vals = [np.asarray(ch(t)) for ch in channels]
+        # WaveVStack.__call__ returns the REAL part (reference physical-
+        # output convention); for 'imag'/'complex' use the stack's complex
+        # accumulation (simplify -> Waveform) to match the descriptor
+        # engines, which lower the complex amplitudes directly.
+        vals = [np.asarray((ch.simplify() if part != 'real'
+                            and isinstance(ch, WaveVStack) else ch)(t))
+                for ch in channels]
         if part == 'real':
             vals = [np.real(v) for v in vals]
         elif part == 'imag':
