@@ -20,10 +20,13 @@ measured dense single-core CPU rate of 0.031 GS/s, BASELINE.md).
 Prints exactly one JSON line.
 """
 
+import contextlib
 import json
 import time
 
 import numpy as np
+
+_nullcontext = contextlib.nullcontext
 
 REPS = 10
 
@@ -99,17 +102,25 @@ def main():
             return acc + out[0, 0, 0]
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    # Accuracy spot-check FIRST, in interpreter mode (pure XLA ops): the
-    # dev terminal has a fault where device->host reads abort after any
-    # compiled pallas program has executed, so all value readbacks happen
-    # before the first real kernel launch.  (Full engine parity is covered
-    # by the test suite; this guards the exact bench configuration.)
+    # Accuracy spot-check FIRST, in interpreter mode (pure XLA ops) pinned
+    # to the HOST CPU backend: the dev terminal has a fault where
+    # device->host reads abort, so no value readback may touch the TPU --
+    # the only TPU interaction is the d2h-free compiled kernel below.
+    # (Full engine parity is covered by the test suite; this guards the
+    # exact bench configuration.)
     from waveforms_tpu.ops.pallas_synth import synthesize_device
     small = build_schedule(n_channels=4, seed=3)
     small_stop = 4.096e-6
     low_s = lower_schedule(small, start, small_stop, fs)
-    out_s = np.asarray(synthesize_device(DeviceSchedule(low_s),
-                                         rows_per_tile=8, interpret=True))
+    try:
+        cpu0 = jax.local_devices(backend='cpu')[0]
+    except RuntimeError:
+        cpu0 = None
+    ctx = jax.default_device(cpu0) if cpu0 is not None else _nullcontext()
+    with ctx:
+        out_s = np.asarray(synthesize_device(DeviceSchedule(low_s),
+                                             rows_per_tile=8,
+                                             interpret=True))
     t = np.arange(start, small_stop, 1 / fs)
     for ci in range(len(small)):
         oracle = small[ci](t)
