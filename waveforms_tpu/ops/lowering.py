@@ -39,7 +39,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..core import Waveform, WaveVStack
+from ..core import WaveVStack
 from ..ir import registry as _reg
 from ..ir.algebra import ZERO
 
