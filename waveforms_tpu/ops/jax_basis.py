@@ -10,8 +10,11 @@ over the sample grid.
 User functions registered via ``registerBaseFunc``/``function()`` without a
 traceable lowering fall back to ``jax.pure_callback`` onto the numpy oracle.
 
-Numerics follow the oracle table in :mod:`waveforms_tpu.ir.registry`; with
-``jax_enable_x64`` the results agree with numpy float64 to ~1 ulp.
+Numerics follow the oracle table in :mod:`waveforms_tpu.ir.registry`
+(definitions mirror the reference's basis bodies,
+``/root/reference/waveforms/_waveform.pyx:290-388`` and
+``multy_drag.py:177,213``); with ``jax_enable_x64`` the results agree with
+numpy float64 to ~1 ulp.
 """
 
 from __future__ import annotations

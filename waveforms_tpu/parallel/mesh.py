@@ -9,6 +9,10 @@ crossing time shards (the associative scan's carry rides ICI) and FFT
 pipelines; XLA's SPMD partitioner inserts those when the sharded result
 flows into :mod:`waveforms_tpu.ops.iir` / ``ops.fft`` under ``jit``.
 
+The reference's nearest analog is WaveVStack's Python loop over channels
+(``/root/reference/waveforms/waveform.py:679-693``); here that batching
+axis becomes a mesh dimension.
+
 Layout guidance (scaling-book recipe): put the channel axis on the mesh's
 fastest-varying ICI dimension; channels are fully independent so channel
 sharding scales linearly to any mesh size, while time sharding is preferred

@@ -8,7 +8,11 @@ One call builds everything a control stack runs per experiment shot:
 3. optional MXU readout demodulation against a tone comb (psum over the
    sharded sample axis).
 
-``make_step`` returns a jitted callable so repeated shots pay zero retrace;
+The per-shot flow mirrors lab usage of the reference (sample ->
+``predistort``, ``/root/reference/waveforms/distortion.py:289-337`` ->
+demodulate via ``utils.getFTMatrix``, ``utils.py:35-84``) as one fused
+device program.  ``make_step`` returns a jitted callable so repeated
+shots pay zero retrace;
 descriptor tensors live on device via :class:`DeviceSchedule` semantics
 (sharded by :func:`waveforms_tpu.parallel.shard_schedule`).
 """
