@@ -1,48 +1,70 @@
-"""CLI: ``python -m waveforms_tpu sample "cosPulse(20)" out.npy``.
+"""CLI entry point: ``python -m waveforms_tpu sample "cosPulse(20)" out.npy``.
 
-Mirrors the reference console script (``/root/reference/waveforms/
-__main__.py``) with an extra ``--engine`` flag selecting host-oracle or TPU
-synthesis.
+Behavior-compatible with the reference console script
+(``/root/reference/waveforms/__main__.py:4-35``), including its quirks:
+click infers INT for ``-a/-b/-l/-A`` from the integer defaults, and
+``--duration`` only takes effect while ``--stop`` still has its default
+value.  Adds an ``--engine`` flag selecting the host oracle or the XLA/TPU
+path.
 """
 
 import click
 
+_SAMPLE_OPTIONS = (
+    ('--sample-rate', '-S', 44100, 'Sample rate in Hz'),
+    ('--start', '-a', 0, 'Start time in seconds'),
+    ('--duration', '-l', -1, 'Duration in seconds'),
+    ('--stop', '-b', 1, 'Stop time in seconds'),
+    ('--amplitude', '-A', 1, 'Amplitude'),
+)
+
+
+def _resolve_window(wav, start, duration, stop, sample_rate):
+    # reference quirk: duration applies only when stop is untouched (== 1)
+    wav.start = start
+    wav.stop = start + duration if (duration > 0 and stop == 1) else stop
+    wav.sample_rate = sample_rate
+    return wav
+
+
+def _synthesize(wav, engine):
+    if engine == 'jax':
+        import numpy as np
+
+        from .ops import sample_waveform
+        return np.asarray(sample_waveform(wav))
+    return wav.sample()
+
 
 @click.group()
 def main():
-    pass
+    """waveforms_tpu command line."""
 
 
-@main.command()
-@click.option('--sample-rate', '-S', default=44100, help='Sample rate in Hz')
-@click.option('--start', '-a', default=0, help='Start time in seconds')
-@click.option('--duration', '-l', default=-1, help='Duration in seconds')
-@click.option('--stop', '-b', default=1, help='Stop time in seconds')
-@click.option('--amplitude', '-A', default=1, help='Amplitude')
-@click.option('--engine', default='numpy',
-              type=click.Choice(['numpy', 'jax']),
-              help='Synthesis engine: host oracle or XLA/TPU')
-@click.argument('waveform', type=str)
-@click.argument('output', type=click.Path(exists=False))
-def sample(sample_rate, start, duration, stop, amplitude, waveform, output,
-           engine):
-    """Sample a waveform expression to a .npy file."""
+def _sample_impl(sample_rate, start, duration, stop, amplitude, waveform,
+                 output, engine):
     import numpy as np
 
     from . import wave_eval
 
-    wav = wave_eval(waveform)
-    wav.start = start
-    if duration > 0 and stop == 1:
-        stop = start + duration
-    wav.stop = stop
-    wav.sample_rate = sample_rate
-    if engine == 'jax':
-        from .ops import sample_waveform
-        points = np.asarray(sample_waveform(wav))
-    else:
-        points = wav.sample()
-    np.save(output, points * amplitude)
+    wav = _resolve_window(wave_eval(waveform), start, duration, stop,
+                          sample_rate)
+    np.save(output, _synthesize(wav, engine) * amplitude)
+
+
+def _build_sample_command():
+    cmd = _sample_impl
+    cmd = click.argument('output', type=click.Path(exists=False))(cmd)
+    cmd = click.argument('waveform', type=str)(cmd)
+    cmd = click.option('--engine', default='numpy',
+                       type=click.Choice(['numpy', 'jax']),
+                       help='Synthesis engine: host oracle or XLA/TPU')(cmd)
+    for flag, short, default, helptext in reversed(_SAMPLE_OPTIONS):
+        cmd = click.option(flag, short, default=default, help=helptext)(cmd)
+    return main.command('sample')(cmd)
+
+
+sample = _build_sample_command()
 
 
 if __name__ == '__main__':
