@@ -666,17 +666,27 @@ def _chirp_windows(phi, a, b, dt):
     fit meets _CHIRP_TOL (or the window is <= 2 samples / the cap hits)."""
     out = []
     stack = [(a, b)]
+    capped = False
     while stack:
         wa, wb = stack.pop()
         _, _, _, err = _quad_fit_vec(phi, [wa], [wb])
         if (err[0] <= _CHIRP_TOL or not np.isfinite(err[0])
                 or wb - wa <= 2 * dt
                 or len(out) + len(stack) >= _CHIRP_MAX_WINDOWS):
+            capped = capped or (err[0] > _CHIRP_TOL and np.isfinite(err[0])
+                                and len(out) + len(stack)
+                                >= _CHIRP_MAX_WINDOWS)
             out.append(wa)
         else:
             mid = 0.5 * (wa + wb)
             stack.append((mid, wb))
             stack.append((wa, mid))
+    if capped:
+        import warnings
+        warnings.warn(
+            f"exotic-chirp windowing hit the {_CHIRP_MAX_WINDOWS}-window "
+            "cap; residual phase error exceeds the fit tolerance on some "
+            "windows (use the xla engine for exact synthesis)")
     return out  # ascending window starts; windows end at the next start / b
 
 
