@@ -379,8 +379,12 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
   // Buckets write disjoint sample windows (segments are clipped to their
   // bucket), so (channel x bucket) parallelism scales even for
   // single-channel schedules on many-core hosts.
+  const int64_t total = static_cast<int64_t>(C) * n_samples;
+  // small schedules: OpenMP spawn + parallel memset cost more than the
+  // whole synthesis -- run serial below ~1M samples
+  const bool small = total < (1 << 20);
 #if defined(_OPENMP)
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (!small)
 #endif
   for (int64_t i = 0; i < static_cast<int64_t>(C) * n_samples; i += 65536) {
     const int64_t n = std::min<int64_t>(65536, C * n_samples - i);
@@ -388,7 +392,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
     if (pair) std::memset(out_im + i, 0, sizeof(double) * n);
   }
 #if defined(_OPENMP)
-#pragma omp parallel for collapse(2) schedule(dynamic, 1)
+#pragma omp parallel for collapse(2) schedule(dynamic, 1) if (!small)
 #endif
   for (int32_t c = 0; c < C; ++c) {
     for (int32_t b = 0; b < NB; ++b) {
