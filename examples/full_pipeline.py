@@ -20,6 +20,11 @@ from waveforms_tpu.ops.lowering import lower_schedule
 
 
 def main():
+    import os
+    if os.environ.get('WFTPU_EXAMPLE_CPU'):
+        # must precede any backend-initializing jax call on this platform
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     fs = 2e9
     start, stop = 0.0, 4e-6
 
