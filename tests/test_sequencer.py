@@ -84,6 +84,27 @@ def test_run_sequence_shot_pipeline():
     assert sig.shape == (2, 1, int(SPAN * FS))
 
 
+def test_run_sequence_filter_matches_scipy():
+    """run_sequence's IIR path pins the lfiltic-zero initial-condition
+    convention (reference predistort semantics)."""
+    from scipy.signal import lfiltic, lfilter as sp_lfilter
+
+    from waveforms_tpu.ops.demod import demod_matrix
+    from waveforms_tpu.parallel import run_sequence
+    lows = [lower_schedule([gaussian(100e-9) * cos(2 * np.pi * 100e6)
+                            >> 0.3e-6], 0, SPAN, FS)]
+    seq = Sequencer(lows)
+    ba = ([1.0, -0.3], [1.0, -0.05])
+    iq = np.asarray(run_sequence(seq, [0], ba_filters=[ba],
+                                 demod_freqs=[100e6], rows_per_tile=8,
+                                 interpret=True))
+    sig = np.asarray(seq.play(0, rows_per_tile=8, interpret=True))[0]
+    zi = lfiltic(ba[0], ba[1], np.zeros(1), np.zeros(1))
+    ref = (sp_lfilter(ba[0], ba[1], sig.astype(float), zi=zi)[0]
+           @ demod_matrix([100e6], seq.n_samples, FS))
+    assert abs(iq[0, 0, 0] - ref[0]) / abs(ref[0]) < 1e-6
+
+
 def test_table_shape_mismatch_rejected():
     a = lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN, FS)
     b = lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN / 2, FS)
