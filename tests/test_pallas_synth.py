@@ -71,6 +71,27 @@ def test_chirps():
           0, 1e-5, 2e9, rtol=2e-6)
 
 
+def test_bf16_output():
+    """bf16 stores halve write bandwidth; accumulation stays f32."""
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,
+                                                synthesize_device)
+    low = lower_schedule([gaussian(2e-7) * cos(2 * np.pi * 1e8)],
+                         -3e-7, 3e-7, 2e9)
+    dev = DeviceSchedule(low)
+    o32 = np.asarray(synthesize_device(dev, rows_per_tile=8, interpret=True))
+    ob = np.asarray(synthesize_device(dev, rows_per_tile=8, interpret=True,
+                                      out_dtype=jnp.bfloat16))
+    assert ob.dtype == jnp.bfloat16
+    # bf16 has 8 mantissa bits: only the final store quantizes
+    assert np.abs(ob.astype(np.float32) - o32).max() < 1 / 128
+    cx = lower_schedule([(1 + 1j) * gaussian(2e-7)], -3e-7, 3e-7, 2e9,
+                        part='complex')
+    with pytest.raises(ValueError, match="f32"):
+        synthesize_device(DeviceSchedule(cx), out_dtype=jnp.bfloat16)
+
+
 def test_complex_pair_fused():
     """part='complex' runs ONE kernel pass with two amplitude planes."""
     from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,

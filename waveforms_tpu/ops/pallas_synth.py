@@ -343,21 +343,23 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
 
     acc0 = (zeros, zeros) if pair else zeros
     acc = jax.lax.fori_loop(0, S, segment_body, acc0)
+    # accumulation stays f32; the store may narrow (bf16 halves the write
+    # bandwidth, which bounds this kernel at full throughput)
     if pair:
-        out_ref[0] = acc[0]
-        out2_ref[0] = acc[1]
+        out_ref[0] = acc[0].astype(out_ref.dtype)
+        out2_ref[0] = acc[1].astype(out2_ref.dtype)
     else:
-        out_ref[0] = acc
+        out_ref[0] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('S', 'T', 'F', 'R', 'n_rows',
                                     'tiles_per_bucket', 'ops_present',
-                                    'interpret', 'dimsem'))
+                                    'interpret', 'dimsem', 'out_dtype'))
 def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
                 args, ext, clip, amp_im=None, *, S, T, F, R, n_rows,
                 tiles_per_bucket, ops_present=tuple(range(N_OPS)),
-                interpret=False, dimsem=None):
+                interpret=False, dimsem=None, out_dtype=jnp.float32):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
     grid = (C, n_rows // R)
@@ -379,7 +381,7 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
                                ops_present=ops_present, pair=pair)
     out_spec = pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((C, n_rows, 128), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((C, n_rows, 128), out_dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -461,8 +463,21 @@ class DeviceSchedule:
 
 
 def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
-                      interpret: bool = False) -> jax.Array:
-    """Run the synthesis kernel on device-resident descriptors."""
+                      interpret: bool = False,
+                      out_dtype=jnp.float32) -> jax.Array:
+    """Run the synthesis kernel on device-resident descriptors.
+
+    ``out_dtype=jnp.bfloat16`` halves the output write bandwidth (the
+    binding resource at full throughput); accumulation stays f32, so only
+    the final store quantizes (bf16: 8 mantissa bits, ~4e-3 relative --
+    ample for DAC output).  Pair-mode (complex) schedules require f32.
+    """
+    if dev.amp_im is not None and out_dtype != jnp.float32:
+        raise ValueError("pair-mode (complex) synthesis requires f32 output")
+    if jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),
+                                    jnp.dtype(jnp.bfloat16),
+                                    jnp.dtype(jnp.float16)):
+        raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
     C, NB, S, T, F = dev.shape
     R = rows_per_tile
     tile = R * 128
@@ -479,7 +494,8 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
     out = _run_kernel(
         jnp.zeros((1, 1, 1, 1), jnp.int32), *dev.tensors, dev.amp_im,
         S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
-        ops_present=dev.ops_present, interpret=interpret)
+        ops_present=dev.ops_present, interpret=interpret,
+        out_dtype=out_dtype)
     if dev.amp_im is not None:
         re, im = out
         out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
