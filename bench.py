@@ -187,7 +187,9 @@ if __name__ == '__main__':
     # (multi-minute stalls at init), so each attempt runs under a watchdog.
     for attempt in range(4):
         try:
-            signal.alarm(600)
+            # compile artifacts are pre-seeded in .jax_cache, so a healthy
+            # attempt finishes in ~2-3 min; 420 s covers a cold compile too
+            signal.alarm(420)
             main()
             signal.alarm(0)
             break
@@ -199,6 +201,6 @@ if __name__ == '__main__':
                       "engine instead", file=sys.stderr, flush=True)
                 cpu_fallback()
                 break
-            print(f"bench attempt {attempt + 1} failed; retrying in 60s",
+            print(f"bench attempt {attempt + 1} failed; retrying in 30s",
                   file=sys.stderr, flush=True)
-            time.sleep(60)
+            time.sleep(30)
