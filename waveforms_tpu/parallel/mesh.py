@@ -109,13 +109,17 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh,
 
 def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
                        rows_per_tile: int = 16,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       out_dtype=jnp.float32) -> jax.Array:
     """Synthesize a lowered schedule over a ('channel', 'time') mesh.
 
     Returns the (C, N) output with sharding P('channel', 'time') -- each
     device holds its own channel/time block, ready for sharded downstream
-    filtering without any gather.
+    filtering without any gather.  ``out_dtype=jnp.bfloat16`` narrows the
+    kernel's stores (see synthesize_device); pair-mode requires f32.
     """
+    if low.amp_im is not None and out_dtype != jnp.float32:
+        raise ValueError("pair-mode (complex) synthesis requires f32 output")
     C, NB, S, T, F = low.shape
     nt_shards = mesh.shape['time']
     R = rows_per_tile
@@ -157,7 +161,7 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
                           nfac, amp, op, pw, sh, q32, args, ext, clip_local,
                           rest[0] if pair else None,
                           S=S, T=T, F=F, R=R, n_rows=rows_local,
-                          tiles_per_bucket=G,
+                          tiles_per_bucket=G, out_dtype=out_dtype,
                           interpret=interpret)
         if pair:
             re, im = out
@@ -175,8 +179,9 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
 
 def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
                        part: str = 'real', rows_per_tile: int = 16,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       out_dtype=jnp.float32) -> jax.Array:
     """Lower + shard + synthesize in one call."""
     low = lower_schedule(channels, start, stop, sample_rate, part=part)
     return synthesize_sharded(low, mesh, rows_per_tile=rows_per_tile,
-                              interpret=interpret)
+                              interpret=interpret, out_dtype=out_dtype)
