@@ -121,15 +121,23 @@ class Sequencer:
         self.amp_im = (stack(lambda l: l.amp_im, (C, NB, Sb, T)).reshape(
             -1, C, NB, 1, Sb * T) if self.pair else None)
 
-    def play(self, k, rows_per_tile: int = 16, interpret: bool = False):
+    def play(self, k, rows_per_tile: int = 16, interpret: bool = False,
+             out_dtype=None):
         """Synthesize schedule ``k`` (int or traced int32) -> (C, N).
 
         Safe inside jit/scan: the gather and the kernel trace once for the
-        whole table.
+        whole table.  ``out_dtype=jnp.bfloat16`` narrows the store (see
+        synthesize_device); pair-mode tables require f32.
         """
         import jax.numpy as jnp
 
         from .pallas_synth import _run_kernel
+
+        if out_dtype is None:
+            out_dtype = jnp.float32
+        if self.pair and out_dtype != jnp.float32:
+            raise ValueError(
+                "pair-mode (complex) synthesis requires f32 output")
 
         C, NB, Sb, T, F = self.shape
         R = rows_per_tile
@@ -149,7 +157,8 @@ class Sequencer:
         out = _run_kernel(
             jnp.zeros((1, 1, 1, 1), jnp.int32), *sel, amp_im,
             S=Sb, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
-            ops_present=self.ops_present, interpret=interpret)
+            ops_present=self.ops_present, interpret=interpret,
+            out_dtype=out_dtype)
         if self.pair:
             re, im = out
             out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
