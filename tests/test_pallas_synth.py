@@ -173,6 +173,19 @@ def test_sharded_complex_pair():
     np.testing.assert_allclose(sharded, single, atol=1e-7)
 
 
+def test_sharded_bf16_output():
+    import jax.numpy as jnp
+    chans = [0.5 * cosPulse(50e-9) >> (k * 100e-9) for k in range(4)]
+    mesh = channel_mesh(n_channel=2, n_time=4)
+    ob = np.asarray(synthesize_on_mesh(chans, 0, 0.8e-6, 2e9, mesh,
+                                       rows_per_tile=8, interpret=True,
+                                       out_dtype=jnp.bfloat16))
+    o32 = np.asarray(synthesize_on_mesh(chans, 0, 0.8e-6, 2e9, mesh,
+                                        rows_per_tile=8, interpret=True))
+    assert ob.dtype == jnp.bfloat16
+    assert np.abs(ob.astype(np.float32) - o32).max() < 1 / 128
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
