@@ -90,8 +90,17 @@ def _split_f32(x: float) -> tuple[np.float32, np.float32]:
 
 
 def _split_shift(offset_samples: float) -> tuple[int, float]:
-    """Split a (possibly huge) shift in samples into int32 + small f32 frac."""
+    """Split a (possibly huge) shift in samples into int32 + small f32 frac.
+
+    Raises :class:`UnsupportedFactor` beyond the int32 sample range
+    (|shift - start| > ~1 s at 2 GS/s) rather than silently wrapping; such
+    pathological factors fall back to the f64 XLA path.
+    """
     hi = int(round(offset_samples))
+    if not -2**31 < hi < 2**31:
+        raise UnsupportedFactor(
+            f"factor shift {offset_samples:.3g} samples exceeds the "
+            "descriptor engines' int32 sample index range")
     return hi, float(offset_samples - hi)
 
 
