@@ -63,6 +63,25 @@ def test_complex_table():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_bucketed_table():
+    """NB>1 tables: bucket index maps survive the table gather."""
+    from waveforms_tpu.core import WaveVStack
+    lows = []
+    for seed in (1, 2, 3):
+        r = np.random.default_rng(seed)
+        st = WaveVStack([(0.4 * cosPulse(40e-9) >> o)
+                         for o in r.uniform(0, 7e-6, 60)])
+        lows.append(lower_schedule([st], 0, 8.192e-6, 2e9,
+                                   bucket_samples=2048))
+    seq = Sequencer(lows)
+    assert seq.shape[1] == 8  # buckets
+    for k in range(3):
+        a = np.asarray(seq.play(k, rows_per_tile=8, interpret=True))
+        b = np.asarray(synthesize_device(DeviceSchedule(lows[k]),
+                                         rows_per_tile=8, interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_run_sequence_shot_pipeline():
     """Shot table -> per-shot IQ via scan: selective demodulation."""
     from waveforms_tpu.parallel import run_sequence
