@@ -482,6 +482,20 @@ class LoweredSchedule:
     def n_buckets(self):
         return self.op.shape[1]
 
+    def describe(self) -> str:
+        """One-line human-readable summary (debugging / logging aid)."""
+        C, NB, Sb, T, F = self.shape
+        live = int((self.nterm > 0).sum())
+        live_fac = np.arange(F) < self.nfac[..., None]
+        ops = sorted(int(o) for o in np.unique(self.op[live_fac]))
+        dur = self.n_samples / self.sample_rate
+        return (f"{C} ch x {self.n_samples} samples ({dur:.3g} s @ "
+                f"{self.sample_rate:.3g} S/s), {NB} bucket(s) x {Sb} segs "
+                f"(live {live}), T={T} F={F}, opcodes {ops}, "
+                f"ext {0 if self.ext is None else self.ext.size} f64, "
+                f"{'complex' if self.amp_im is not None else 'real'}, "
+                f"pallas_ok={self.pallas_ok}")
+
     def save(self, path) -> None:
         """Checkpoint the lowered schedule (np.savez archive).
 
