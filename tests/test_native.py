@@ -165,6 +165,20 @@ def test_native_complex_pair():
     assert err < 2e-7, f"rel err {err}"
 
 
+def test_native_boundary_conditions():
+    """Sub-sample pulses, high powers, near-Nyquist carriers."""
+    w1 = gaussian(0.4e-9) >> 3.7e-9          # narrower than a sample
+    w2 = (gaussian(50e-9) ** 6) >> 100e-9    # integer power 6
+    w3 = cosPulse(2e-9) * cos(2 * np.pi * 400e6) >> 200e-9
+    low = lower_schedule([w1, w2, w3], 0, 0.4e-6, 1e9)
+    out = native.synthesize_native(low)
+    t = np.arange(0, 0.4e-6, 1e-9)
+    for i, w in enumerate([w1, w2, w3]):
+        ora = np.asarray(w(t))
+        scale = max(np.abs(ora).max(), 1e-12)
+        assert np.abs(out[i] - ora).max() / scale < 1e-6, f"ch{i}"
+
+
 def test_lowered_schedule_save_load(tmp_path):
     from waveforms_tpu import cos, gaussian
     from waveforms_tpu.ops.lowering import LoweredSchedule
