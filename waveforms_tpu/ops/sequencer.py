@@ -121,6 +121,14 @@ class Sequencer:
         self.amp_im = (stack(lambda l: l.amp_im, (C, NB, Sb, T)).reshape(
             -1, C, NB, 1, Sb * T) if self.pair else None)
 
+    def describe(self) -> str:
+        """One-line table summary (debugging / logging aid)."""
+        C, NB, Sb, T, F = self.shape
+        return (f"{self.n_schedules} schedules x {C} ch x "
+                f"{self.n_samples} samples, {NB} bucket(s), padded "
+                f"Sb={Sb} T={T} F={F}, opcodes {list(self.ops_present)}, "
+                f"{'complex' if self.pair else 'real'}")
+
     def play(self, k, rows_per_tile: int = 16, interpret: bool = False,
              out_dtype=None):
         """Synthesize schedule ``k`` (int or traced int32) -> (C, N).
