@@ -19,6 +19,7 @@ serializations round-trip bit-for-bit.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Generator, Iterable, cast
 
 import numpy as np
@@ -33,6 +34,28 @@ from .ir.registry import baseFunc
 from .utils.latexfmt import expr_latex, num_latex
 
 _ONE = _const(1.0)
+
+
+def _sos_about(filters, sig, zi=None):
+    """Run an SOS chain around a DC operating point.
+
+    ``filters`` is ``(sos, initial)``: the filter acts on the deviation from
+    ``initial`` (a flux-bias line sits at a setpoint; only the excursion is
+    distorted).  Returns ``(filtered, new_state)``; pass ``zi`` to stream.
+    """
+    from scipy.signal import sosfilt
+
+    sos, level = filters
+    sos = np.array(sos, dtype=float, copy=True)
+    x = sig - level if level else sig
+    if zi is None:
+        y = sosfilt(sos, x)
+        state = None
+    else:
+        y, state = sosfilt(sos, x, zi=zi)
+    if level:
+        y = y + level
+    return cast(np.ndarray, y), state
 
 
 class Waveform:
@@ -109,60 +132,47 @@ class Waveform:
         sig = cast(np.ndarray,
                    self.__call__(x, out=out, function_lib=function_lib))
         if filters is not None:
-            from scipy.signal import sosfilt
-            sos, initial = filters
-            sos = np.array(sos) if not isinstance(sos, np.ndarray) else (
-                sos.copy() if not sos.flags.writeable else sos)
-            if initial:
-                sig = cast(np.ndarray, sosfilt(sos, sig - initial)) + initial
-            else:
-                sig = cast(np.ndarray, sosfilt(sos, sig))
+            sig, _ = _sos_about(filters, sig)
         return sig
 
     def _sample_iter(
         self, sample_rate, chunk_size, out: np.ndarray | None, function_lib,
         filters: tuple[np.ndarray, float] | None,
     ) -> Generator[np.ndarray, None, None]:
-        start = cast(float, self.start)
-        start_n = 0
-        if filters is not None:
-            sos, initial = filters
-            sos = np.array(sos) if not isinstance(sos, np.ndarray) else (
-                sos.copy() if not sos.flags.writeable else sos)
-            zi = np.zeros((sos.shape[0], 2))
-        length = chunk_size / sample_rate
-        while start < cast(float, self.stop):
-            if start + length > cast(float, self.stop):
-                stop = cast(float, self.stop)
-                size = round((stop - start) * sample_rate)
+        # per-section biquad state, carried across chunk boundaries so the
+        # streamed result equals one monolithic sosfilt pass
+        zi = (np.zeros((np.atleast_2d(np.asarray(filters[0])).shape[0], 2))
+              if filters is not None else None)
+        t0 = cast(float, self.start)
+        t_end = cast(float, self.stop)
+        offset = 0
+        while t0 < t_end:
+            t1 = t0 + chunk_size / sample_rate
+            if t1 > t_end:
+                t1 = t_end
+                n = round((t_end - t0) * sample_rate)
             else:
-                stop = start + length
-                size = chunk_size
-            x = np.linspace(start, stop, size, endpoint=False)
+                n = chunk_size
+            # linspace (not arange) so each chunk's grid is anchored at its
+            # own start; float accumulation of t0 matches the unchunked grid
+            # to ulp over millions of samples
+            x = np.linspace(t0, t1, n, endpoint=False)
 
             if filters is None:
-                if out is not None:
-                    yield cast(np.ndarray,
-                               self.__call__(x, out=out[start_n:],
-                                             function_lib=function_lib))
-                else:
-                    yield cast(np.ndarray,
-                               self.__call__(x, function_lib=function_lib))
+                target = None if out is None else out[offset:]
+                yield cast(np.ndarray,
+                           self.__call__(x, out=target,
+                                         function_lib=function_lib))
             else:
-                from scipy.signal import sosfilt
-                sig = cast(np.ndarray,
+                raw = cast(np.ndarray,
                            self.__call__(x, function_lib=function_lib))
-                if initial:
-                    sig -= initial
-                sig, zi = sosfilt(sos, sig, zi=zi)
-                if initial:
-                    sig += initial
+                sig, zi = _sos_about(filters, raw, zi)
                 if out is not None:
-                    out[start_n:start_n + size] = sig
-                yield cast(np.ndarray, sig)
+                    out[offset:offset + n] = sig
+                yield sig
 
-            start = stop
-            start_n += chunk_size
+            t0 = t1
+            offset += chunk_size
 
     # -- serialization -------------------------------------------------------
     # Flat-list wire format, recursive segment encoding
@@ -380,32 +390,49 @@ class Waveform:
         return Waveform(w.bounds,
                         tuple(ZERO if s == ZERO else _ONE for s in w.seq))
 
+    def _active_intervals(self):
+        """Maximal ``(lo, hi)`` runs where the simplified waveform != 0."""
+        w = self.simplify()
+        runs = []
+        lo = -inf
+        for i, s in enumerate(w.seq):
+            hi = w.bounds[i]
+            if s != ZERO:
+                if runs and runs[-1][1] == lo:
+                    runs[-1] = (runs[-1][0], hi)   # extend adjacent run
+                else:
+                    runs.append((lo, hi))
+            lo = hi
+        return runs
+
     def mask(self, edge: float = 0) -> 'Waveform':
-        """Marker eroded by *edge* on both sides of every active region."""
-        w = self.marker
-        in_wave = w.seq[0] == ZERO
+        """0/1 gate: every active region dilated by *edge* on both sides.
+
+        Regions whose dilations touch are merged.  The reference
+        (``/root/reference/waveforms/waveform.py:456-482``) walks segment
+        transitions and closes each gate at the *first* segment of a
+        multi-segment region plus ``edge``, so e.g. a ``square`` with
+        smoothed edges gets its plateau masked out; here the gate spans the
+        whole region, which is the evident intent.
+        """
+        grown = []
+        for lo, hi in self._active_intervals():
+            lo, hi = lo - edge, hi + edge
+            if grown and lo <= grown[-1][1]:
+                grown[-1] = (grown[-1][0], max(hi, grown[-1][1]))
+            else:
+                grown.append((lo, hi))
         bounds: list = []
         seq: list = []
-
-        if w.seq[0] == ZERO:
-            in_wave = False
-            bounds.append(w.bounds[0] - edge)
+        for lo, hi in grown:
+            if lo > -inf:
+                bounds.append(lo)
+                seq.append(ZERO)
+            bounds.append(hi)
+            seq.append(_ONE)
+        if not bounds or bounds[-1] < inf:
+            bounds.append(inf)
             seq.append(ZERO)
-
-        for b, s in zip(w.bounds[1:], w.seq[1:]):
-            if not in_wave and s != ZERO:
-                in_wave = True
-                bounds.append(b + edge)
-                seq.append(_ONE)
-            elif in_wave and s == ZERO:
-                in_wave = False
-                b = b - edge
-                if b > bounds[-1]:
-                    bounds.append(b)
-                    seq.append(ZERO)
-                else:
-                    bounds.pop()
-                    bounds.append(b)
         return Waveform(tuple(bounds), tuple(seq))
 
     # -- evaluation ------------------------------------------------------------
@@ -489,30 +516,21 @@ class Waveform:
     # -- audio ---------------------------------------------------------------
 
     def _play(self, time_unit, volume=1.0):
-        import pyaudio
+        """Stream chunks to the sound card, auto-attenuating on clipping.
 
+        A running peak tracker scales int16 conversion down whenever a chunk
+        exceeds full scale, so later chunks never wrap (the gain only ever
+        decreases -- no pumping).
+        """
         CHUNK = 1024
         RATE = 48000
-        dynamic_volume = 1.0
-        amp = 2**15 * 0.999 * volume * dynamic_volume
-
-        p = pyaudio.PyAudio()
-        try:
-            stream = p.open(format=pyaudio.paInt16, channels=1, rate=RATE,
-                            output=True)
-            try:
-                for data in self.sample(sample_rate=RATE / time_unit,
-                                        chunk_size=CHUNK):
-                    lim = np.abs(data).max()
-                    if lim > 0 and dynamic_volume > 1.0 / lim:
-                        dynamic_volume = 1.0 / lim
-                        amp = 2**15 * 0.99 * volume * dynamic_volume
-                    stream.write(bytes((amp * data).astype(np.int16).data))
-            finally:
-                stream.stop_stream()
-                stream.close()
-        finally:
-            p.terminate()
+        peak = 1.0
+        chunks = self.sample(sample_rate=RATE / time_unit, chunk_size=CHUNK)
+        with _pyaudio_stream(RATE) as stream:
+            for data in chunks:
+                peak = max(peak, float(np.abs(data).max()))
+                codes = (2**15 * 0.99 * volume / peak) * data
+                stream.write(codes.astype(np.int16).tobytes())
 
     def play(self, time_unit=1, volume=1.0):
         import multiprocessing as mp
@@ -562,16 +580,20 @@ class WaveVStack(Waveform):
 
     def __call__(self, x, frag=False, out=None, function_lib=None):
         assert frag is False, 'WaveVStack does not support frag mode'
-        out = np.full_like(x, self.offset, dtype=np.complex128)
-        if self.shift != 0:
-            x = x - self.shift
         if function_lib is None:
-            function_lib = (baseFunc if self.function_lib is None
-                            else self.function_lib)
+            function_lib = self.function_lib
+        if function_lib is None:
+            function_lib = baseFunc
+        # the stored global shift moves the grid, not the components
+        grid = x - self.shift if self.shift != 0 else x
+        # accumulate in complex (mid-sum amplitudes may be complex); the
+        # stacked result is defined as the real part
+        acc = np.full_like(x, self.offset, dtype=np.complex128)
         for bounds, seq in self.wlist:
-            parts, _ = calc_parts(bounds, seq, x, function_lib)
-            self._fill_parts(parts, out)
-        return out.real
+            parts, _ = calc_parts(bounds, seq, grid, function_lib)
+            for lo, hi, part in parts:
+                acc[lo:hi] += part
+        return acc.real
 
     def tolist(self):
         l = [self.start, self.stop, self.offset, self.shift,
@@ -626,59 +648,68 @@ class WaveVStack(Waveform):
         return wav
 
     @staticmethod
-    def _rshift(wlist, time):
-        if time == 0:
-            return wlist
-        return [(tuple(round(b + time, NDIGITS) for b in bounds),
-                 tuple(_shift(expr, time) for expr in seq))
+    def _baked(wlist, dt):
+        """Component list with a global time shift folded into each IR."""
+        if dt == 0:
+            return list(wlist)
+        return [(tuple(round(b + dt, NDIGITS) for b in bounds),
+                 tuple(_shift(expr, dt) for expr in seq))
                 for bounds, seq in wlist]
 
-    def _clone_meta(self, ret: 'WaveVStack') -> 'WaveVStack':
+    def _spawn(self, wlist, **meta) -> 'WaveVStack':
+        """New stack sharing this one's filters/label; other metadata
+        (offset/shift/start/stop/sample_rate) only as passed explicitly --
+        arithmetic results deliberately drop the sampling window, matching
+        the reference operators."""
+        ret = WaveVStack()
+        ret.wlist = wlist
         ret.filters = self.filters
         ret.label = self.label
+        for name, value in meta.items():
+            setattr(ret, name, value)
         return ret
 
     def __rshift__(self, time):
-        ret = WaveVStack()
-        ret.wlist = self.wlist
-        ret.sample_rate = self.sample_rate
-        ret.start = self.start
-        ret.stop = self.stop
-        ret.shift = self.shift + time
-        ret.offset = self.offset
-        return self._clone_meta(ret)
+        return self._spawn(self.wlist, start=self.start, stop=self.stop,
+                           sample_rate=self.sample_rate, offset=self.offset,
+                           shift=self.shift + time)
 
     def __add__(self, other) -> 'WaveVStack':
-        ret = WaveVStack()
-        ret.wlist.extend(self.wlist)
+        # Unlike the reference (waveform.py:776-795), every branch carries
+        # the surviving global shift into the result; the reference zeroes
+        # it, silently un-shifting a stack built with a nonzero `>>`.
         if isinstance(other, WaveVStack):
-            if other.shift != self.shift:
-                ret.wlist = self._rshift(ret.wlist, self.shift)
-                ret.wlist.extend(self._rshift(other.wlist, other.shift))
-            else:
-                ret.wlist.extend(other.wlist)
-            ret.offset = self.offset + other.offset
-        elif isinstance(other, Waveform):
-            other <<= self.shift
-            ret.wlist.append((other.bounds, other.seq))
-        else:
-            ret.offset += other
-        return self._clone_meta(ret)
+            if other.shift == self.shift:
+                # shared frame: concatenate unbaked
+                return self._spawn(self.wlist + other.wlist,
+                                   offset=self.offset + other.offset,
+                                   shift=self.shift)
+            # different frames: fold both shifts into the components
+            return self._spawn(
+                self._baked(self.wlist, self.shift)
+                + self._baked(other.wlist, other.shift),
+                offset=self.offset + other.offset)
+        if isinstance(other, Waveform):
+            comp = other << self.shift  # store in this stack's frame
+            return self._spawn(self.wlist + [(comp.bounds, comp.seq)],
+                               offset=self.offset, shift=self.shift)
+        return self._spawn(list(self.wlist), offset=self.offset + other,
+                           shift=self.shift)
 
     def __radd__(self, v) -> 'WaveVStack':
         return self + v
 
     def __mul__(self, other) -> 'WaveVStack':
         if isinstance(other, Waveform):
-            other = other.simplify() << self.shift
-            ret = WaveVStack([Waveform(*w) * other for w in self.wlist])
+            gain = other.simplify() << self.shift
+            products = [Waveform(*w) * gain for w in self.wlist]
             if self.offset != 0:
-                w = other * self.offset
-                ret.wlist.append((w.bounds, w.seq))
-        else:
-            ret = WaveVStack([Waveform(*w) * other for w in self.wlist])
-            ret.offset = self.offset * other
-        return self._clone_meta(ret)
+                products.append(gain * self.offset)  # offset becomes a term
+            return self._spawn([(p.bounds, p.seq) for p in products],
+                               shift=self.shift)
+        products = [Waveform(*w) * other for w in self.wlist]
+        return self._spawn([(p.bounds, p.seq) for p in products],
+                           offset=self.offset * other, shift=self.shift)
 
     def __rmul__(self, v) -> 'WaveVStack':
         return self * v
@@ -733,31 +764,29 @@ def const(c) -> Waveform:
     return Waveform(seq=(_const(1.0 * c),))
 
 
-def play(data, rate=48000):
-    """Blocking playback of a pre-sampled buffer through pyaudio."""
-    import io
-
+@contextlib.contextmanager
+def _pyaudio_stream(rate):
+    """Open a mono int16 output stream; tear down player + stream on exit."""
     import pyaudio
 
-    CHUNK = 1024
-    max_amp = np.max(np.abs(data))
-    if max_amp > 1:
-        data /= max_amp
-
-    data = np.array(2**15 * 0.999 * data, dtype=np.int16)
-    buff = io.BytesIO(data.data)
-    p = pyaudio.PyAudio()
+    player = pyaudio.PyAudio()
     try:
-        stream = p.open(format=pyaudio.paInt16, channels=1, rate=rate,
-                        output=True)
+        stream = player.open(format=pyaudio.paInt16, channels=1, rate=rate,
+                             output=True)
         try:
-            while True:
-                chunk = buff.read(CHUNK)
-                if not chunk:
-                    break
-                stream.write(chunk)
+            yield stream
         finally:
             stream.stop_stream()
             stream.close()
     finally:
-        p.terminate()
+        player.terminate()
+
+
+def play(data, rate=48000):
+    """Blocking playback of a pre-sampled buffer through pyaudio."""
+    peak = max(float(np.max(np.abs(data))), 1.0)
+    codes = np.asarray(2**15 * 0.999 * (data / peak), dtype=np.int16)
+    with _pyaudio_stream(rate) as stream:
+        step = 1024
+        for k in range(0, len(codes), step):
+            stream.write(codes[k:k + step].tobytes())
