@@ -1,41 +1,52 @@
 """Deep-freeze arbitrary nested containers (opt-in immutability helper).
 
-cf. /root/reference/waveforms/utils.py:9-32.
+Same surface as the reference's ``waveforms/utils.py:9-32``.  The IR itself
+is nested tuples and never needs this; it exists for user config payloads.
 """
 
 from __future__ import annotations
 
 from types import MappingProxyType
-from typing import cast
 
 import numpy as np
 
 
-def freeze(x):
-    """Recursively freeze lists/dicts/sets; mark ndarrays read-only."""
-    if isinstance(x, (int, float, complex, str, bytes, type(None))):
-        return x
-    if isinstance(x, (list, tuple)):
-        return tuple(freeze(y) for y in x)
-    if isinstance(x, dict):
-        return MappingProxyType({k: freeze(v) for k, v in x.items()})
-    if isinstance(x, set):
-        return frozenset(freeze(y) for y in x)
-    if isinstance(x, (np.ndarray, np.matrix)):
-        x.flags.writeable = False
-        return x
-    if isinstance(x, bytearray):
-        return bytes(x)
+def _lock_sparse(x) -> bool:
+    """Mark a scipy sparse matrix's backing arrays read-only (if it is one)."""
     try:
         import scipy.sparse as sp
-        if isinstance(x, sp.spmatrix):
-            cast(np.ndarray, getattr(x, 'data')).flags.writeable = False
-            if getattr(x, 'format') in {'csr', 'csc', 'bsr'}:
-                cast(np.ndarray, getattr(x, 'indices')).flags.writeable = False
-                cast(np.ndarray, getattr(x, 'indptr')).flags.writeable = False
-            elif getattr(x, 'format') == 'coo':
-                cast(np.ndarray, getattr(x, 'row')).flags.writeable = False
-                cast(np.ndarray, getattr(x, 'col')).flags.writeable = False
     except ImportError:
-        pass
+        return False
+    if not isinstance(x, sp.spmatrix):
+        return False
+    # every format keeps its payload in .data; the index arrays differ
+    arrays = ['data']
+    if x.format in ('csr', 'csc', 'bsr'):
+        arrays += ['indices', 'indptr']
+    elif x.format == 'coo':
+        arrays += ['row', 'col']
+    for name in arrays:
+        getattr(x, name).flags.writeable = False
+    return True
+
+
+def freeze(x):
+    """Recursively freeze containers; mark array buffers read-only.
+
+    list/tuple -> tuple of frozen items; dict -> read-only mapping proxy;
+    set -> frozenset; bytearray -> bytes; ndarray/sparse -> same object with
+    ``writeable=False``.  Scalars and unknown types pass through unchanged.
+    """
+    if isinstance(x, (list, tuple)):
+        return tuple(map(freeze, x))
+    if isinstance(x, set):
+        return frozenset(map(freeze, x))
+    if isinstance(x, dict):
+        return MappingProxyType({k: freeze(v) for k, v in x.items()})
+    if isinstance(x, bytearray):
+        return bytes(x)
+    if isinstance(x, (np.ndarray, np.matrix)):
+        x.flags.writeable = False
+    else:
+        _lock_sparse(x)
     return x

@@ -1,11 +1,12 @@
 """Small host-side signal helpers (sub-sample delay, demodulation matrix).
 
-cf. /root/reference/waveforms/utils.py:35-114.
+Same surface as the reference's ``waveforms/utils.py:35-114``; the device
+analog of :func:`getFTMatrix` (MXU matmul demodulation) lives in
+:mod:`waveforms_tpu.ops.demod`.
 """
 
 from __future__ import annotations
 
-from itertools import repeat
 from typing import Optional, Sequence
 
 import numpy as np
@@ -14,25 +15,28 @@ import numpy as np
 def shift(signal: np.ndarray, delay: float, dt: float) -> np.ndarray:
     """Delay a sampled signal by an arbitrary (sub-sample) time.
 
-    Fractional part via a 3-tap linear-interpolation kernel, integer part by
-    zero-filled roll.
+    The delay splits into ``whole`` samples plus a fraction ``frac`` of one
+    sample.  The fractional part linearly interpolates each sample with its
+    predecessor (a first-order all-pass approximation, fine for delays
+    refined below one sample); the whole part shifts with zero fill.
+    Negative delays advance the signal.
     """
-    points = int(delay // dt)
-    delta = delay / dt - points
+    whole = int(delay // dt)
+    frac = delay / dt - whole
 
-    if delta > 0:
-        ker = np.array([0, 1 - delta, delta])
-        signal = np.convolve(signal, ker, mode='same')
-
-    if points == 0:
+    if frac > 0:
+        mixed = (1.0 - frac) * signal
+        mixed[1:] += frac * signal[:-1]
+        signal = mixed
+    if whole == 0:
         return signal
 
-    ret = np.zeros_like(signal)
-    if points < 0:
-        ret[:points] = signal[-points:]
+    out = np.roll(signal, whole)
+    if whole > 0:
+        out[:min(whole, len(out))] = 0
     else:
-        ret[points:] = signal[:-points]
-    return ret
+        out[max(len(out) + whole, 0):] = 0
+    return out
 
 
 def getFTMatrix(fList: Sequence[float],
@@ -42,38 +46,36 @@ def getFTMatrix(fList: Sequence[float],
                 sampleRate: float = 1e9) -> np.ndarray:
     """Demodulation matrix projecting a signal frame onto a set of tones.
 
-    Column j is ``weight * exp(-1j*(2*pi*f_j*t + phase_j))``; multiplying a
-    ``(shots, numOfPoints)`` signal by it yields per-tone IQ values.
+    Column ``j`` is ``weight * exp(-1j*(2*pi*f_j*t + phase_j))``, so
+    ``(shots, numOfPoints) @ matrix`` yields per-tone IQ values.  ``weight``
+    may be one window shared by all tones or a ``(tones, numOfPoints)``
+    stack; the default window ``2/numOfPoints`` makes a unit-amplitude
+    cosine demodulate to magnitude 1.
 
-    >>> shots, numOfPoints, sampleRate = 100, 1000, 1e9
-    >>> f1, f2 = -12.7e6, 32.8e6
-    >>> signal = np.random.randn(shots, numOfPoints)
-    >>> e = getFTMatrix([f1, f2], numOfPoints, sampleRate=sampleRate)
-    >>> ret = signal @ e
-    >>> ret.shape
-    (100, 2)
-    >>> t = np.arange(numOfPoints) / sampleRate
-    >>> signal = 0.8 * np.sin(2 * np.pi * f1 * t) + 0.2 * np.cos(2 * np.pi * f2 * t)
-    >>> signal @ e
-    array([-0.00766509-0.79518987j,  0.19531432+0.00207068j])
-    >>> spec = 2 * np.fft.fft(signal) / numOfPoints
-    >>> freq = np.fft.fftfreq(numOfPoints)
-    >>> e = getFTMatrix(freq, numOfPoints, sampleRate=1)
-    >>> np.allclose(spec, signal @ e)
-    True
+    >>> t = np.arange(500) / 1e9
+    >>> sig = np.cos(2 * np.pi * 20e6 * t - 0.3)
+    >>> iq = sig @ getFTMatrix([20e6], 500, sampleRate=1e9)
+    >>> round(float(abs(iq[0])), 6), round(float(np.angle(iq[0])), 6)
+    (1.0, -0.3)
     """
-    e = []
-    t = np.linspace(0, numOfPoints / sampleRate, numOfPoints, endpoint=False)
+    freqs = np.asarray(fList, dtype=float).reshape(-1)
+    if phaseList is None or len(phaseList) == 0:
+        phases = np.zeros_like(freqs)
+    else:
+        phases = np.asarray(phaseList, dtype=float).reshape(-1)
     if weight is None or len(weight) == 0:
         weight = np.full(numOfPoints, 2 / numOfPoints)
-    if phaseList is None or len(phaseList) == 0:
-        phase_list = np.zeros_like(fList)
-    else:
-        phase_list = phaseList
+    weight = np.asarray(weight)
+
+    # per-tone inputs zip together: excess entries are ignored
+    n_tones = min(len(freqs), len(phases))
+    if weight.ndim > 1:
+        n_tones = min(n_tones, weight.shape[0])
+    freqs, phases = freqs[:n_tones], phases[:n_tones]
+
+    t = np.linspace(0, numOfPoints / sampleRate, numOfPoints,
+                    endpoint=False)
+    mat = np.exp(-1j * (2 * np.pi * np.outer(t, freqs) + phases))
     if weight.ndim == 1:
-        weight_list = repeat(weight)
-    else:
-        weight_list = weight
-    for f, phase, w in zip(fList, phase_list, weight_list):
-        e.append(w * np.exp(-1j * (2 * np.pi * f * t + phase)))
-    return np.asarray(e).T
+        return mat * weight[:, None]
+    return mat * weight[:n_tones].T
