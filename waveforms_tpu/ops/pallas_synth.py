@@ -37,10 +37,32 @@ from .lowering import (DRAG_SIN_NC, DRAG_SINX_MAXQ, N_OPS, OP_COS, OP_COSH,
                        OP_POLY_GAUSS, OP_SINC, OP_SINH, W_ARGS,
                        LoweredSchedule, UnsupportedFactor, lower_schedule)
 
-__all__ = ['synthesize', 'synthesize_lowered']
+__all__ = ['synthesize', 'synthesize_lowered', 'default_rows_per_tile']
 
 _PHASE = np.float32(2 * np.pi / 2**32)   # int32 fixed-point turn -> radians
 _EXP_CLAMP = np.float32(80.0)
+
+# Measured optimum on TPU v5e (device-event sweep, benchmarks/tpu_state.json):
+# R=256 runs the flagship schedule 6.7x faster than R=16 -- per-grid-step
+# overhead dominates below ~128 KB output tiles.
+TUNED_ROWS_PER_TILE = 256
+
+
+def default_rows_per_tile(n_samples, bucket_samples=0, n_buckets=1,
+                          divides=0):
+    """Largest power-of-two tile height <= the tuned optimum that satisfies
+    the layout constraints: divides the descriptor bucket (multi-bucket
+    schedules), divides an enclosing chunk (streaming), and doesn't pad a
+    tiny schedule past ~2x its sample count."""
+    R = TUNED_ROWS_PER_TILE
+    while R > 8:
+        tile = R * 128
+        if ((n_buckets <= 1 or bucket_samples % tile == 0)
+                and (not divides or divides % R == 0)
+                and 2 * n_samples >= tile):
+            return R
+        R //= 2
+    return 8
 
 
 def _carrier_phase(di, q32, eps, const):
@@ -462,15 +484,16 @@ class DeviceSchedule:
                        if low.amp_im is not None else None)
 
 
-def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
+def synthesize_device(dev: DeviceSchedule, rows_per_tile: int | None = None,
                       interpret: bool = False,
                       out_dtype=jnp.float32) -> jax.Array:
     """Run the synthesis kernel on device-resident descriptors.
 
-    ``out_dtype=jnp.bfloat16`` halves the output write bandwidth (the
-    binding resource at full throughput); accumulation stays f32, so only
-    the final store quantizes (bf16: 8 mantissa bits, ~4e-3 relative --
-    ample for DAC output).  Pair-mode (complex) schedules require f32.
+    ``rows_per_tile=None`` picks the measured-optimal tile height (see
+    :func:`default_rows_per_tile`).  ``out_dtype=jnp.bfloat16`` halves the
+    output write bandwidth; accumulation stays f32, so only the final store
+    quantizes (bf16: 8 mantissa bits, ~4e-3 relative -- ample for DAC
+    output).  Pair-mode (complex) schedules require f32.
     """
     if dev.amp_im is not None and out_dtype != jnp.float32:
         raise ValueError("pair-mode (complex) synthesis requires f32 output")
@@ -479,6 +502,9 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
                                     jnp.dtype(jnp.float16)):
         raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
     C, NB, S, T, F = dev.shape
+    if rows_per_tile is None:
+        rows_per_tile = default_rows_per_tile(dev.n_samples,
+                                              dev.bucket_samples, NB)
     R = rows_per_tile
     tile = R * 128
     if NB > 1 and dev.bucket_samples % tile != 0:
@@ -502,7 +528,7 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int = 16,
     return out.reshape(C, n_rows * 128)[:, :dev.n_samples]
 
 
-def synthesize_lowered(low: LoweredSchedule, rows_per_tile: int = 16,
+def synthesize_lowered(low: LoweredSchedule, rows_per_tile: int | None = None,
                        interpret: bool = False) -> jax.Array:
     """Upload + run (one-shot convenience; reuse DeviceSchedule in loops)."""
     return synthesize_device(DeviceSchedule(low), rows_per_tile=rows_per_tile,
@@ -510,7 +536,8 @@ def synthesize_lowered(low: LoweredSchedule, rows_per_tile: int = 16,
 
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,
-               part: str = 'real', pad_to=None, rows_per_tile: int = 16,
+               part: str = 'real', pad_to=None,
+               rows_per_tile: int | None = None,
                interpret: bool = False) -> jax.Array:
     """Lower + synthesize a multi-channel schedule -> (C, N) f32 on device.
 

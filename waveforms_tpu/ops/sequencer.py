@@ -129,8 +129,8 @@ class Sequencer:
                 f"Sb={Sb} T={T} F={F}, opcodes {list(self.ops_present)}, "
                 f"{'complex' if self.pair else 'real'}")
 
-    def play(self, k, rows_per_tile: int = 16, interpret: bool = False,
-             out_dtype=None):
+    def play(self, k, rows_per_tile: int | None = None,
+             interpret: bool = False, out_dtype=None):
         """Synthesize schedule ``k`` (int or traced int32) -> (C, N).
 
         Safe inside jit/scan: the gather and the kernel trace once for the
@@ -148,6 +148,10 @@ class Sequencer:
                 "pair-mode (complex) synthesis requires f32 output")
 
         C, NB, Sb, T, F = self.shape
+        if rows_per_tile is None:
+            from .pallas_synth import default_rows_per_tile
+            rows_per_tile = default_rows_per_tile(self.n_samples,
+                                                  self.bucket_samples, NB)
         R = rows_per_tile
         tile = R * 128
         if NB > 1 and self.bucket_samples % tile != 0:

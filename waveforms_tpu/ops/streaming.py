@@ -19,13 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .iir import sosfilt
-from .pallas_synth import DeviceSchedule, _run_kernel
+from .pallas_synth import DeviceSchedule, _run_kernel, default_rows_per_tile
 
 __all__ = ['synthesize_stream']
 
 
 def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
-                      rows_per_tile: int = 16, filters=None,
+                      rows_per_tile: int | None = None, filters=None,
                       interpret: bool = False
                       ) -> Generator[jax.Array, None, None]:
     """Yield (C, chunk_rows*128) chunks of the schedule, in time order.
@@ -37,6 +37,10 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
     applies to the real and imaginary planes independently.
     """
     C, NB, S, T, F = dev.shape
+    if rows_per_tile is None:
+        rows_per_tile = default_rows_per_tile(
+            min(dev.n_samples, chunk_rows * 128), dev.bucket_samples, NB,
+            divides=chunk_rows)
     R = rows_per_tile
     if chunk_rows % R:
         raise ValueError(f"chunk_rows must be a multiple of {R}")

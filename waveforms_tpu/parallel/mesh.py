@@ -108,7 +108,7 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh,
 
 
 def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
-                       rows_per_tile: int = 16,
+                       rows_per_tile: int | None = None,
                        interpret: bool = False,
                        out_dtype=jnp.float32) -> jax.Array:
     """Synthesize a lowered schedule over a ('channel', 'time') mesh.
@@ -122,6 +122,10 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
         raise ValueError("pair-mode (complex) synthesis requires f32 output")
     C, NB, S, T, F = low.shape
     nt_shards = mesh.shape['time']
+    if rows_per_tile is None:
+        from ..ops.pallas_synth import default_rows_per_tile
+        rows_per_tile = default_rows_per_tile(
+            -(-low.n_samples // nt_shards), low.bucket_samples, NB)
     R = rows_per_tile
     if NB > 1:
         # bucketed: shard whole buckets across 'time' so every local tile's
@@ -178,7 +182,7 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
 
 
 def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
-                       part: str = 'real', rows_per_tile: int = 16,
+                       part: str = 'real', rows_per_tile: int | None = None,
                        interpret: bool = False,
                        out_dtype=jnp.float32) -> jax.Array:
     """Lower + shard + synthesize in one call."""

@@ -31,7 +31,7 @@ __all__ = ['make_step', 'run_step', 'run_sequence']
 
 
 def make_step(low: LoweredSchedule, mesh, ba_filters=None, demod_freqs=None,
-              rows_per_tile: int = 16, interpret: bool = False):
+              rows_per_tile: int | None = None, interpret: bool = False):
     """Build the jitted sharded production step for a lowered schedule.
 
     ``ba_filters``: list of (b, a) pre-compensation filters (combined and
@@ -99,7 +99,7 @@ def run_step(channels, start, stop, sample_rate, mesh, ba_filters=None,
 
 
 def run_sequence(seq, indices, ba_filters=None, demod_freqs=None,
-                 rows_per_tile: int = 16, interpret: bool = False):
+                 rows_per_tile: int | None = None, interpret: bool = False):
     """Run a shot table through a :class:`~waveforms_tpu.ops.Sequencer`.
 
     ``indices`` is the per-shot schedule-index array (int32, length =
