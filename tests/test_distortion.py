@@ -153,3 +153,42 @@ def test_distort_and_subsample_shift():
     delayed = shift(sig.astype(float), 2.5e-9, 1 / fs)
     # integer part: 5 samples; fractional part spreads the edge
     assert np.argmax(delayed > 0.5) > np.argmax(sig > 0.5)
+
+
+def test_phase_curve_model():
+    """phase_curve: accumulated phase from integrating the (distorted) flux
+    over the probe window; also usable inside scipy.optimize.curve_fit."""
+    from waveforms_tpu import square
+    from waveforms_tpu.distortion import phase_curve
+
+    fs = 2e9
+    df_dphi = 4.3e9
+    wav = 0.1 * (square(2e-6) << 1e-6)       # flux step ends at t=0
+    delays = np.array([50e-9, 200e-9, 1e-6, 5e-6])
+
+    # no distortion: long after the pulse the phase must vanish, and with
+    # a 10 ns probe window the curve is ~flat while the pulse is on
+    base = phase_curve(delays, [], df_dphi, 10e-9, 25e-9, wav, fs)
+    on = phase_curve(np.array([-1.5e-6, -1.0e-6]), [], df_dphi, 10e-9,
+                     25e-9, wav, fs)
+    expected_on = 2 * np.pi * df_dphi * 0.1 * 10e-9   # phase per window
+    assert abs(on[0] - expected_on) / expected_on < 0.05
+    assert np.all(np.abs(base) < 0.05 * expected_on)
+
+    # with an exp-decay distortion the post-pulse tail is nonzero and decays
+    tail = phase_curve(delays, [-0.03, 0.5e-6], df_dphi, 10e-9, 25e-9,
+                       wav, fs)
+    assert abs(tail[0]) > 10 * abs(base[0] - base[0])  # nonzero tail
+    assert abs(tail[0]) > abs(tail[2]) > abs(tail[3])  # decaying
+
+    # the model is fit-friendly: recover injected parameters
+    from scipy.optimize import curve_fit
+    true = [-0.02, 0.3e-6]
+    x = np.geomspace(20e-9, 4e-6, 25)
+    y = phase_curve(x, true, df_dphi, 10e-9, 25e-9, wav, fs)
+
+    def model(t, amp, tau):
+        return phase_curve(t, [amp, tau], df_dphi, 10e-9, 25e-9, wav, fs)
+
+    popt, _ = curve_fit(model, x, y, p0=[-0.03, 0.5e-6])
+    assert np.allclose(popt, true, rtol=0.05)

@@ -1,89 +1,55 @@
-"""Physics property test for multi-tone DRAG (mirrors the reference's).
+"""Physics property test for multi-tone DRAG.
 
-Build the complex I - jQ pulse with randomized blocking frequencies, project
-onto a 21-point frequency comb around each blocked transition, and assert the
-spectral minimum lands exactly on the center bin -- i.e. the pulse really
-notches out every blocked frequency.
+A multi-tone DRAG pulse is *defined* by its spectral notches: projecting the
+complex drive I - jQ onto a fine frequency comb centered on each blocked
+transition must put the spectral minimum exactly on the center bin.  The
+same property the reference's suite checks (run unmodified via
+test_reference_suite.py); here with deterministic blocking combs and a
+shared projection helper.
 """
 
 import numpy as np
+import pytest
 
 from waveforms_tpu.models.multy_drag import drag_sin, drag_sinx
 
+CARRIER = 5e9
+WIDTH = 22.22e-9
+DELTA = -13.7e6
 
-def test_drag_sin():
-    t0 = 0e-9
-    freq = 5e9
-    width = 22.22e-9
-    np.random.seed(1234)
-    delta = np.random.random() * 9.5e6 - 19e6
-    plateau = 0
-    block_freq = tuple(
-        np.concatenate(
-            (np.random.random([np.random.randint(4) + 1]) * 100e6 + 20e6,
-             -np.random.random([np.random.randint(4) + 1]) * 100e6 - 20e6)))
-    I = drag_sin(freq, width, plateau, delta, block_freq, 0, t0)
-    Q = drag_sin(freq, width, plateau, delta, block_freq, -np.pi / 2, t0)
-    wav = I - 1j * Q
-    ttt = np.linspace(t0 - (width + plateau) * 10,
-                      t0 + (width + plateau) * 11, 1000001)
-    for bq in block_freq:
-        freq_list = (freq + np.linspace(-0.02e6, 0.02e6, 21) + bq).reshape(
-            [1, -1])
-        ff = np.exp(-2j * np.pi * freq_list * (ttt.reshape([-1, 1])))
-        assert np.argmin(np.abs(wav(ttt) @ ff)) == 10
-
-    block_freq = np.random.random() * 100e6 + 20e6
-
-    I = drag_sin(freq, width, plateau, delta, block_freq, 0, t0)
-    Q = drag_sin(freq, width, plateau, delta, block_freq, -np.pi / 2, t0)
-    wav = I - 1j * Q
-    ttt = np.linspace(t0 - (width + plateau) * 10,
-                      t0 + (width + plateau) * 11, 1000001)
-    bq = block_freq
-    freq_list = (freq + np.linspace(-0.02e6, 0.02e6, 21) + bq).reshape(
-        [1, -1])
-    ff = np.exp(-2j * np.pi * freq_list * (ttt.reshape([-1, 1])))
-    assert np.argmin(np.abs(wav(ttt) @ ff)) == 10
+# deterministic blocking-frequency sets (Hz, relative to the carrier)
+BLOCKS = {
+    'multi': (35e6, 128e6, -52e6, -97e6),
+    'pair': (64e6, -64e6),
+    'single': 83e6,
+}
 
 
-def test_drag_sinx():
-    t0 = 0e-9
-    freq = 5e9
-    width = 22.22e-9
-    np.random.seed(1234)
-    delta = np.random.random() * 9.5e6 - 19e6
-    plateau = 0
-    block_freq = tuple(
-        np.concatenate(
-            (np.random.random([np.random.randint(4) + 1]) * 100e6 + 20e6,
-             -np.random.random([np.random.randint(4) + 1]) * 100e6 - 20e6)))
-    tab = np.random.random() * 0.8 + 0.2
-    I = drag_sinx(freq, width, plateau, delta, block_freq, 0, t0, tab)
-    Q = drag_sinx(freq, width, plateau, delta, block_freq, -np.pi / 2, t0,
-                  tab)
-    wav = I - 1j * Q
-    ttt = np.linspace(t0 - (width + plateau) * 10,
-                      t0 + (width + plateau) * 11, 1000001)
-    for bq in block_freq:
-        freq_list = (freq + np.linspace(-0.02e6, 0.02e6, 21) + bq).reshape(
-            [1, -1])
-        ff = np.exp(-2j * np.pi * freq_list * (ttt.reshape([-1, 1])))
-        assert np.argmin(np.abs(wav(ttt) @ ff)) == 10
+def _drive(builder, block_freq, **kw):
+    """Complex drive I - jQ for one blocking configuration."""
+    I = builder(CARRIER, WIDTH, 0, DELTA, block_freq, 0, 0, **kw)
+    Q = builder(CARRIER, WIDTH, 0, DELTA, block_freq, -np.pi / 2, 0, **kw)
+    return I - 1j * Q
 
-    block_freq = np.random.random() * 100e6 + 20e6
 
-    I = drag_sinx(freq, width, plateau, delta, block_freq, 0, t0, tab)
-    Q = drag_sinx(freq, width, plateau, delta, block_freq, -np.pi / 2, t0,
-                  tab)
-    wav = I - 1j * Q
-    ttt = np.linspace(t0 - (width + plateau) * 10,
-                      t0 + (width + plateau) * 11, 1000001)
-    bq = block_freq
-    freq_list = (freq + np.linspace(-0.02e6, 0.02e6, 21) + bq).reshape(
-        [1, -1])
-    ff = np.exp(-2j * np.pi * freq_list * (ttt.reshape([-1, 1])))
-    assert np.argmin(np.abs(wav(ttt) @ ff)) == 10
+def _notch_centered(wav, block):
+    """True iff the spectral minimum of wav around CARRIER+block is the
+    center bin of a 21-point, +-20 kHz comb."""
+    t = np.linspace(-10 * WIDTH, 11 * WIDTH, 500001)
+    comb = CARRIER + block + np.linspace(-0.02e6, 0.02e6, 21)
+    proj = wav(t) @ np.exp(-2j * np.pi * np.outer(t, comb))
+    return int(np.argmin(np.abs(proj))) == 10
+
+
+@pytest.mark.parametrize('blocks', sorted(BLOCKS))
+@pytest.mark.parametrize('kind', ['sin', 'sinx'])
+def test_blocked_transitions_are_notched(kind, blocks):
+    builder = drag_sin if kind == 'sin' else drag_sinx
+    kw = {'tab': 0.55} if kind == 'sinx' else {}
+    block_freq = BLOCKS[blocks]
+    wav = _drive(builder, block_freq, **kw)
+    for b in np.atleast_1d(block_freq):
+        assert _notch_centered(wav, b), (kind, blocks, b)
 
 
 def test_drag_sin_plateau_serialization():

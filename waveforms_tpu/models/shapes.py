@@ -266,7 +266,7 @@ def t() -> Waveform:
     NB: the reference's ``t()`` (waveform.py:1343-1344) builds a malformed
     seq tuple that crashes on evaluation; this is the intended expression.
     """
-    return Waveform(seq=(((((LINEAR, 0),), (1,)),), (1,)),)
+    return Waveform(seq=(basic_wave(LINEAR),))
 
 
 def drag(freq: float, width: float, plateau: float = 0, delta: float = 0,
