@@ -191,3 +191,32 @@ def test_lowered_schedule_save_load(tmp_path):
     b = native.synthesize_native(low2)
     np.testing.assert_array_equal(a, b)
     assert low2.pallas_ok == low.pallas_ok
+
+
+def test_native_lowering_malformed_ir_falls_back():
+    """Malformed user-built IR must trigger the Unsupported->None fallback
+    in the native walker, never crash the interpreter (ADVICE r1)."""
+    import numpy as np
+
+    from waveforms_tpu.native import lower_available, lower_channel_flat
+
+    if not lower_available():
+        import pytest
+        pytest.skip("native lowering unavailable")
+
+    grid = np.arange(0.0, 1e-6, 5e-10)
+    bad_pieces = [
+        # bounds/seq length mismatch
+        ((1e-7, np.inf), ((((4, 1e8, 0.0),), (1,)),)),
+        # expr not a (terms, amps) pair
+        ((np.inf,), ("nonsense",)),
+        # factors/powers length mismatch
+        ((np.inf,), (((((4, 1e8, 0.0), (2, 1.0, 0.0)), (1,)), (1.0,)),)),
+        # factor too short for its opcode's argument count
+        ((np.inf,), (((((13, 0.0),), (1,)),), (1.0,))),
+        # factor not a tuple
+        ((np.inf,), ((((42.0,), (1,)),), (1.0,))),
+    ]
+    for pieces in bad_pieces:
+        res = lower_channel_flat([pieces], grid, 0.0, 5e-10, 0)
+        assert res is None, pieces

@@ -91,3 +91,30 @@ def test_stream_complex_pair_with_filters():
            + 1j * sp_sosfilt(sos, whole[0].imag.astype(float)))
     scale = np.abs(ref).max()
     assert np.abs(fgot[0] - ref).max() / scale < 2e-6
+
+
+def test_stream_complex_pair_filters_two_channels():
+    """Regression (ADVICE r1): with exactly C==2 channels, the pair-mode
+    state used to be re-stacked on the second chunk (inferred from
+    zi.shape[0] == C) and sosfilt raised a broadcast error."""
+    from scipy.signal import sosfilt as sp_sosfilt
+
+    from waveforms_tpu import mixing
+    I, Q = mixing(0.5 * cosPulse(50e-9), freq=-60e6, DRAGScaling=1e-10)
+    chans = [(I + 1j * Q) >> 0.2e-6, (I + 1j * Q) >> 1.1e-6]
+    low = lower_schedule(chans, 0, 2.097152e-6, 2e9, part='complex')
+    dev = DeviceSchedule(low)
+    b, a = butter(3, 0.05)
+    sos = tf2sos(b, a)
+    # 3 chunks: the bug fired on chunk 2
+    chunks = [np.asarray(c) for c in
+              synthesize_stream(dev, chunk_rows=8, rows_per_tile=8,
+                                filters=(sos, 0), interpret=True)]
+    got = np.concatenate(chunks, axis=1)
+    whole = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True))
+    for c in range(2):
+        ref = (sp_sosfilt(sos, whole[c].real.astype(float))
+               + 1j * sp_sosfilt(sos, whole[c].imag.astype(float)))
+        scale = np.abs(ref).max()
+        assert np.abs(got[c] - ref).max() / scale < 2e-6

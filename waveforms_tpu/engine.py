@@ -3,7 +3,7 @@
 Engines:
 
 * ``'pallas'``  -- fused TPU kernel over descriptor tensors (production
-  path; ~100+ GS/s/chip, f32 output, compile-once).
+  path; 35 GS/s/chip measured on v5e, f32 output, compile-once).
 * ``'xla'``     -- trace-specialized XLA program per waveform structure
   (any backend; float64 under x64 -- the 1e-9-parity device path).
 * ``'native'``  -- C++ host engine (float64, SIMD + threads; same
@@ -21,6 +21,21 @@ from .core import Waveform
 from .ops.lowering import UnsupportedFactor, lower_schedule
 
 __all__ = ['synthesize', 'sample']
+
+
+def _is_device_fault(exc: BaseException) -> bool:
+    """True only for runtime/device failures (the class where a host
+    fallback is sane); compile-time and Python-level errors are not."""
+    seen = set()
+    e: BaseException | None = exc
+    while e is not None:
+        seen.add(type(e).__name__)
+        e = e.__cause__ or e.__context__
+        if type(e).__name__ in seen:   # cycle guard
+            break
+    return bool(seen & {'JaxRuntimeError', 'XlaRuntimeError',
+                        'FailedPreconditionError', 'InternalError',
+                        'ResourceExhaustedError'})
 
 
 def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part):
@@ -105,9 +120,18 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
                                    bucket_samples, part)
         except (UnsupportedFactor, ImportError):
             pass
-        except Exception as exc:  # device/runtime fault: degrade gracefully
+        except Exception as exc:
+            # Only genuine DEVICE faults (aborts, OOM, a wedged tunnel) may
+            # degrade to host synthesis -- anything else (shape mismatches,
+            # tracer errors) is a code regression and must surface, not
+            # hide as a 100x slowdown.  WFTPU_STRICT_ENGINE=1 forbids even
+            # the device-fault fallback.
+            import os
             import warnings
-            warnings.warn(f"pallas engine failed ({exc!r}); "
+            if not _is_device_fault(exc) or os.environ.get(
+                    'WFTPU_STRICT_ENGINE'):
+                raise
+            warnings.warn(f"pallas engine hit a device fault ({exc!r}); "
                           "falling back to host synthesis")
         try:
             from . import native

@@ -53,6 +53,19 @@ constexpr int kDragSinxMaxQ = 40;  // DRAG_SINX_MAXQ
 
 struct Unsupported {};  // thrown to trigger the Python fallback
 
+// Validated tuple access: user-built Waveforms can carry malformed IR --
+// any shape surprise must throw Unsupported (Python fallback raises the
+// proper error), never read out of bounds.
+static PyObject* tuple_item(PyObject* t, Py_ssize_t i) {
+  if (!PyTuple_Check(t) || i < 0 || i >= PyTuple_GET_SIZE(t))
+    throw Unsupported{};
+  return PyTuple_GET_ITEM(t, i);
+}
+static Py_ssize_t tuple_size(PyObject* t) {
+  if (!PyTuple_Check(t)) throw Unsupported{};
+  return PyTuple_GET_SIZE(t);
+}
+
 struct FactorRow {
   int32_t op;
   int32_t power;
@@ -348,7 +361,7 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
   r.power = static_cast<int32_t>(power);
 
   auto arg = [&](int i) {  // basis arg i (0-based, after fun_id)
-    return as_double(PyTuple_GET_ITEM(factor, 1 + i));
+    return as_double(tuple_item(factor, 1 + i));
   };
   auto plain = [&]() {
     double frac;
@@ -450,7 +463,7 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
       break;
     case B_DRAG: {
       // (t0, freq, width, delta, block_freq|None, phase)
-      PyObject* bf = PyTuple_GET_ITEM(factor, 5);
+      PyObject* bf = tuple_item(factor, 5);
       const double t0 = arg(0), freq = arg(1), width = arg(2),
                    delta = arg(3), phase = arg(5);
       double frac;
@@ -481,7 +494,7 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
     case B_D_GAUSSIAN: {
       plain();
       const double std_sq2 = arg(0);
-      const long n = as_long(PyTuple_GET_ITEM(factor, 2));
+      const long n = as_long(tuple_item(factor, 2));
       if (n > 8) throw Unsupported{};
       r.op = OP_POLY_GAUSS;
       r.a[1] = static_cast<float>(dt / std_sq2);
@@ -496,7 +509,7 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
     case B_MOLLIFIER: {
       plain();
       const double rr = arg(0);
-      const long d = as_long(PyTuple_GET_ITEM(factor, 2));
+      const long d = as_long(tuple_item(factor, 2));
       if (d > 3) throw Unsupported{};
       r.op = OP_MOLLIFIER;
       r.a[1] = static_cast<float>(dt / rr);
@@ -517,7 +530,7 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
       const double t0 = arg(0), freq = arg(1), width = arg(2),
                    delta = arg(3), phase = arg(5), plateau = arg(6);
       const double tab = sinx ? arg(7) : 0.0;
-      PyObject* bf = PyTuple_GET_ITEM(factor, 5);
+      PyObject* bf = tuple_item(factor, 5);
       std::vector<double> block;
       if (bf != Py_None) {
         if (PyFloat_Check(bf) || PyLong_Check(bf)) {
@@ -615,28 +628,31 @@ int64_t searchsorted(const double* grid, int64_t n, double b) {
 // Lower one channel's pieces into Emit; throws Unsupported for fallback.
 void lower_pieces(PyObject* pieces, const double* grid, int64_t n_grid,
                   double start, double dt, int want_imag, Emit* out) {
+  if (!PyList_Check(pieces) && !PyTuple_Check(pieces)) throw Unsupported{};
   const Py_ssize_t n_pieces = PyList_Check(pieces)
       ? PyList_GET_SIZE(pieces) : PyTuple_GET_SIZE(pieces);
   for (Py_ssize_t pi = 0; pi < n_pieces; ++pi) {
     PyObject* piece = PyList_Check(pieces)
         ? PyList_GET_ITEM(pieces, pi) : PyTuple_GET_ITEM(pieces, pi);
-    PyObject* bounds = PyTuple_GET_ITEM(piece, 0);
-    PyObject* seq = PyTuple_GET_ITEM(piece, 1);
-    const Py_ssize_t nseg = PyTuple_GET_SIZE(bounds);
+    PyObject* bounds = tuple_item(piece, 0);
+    PyObject* seq = tuple_item(piece, 1);
+    const Py_ssize_t nseg = tuple_size(bounds);
+    if (tuple_size(seq) != nseg) throw Unsupported{};
     int64_t lo = 0;
     for (Py_ssize_t si = 0; si < nseg; ++si) {
-      const double b = as_double(PyTuple_GET_ITEM(bounds, si));
+      const double b = as_double(tuple_item(bounds, si));
       const int64_t hi = std::isinf(b) && b > 0
           ? n_grid : searchsorted(grid, n_grid, b);
-      PyObject* expr = PyTuple_GET_ITEM(seq, si);
-      PyObject* terms = PyTuple_GET_ITEM(expr, 0);
-      PyObject* amps = PyTuple_GET_ITEM(expr, 1);
-      const Py_ssize_t nterm = PyTuple_GET_SIZE(terms);
+      PyObject* expr = tuple_item(seq, si);
+      PyObject* terms = tuple_item(expr, 0);
+      PyObject* amps = tuple_item(expr, 1);
+      const Py_ssize_t nterm = tuple_size(terms);
+      if (tuple_size(amps) != nterm) throw Unsupported{};
       if (lo < hi && nterm > 0) {
         const size_t seg_mark = out->term_amp.size();
         int32_t emitted_terms = 0;
         for (Py_ssize_t ti = 0; ti < nterm; ++ti) {
-          PyObject* amp_o = PyTuple_GET_ITEM(amps, ti);
+          PyObject* amp_o = tuple_item(amps, ti);
           Py_complex av;
           if (PyComplex_Check(amp_o)) {
             av = PyComplex_AsCComplex(amp_o);
@@ -646,10 +662,11 @@ void lower_pieces(PyObject* pieces, const double* grid, int64_t n_grid,
           }
           const double amp = want_imag ? av.imag : av.real;
           if (amp == 0.0) continue;
-          PyObject* term = PyTuple_GET_ITEM(terms, ti);
-          PyObject* factors = PyTuple_GET_ITEM(term, 0);
-          PyObject* powers = PyTuple_GET_ITEM(term, 1);
-          const Py_ssize_t nfac = PyTuple_GET_SIZE(factors);
+          PyObject* term = tuple_item(terms, ti);
+          PyObject* factors = tuple_item(term, 0);
+          PyObject* powers = tuple_item(term, 1);
+          const Py_ssize_t nfac = tuple_size(factors);
+          if (tuple_size(powers) != nfac) throw Unsupported{};
           out->term_amp.push_back(static_cast<float>(amp));
           out->term_nfac.push_back(static_cast<int32_t>(nfac));
           ++emitted_terms;

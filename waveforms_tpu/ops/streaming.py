@@ -60,6 +60,11 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
         sos, initial = filters
         sos = jnp.asarray(np.asarray(sos, dtype=float))
         zi = jnp.zeros((C, sos.shape[0], 2))
+        if dev.amp_im is not None:
+            # pair mode filters the two planes independently: stack the
+            # per-plane state up front (inferring it from zi's shape inside
+            # the loop breaks when C == 2)
+            zi = jnp.stack([zi, zi])
 
     emitted = 0
     for k in range(n_chunks):
@@ -96,9 +101,6 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
 
         if filters is not None:
             if jnp.iscomplexobj(sig):
-                # filter the planes independently with separate state
-                if zi.shape[0] == C:  # first chunk: split the state too
-                    zi = jnp.stack([zi, zi])
                 re = sig.real.astype(sos.dtype)
                 im = sig.imag.astype(sos.dtype)
                 if initial:
