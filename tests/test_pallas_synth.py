@@ -14,7 +14,8 @@ from waveforms_tpu import (chirp, cos, cosPulse, cosh, drag, gaussian,
                            zero)
 from waveforms_tpu.core import WaveVStack
 from waveforms_tpu.ops.lowering import UnsupportedFactor, lower_schedule
-from waveforms_tpu.ops.pallas_synth import synthesize
+from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
+    synthesize, synthesize_device, synthesize_lowered
 from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
 
 RTOL = 2e-6
@@ -279,3 +280,101 @@ def test_imag_part_lowering():
     low = _ls([w], -2e-7, 2e-7, 1e9, part='imag')
     got = np.asarray(synthesize_lowered(low, interpret=True))[0]
     np.testing.assert_allclose(got, oracle, atol=2e-7)
+
+
+def test_int16_dac_codes():
+    """out_dtype=int16 emits exact DAC codes: round(f32 * scale) to within
+    one code, clamped to the int16 range, honoring per-channel scales."""
+    import jax.numpy as jnp
+
+    chans = [0.9 * cosPulse(100e-9) >> 300e-9,
+             1.2 * (square(200e-9) >> 300e-9)]   # overdrive: clamps
+    low = lower_schedule(chans, 0, 1.024e-6, 2e9)
+    dev = DeviceSchedule(low)
+
+    f32 = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                       interpret=True))
+    scales = np.array([32767.0, 16000.0], np.float32)
+    codes = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True,
+                                         out_dtype=jnp.int16,
+                                         dac_scale=scales))
+    assert codes.dtype == np.int16
+    expected = np.clip(np.round(f32 * scales[:, None]), -32768, 32767)
+    assert np.abs(codes.astype(np.int64)
+                  - expected.astype(np.int64)).max() <= 1
+    # the overdriven channel really clamps
+    assert codes[1].max() == 32767 or expected[1].max() < 32767
+
+    # scalar scale broadcast + misuse errors
+    c2 = np.asarray(synthesize_device(dev, rows_per_tile=8, interpret=True,
+                                      out_dtype=jnp.int16))
+    assert c2.dtype == np.int16
+    with pytest.raises(ValueError):
+        synthesize_device(dev, out_dtype=jnp.int32)
+
+
+def test_overlap_stress_drag():
+    """Segment blow-up behavior (BASELINE.md 'overlap100' analog).
+
+    ~40 fully-overlapping DRAG pulses fit the kernel's proven SMEM budget
+    and must match the oracle; 120 exceed it (T~100 terms share one
+    segment), so the schedule must be marked pallas_ok=False and the
+    engine chain must still synthesize it on a host engine.
+    """
+    def build(n_pulses):
+        rng = np.random.default_rng(11)
+        ch = zero()
+        for _ in range(n_pulses):
+            ch += drag(100e6, 300e-9, plateau=200e-9, delta=2e6,
+                       block_freq=None, phase=rng.uniform(0, 6),
+                       t0=0.0) >> rng.uniform(0, 0.6e-6)
+        return ch
+
+    start, stop, fs = 0.0, 1.1e-6, 2e9
+    t = np.arange(start, stop, 1 / fs)
+
+    ch = build(40)
+    low = lower_schedule([ch], start, stop, fs)
+    assert low.pallas_ok
+    got = np.asarray(synthesize_lowered(low, rows_per_tile=8,
+                                        interpret=True))[0]
+    oracle = ch(t)
+    assert np.abs(got - oracle).max() / np.abs(oracle).max() < 2e-5
+
+    from waveforms_tpu.engine import synthesize as engine_synthesize
+    dense = build(120)
+    low_d = lower_schedule([dense], start, stop, fs)
+    assert not low_d.pallas_ok          # over the SMEM budget
+    with pytest.raises(UnsupportedFactor):
+        DeviceSchedule(low_d)
+    out = np.asarray(engine_synthesize([dense], start, stop, fs,
+                                       engine='auto'))[0]
+    oracle_d = dense(t)
+    assert np.abs(out - oracle_d).max() / np.abs(oracle_d).max() < 1e-6
+
+
+def test_interp_blowup_guard():
+    """A many-knot interp table expands past the kernel's SMEM budget:
+    the schedule must mark pallas_ok=False (DeviceSchedule refuses with a
+    clear error) while bucketing restores a pallas-legal layout."""
+    from waveforms_tpu import interp
+
+    n_knots = 12000
+    x = np.linspace(0, 6e-6, n_knots)
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=n_knots)
+    w = interp(x, y)
+    low = lower_schedule([w], 0, 6e-6, 2e9, bucket_samples=None)
+    assert not low.pallas_ok
+    with pytest.raises(UnsupportedFactor):
+        DeviceSchedule(low)
+
+    # bucketing spreads the knots: the same table becomes pallas-legal
+    # and synthesizes correctly
+    low_b = lower_schedule([w], 0, 6e-6, 2e9, bucket_samples=1024)
+    assert low_b.pallas_ok
+    got = np.asarray(synthesize_lowered(low_b, rows_per_tile=8,
+                                        interpret=True))[0]
+    t = np.arange(0, 6e-6, 1 / 2e9)
+    np.testing.assert_allclose(got, w(t), rtol=1e-5, atol=1e-6)

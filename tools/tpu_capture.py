@@ -239,7 +239,6 @@ def task_bf16(R, dimsem):
 def task_parity_small():
     """Real-hardware correctness: compiled (non-interpret) kernel output
     read back and compared against the numpy oracle."""
-    import jax
     chans = _sparse_chans(8)
     stop = 32.768e-6
     run, dev, n_rows = _kernel_runner(chans, 0.0, stop, 8)
@@ -251,6 +250,30 @@ def task_parity_small():
         scale = max(np.abs(oracle).max(), 1e-30)
         worst = max(worst, float(np.abs(out[c] - oracle).max() / scale))
     return {"max_rel_err": worst, "ok": bool(worst < 1e-5)}
+
+
+def task_int16_parity():
+    """int16 DAC-code output on real hardware: compiled kernel codes equal
+    round(f32 * scale) to within one code."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
+        synthesize_device
+
+    chans = _sparse_chans(8)
+    stop = 32.768e-6
+    low = lower_schedule(chans, 0.0, stop, FS)
+    dev = DeviceSchedule(low)
+    jax.block_until_ready(dev.tensors)
+    f32 = np.asarray(synthesize_device(dev, rows_per_tile=8))
+    codes = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         out_dtype=jnp.int16))
+    expected = np.clip(np.round(f32 * 32767.0), -32768, 32767)
+    off = int(np.abs(codes.astype(np.int64)
+                     - expected.astype(np.int64)).max())
+    return {"max_code_err": off, "ok": bool(off <= 1)}
 
 
 def pending_tasks(state):
@@ -268,6 +291,7 @@ def pending_tasks(state):
                       lambda: task_headline(R, ds)))
         tasks.append((f"bf16_R{R}", lambda: task_bf16(R, ds)))
     tasks.append(("parity_small", task_parity_small))
+    tasks.append(("int16_parity", task_int16_parity))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

@@ -74,6 +74,21 @@ DRAG_SIN_NC = DRAG_SIN_MAXM + 1   # padded coefficients per quadrature
 DRAG_SINX_MAXQ = 40     # padded blend-polynomial length
 # SMEM budget for the ext buffer on the Pallas path (f32 words)
 PALLAS_EXT_MAX = 8192
+# SMEM budget for one bucket's descriptor block (bytes).  Dense schedules
+# (a many-knot interp table expanding to per-knot affine segments, or
+# >~50 fully-overlapping pulses whose terms all share one segment) exceed
+# TPU scalar memory and crash the Mosaic compiler; such schedules stay on
+# the native/XLA engines (pallas_ok=False) instead.  Empirical v5e limit:
+# a 447 KB block compiles, ~1.7 MB kills the compiler -- 512 KB is the
+# largest proven-safe round number.  Remedy for interp blow-up: shorter
+# bucket_samples spreads knots across buckets.
+PALLAS_SMEM_BUDGET = 512 * 1024
+
+
+def _pallas_desc_bytes(Sb: int, T: int, F: int) -> int:
+    """Bytes of one (channel, bucket) descriptor block in kernel SMEM."""
+    per_segment = 3 + T * (2 + F * (7 + W_ARGS))   # i32/f32 words
+    return 4 * Sb * per_segment
 
 _TWO_PI = 2 * np.pi
 
@@ -993,7 +1008,9 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
             np.int32)
         out.args[ci, bi, sj, tj, fj] = np.stack(f_args)
     out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS)))
-                         and len(ext) <= PALLAS_EXT_MAX)
+                         and len(ext) <= PALLAS_EXT_MAX
+                         and _pallas_desc_bytes(Sb, T, F)
+                         <= PALLAS_SMEM_BUDGET)
     return out
 
 
@@ -1201,5 +1218,7 @@ def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
         out.args[c, fb, fs, ft, f_intra] = f_a[f_flat]
 
     out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS)))
-                         and out.ext.size <= PALLAS_EXT_MAX)
+                         and out.ext.size <= PALLAS_EXT_MAX
+                         and _pallas_desc_bytes(*out.shape[2:])
+                         <= PALLAS_SMEM_BUDGET)
     return out

@@ -98,12 +98,16 @@ def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
 def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
                   amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
                   ext_ref, clip_ref, *rest, S, T, F, R, ops_present,
-                  pair=False):
+                  pair=False, dac=False):
     # pair mode fuses a complex synthesis into one pass: the factor
     # product (all the transcendental work) is computed once per term and
     # scaled by two amplitude planes into two output planes.
+    scale_ref = None
     if pair:
         amp2_ref, out_ref, out2_ref = rest
+    elif dac:
+        # int16 DAC codes: accumulate f32, store round(acc * scale)
+        scale_ref, out_ref = rest
     else:
         (out_ref,) = rest
     tile = R * 128
@@ -365,11 +369,15 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
 
     acc0 = (zeros, zeros) if pair else zeros
     acc = jax.lax.fori_loop(0, S, segment_body, acc0)
-    # accumulation stays f32; the store may narrow (bf16 halves the write
-    # bandwidth, which bounds this kernel at full throughput)
+    # accumulation stays f32; the store may narrow (bf16/int16 halve the
+    # write bandwidth and buffer footprint)
     if pair:
         out_ref[0] = acc[0].astype(out_ref.dtype)
         out2_ref[0] = acc[1].astype(out2_ref.dtype)
+    elif dac:
+        # exact DAC codes: round-half-even then clamp to the code range
+        code = jnp.round(acc * scale_ref[0, 0, 0, 0])
+        out_ref[0] = jnp.clip(code, -32768.0, 32767.0).astype(out_ref.dtype)
     else:
         out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -379,14 +387,17 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
                                     'tiles_per_bucket', 'ops_present',
                                     'interpret', 'dimsem', 'out_dtype'))
 def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
-                args, ext, clip, amp_im=None, *, S, T, F, R, n_rows,
-                tiles_per_bucket, ops_present=tuple(range(N_OPS)),
+                args, ext, clip, amp_im=None, scale=None, *, S, T, F, R,
+                n_rows, tiles_per_bucket, ops_present=tuple(range(N_OPS)),
                 interpret=False, dimsem=None, out_dtype=jnp.float32):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
     grid = (C, n_rows // R)
     G = tiles_per_bucket
     pair = amp_im is not None
+    dac = jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer)
+    if dac and scale is None:
+        raise ValueError("integer out_dtype requires a per-channel scale")
 
     def smem(k, bcast=False):
         # (C, NB, 1, k) arrays with (1, 1, 1, k) blocks: the trailing two
@@ -400,7 +411,7 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
                             memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R,
-                               ops_present=ops_present, pair=pair)
+                               ops_present=ops_present, pair=pair, dac=dac)
     out_spec = pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((C, n_rows, 128), out_dtype)
@@ -417,7 +428,10 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
             smem(E, bcast=True),                         # ext side-buffer
             pl.BlockSpec((1, 1, 1, 2), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.SMEM),       # clip (per channel)
-        ] + ([smem(S * T)] if pair else []),             # amp_im (pair mode)
+        ] + ([smem(S * T)] if pair else [])              # amp_im (pair mode)
+        + ([pl.BlockSpec((1, 1, 1, 1), lambda c, j: (c, 0, 0, 0),
+                         memory_space=pltpu.SMEM)]
+           if dac else []),                              # DAC scale
         out_specs=(out_spec, out_spec) if pair else out_spec,
         out_shape=(out_shape, out_shape) if pair else out_shape,
         interpret=interpret,
@@ -427,7 +441,7 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
         **({'compiler_params': pltpu.CompilerParams(
             dimension_semantics=dimsem)} if dimsem is not None else {}),
     )(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, ext,
-      clip, *([amp_im] if pair else []))
+      clip, *([amp_im] if pair else []), *([scale] if dac else []))
 
 
 class DeviceSchedule:
@@ -442,8 +456,11 @@ class DeviceSchedule:
     def __init__(self, low: LoweredSchedule):
         if not low.pallas_ok:
             raise UnsupportedFactor(
-                "schedule uses opcodes or ext-buffer sizes outside the "
-                "Pallas kernel's set; use the native or XLA engine")
+                "schedule exceeds the Pallas kernel's limits (exotic "
+                f"opcode, ext buffer, or descriptor block {low.shape} over "
+                "the SMEM budget -- e.g. a many-knot interp table in one "
+                "bucket; try smaller bucket_samples); use the native or "
+                "XLA engine")
         C, NB, S, T, F = low.shape
         self.shape = low.shape
         self.n_samples = low.n_samples
@@ -486,22 +503,38 @@ class DeviceSchedule:
 
 def synthesize_device(dev: DeviceSchedule, rows_per_tile: int | None = None,
                       interpret: bool = False,
-                      out_dtype=jnp.float32) -> jax.Array:
+                      out_dtype=jnp.float32,
+                      dac_scale=32767.0) -> jax.Array:
     """Run the synthesis kernel on device-resident descriptors.
 
     ``rows_per_tile=None`` picks the measured-optimal tile height (see
     :func:`default_rows_per_tile`).  ``out_dtype=jnp.bfloat16`` halves the
     output write bandwidth; accumulation stays f32, so only the final store
-    quantizes (bf16: 8 mantissa bits, ~4e-3 relative -- ample for DAC
-    output).  Pair-mode (complex) schedules require f32.
+    quantizes.  ``out_dtype=jnp.int16`` emits exact DAC codes
+    ``round(clip(x) * dac_scale)`` clamped to the int16 range --
+    ``dac_scale`` is a scalar or per-channel array of codes-per-unit
+    (default: full scale at |x| = 1).  Pair-mode (complex) schedules
+    require f32.
     """
-    if dev.amp_im is not None and out_dtype != jnp.float32:
-        raise ValueError("pair-mode (complex) synthesis requires f32 output")
-    if jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),
-                                    jnp.dtype(jnp.bfloat16),
-                                    jnp.dtype(jnp.float16)):
-        raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
     C, NB, S, T, F = dev.shape
+    scale = None
+    if jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer):
+        if jnp.dtype(out_dtype) != jnp.dtype(jnp.int16):
+            raise ValueError("integer output supports int16 only")
+        if dev.amp_im is not None:
+            raise ValueError("pair-mode (complex) synthesis requires f32")
+        scale = jnp.asarray(dac_scale, jnp.float32).reshape(-1)
+        if scale.shape[0] == 1:
+            scale = jnp.broadcast_to(scale, (C,))
+        if scale.shape != (C,):
+            raise ValueError(f"dac_scale must be scalar or length-{C}")
+        scale = scale.reshape(C, 1, 1, 1)
+    elif dev.amp_im is not None and out_dtype != jnp.float32:
+        raise ValueError("pair-mode (complex) synthesis requires f32 output")
+    elif jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16),
+                                      jnp.dtype(jnp.float16)):
+        raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
     if rows_per_tile is None:
         rows_per_tile = default_rows_per_tile(dev.n_samples,
                                               dev.bucket_samples, NB)
@@ -519,7 +552,7 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int | None = None,
     # ceil-rounding of n_samples dominates the finer one).
     out = _run_kernel(
         jnp.zeros((1, 1, 1, 1), jnp.int32), *dev.tensors, dev.amp_im,
-        S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
+        scale, S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
         ops_present=dev.ops_present, interpret=interpret,
         out_dtype=out_dtype)
     if dev.amp_im is not None:
