@@ -314,8 +314,9 @@ if __name__ == '__main__':
     for attempt in range(4):
         try:
             # compile artifacts are pre-seeded in .jax_cache, so a healthy
-            # attempt finishes in ~2-3 min; 420 s covers a cold compile too
-            signal.alarm(420)
+            # attempt finishes in ~2-3 min; 560 s covers the ~3 cold remote
+            # compiles (~100 s each over the tunnel) a kernel change costs
+            signal.alarm(560)
             main()
             signal.alarm(0)
             break

@@ -378,3 +378,21 @@ def test_interp_blowup_guard():
                                         interpret=True))[0]
     t = np.arange(0, 6e-6, 1 / 2e9)
     np.testing.assert_allclose(got, w(t), rtol=1e-5, atol=1e-6)
+
+
+def test_stack_bucketed_vs_oracle():
+    """Stack channels emit overlapping per-component segments in piece
+    order; the kernel's bisect/early-exit walk must still hit every one
+    (lowering sorts bucket lists, seg_hmax keys the bisect).  Anchored to
+    the numpy oracle, not kernel-vs-kernel."""
+    rng = np.random.default_rng(9)
+    stack = WaveVStack([(0.4 * cosPulse(40e-9) >> o)
+                        for o in rng.uniform(0, 7e-6, 60)])
+    low = lower_schedule([stack], 0, 8.192e-6, 2e9, bucket_samples=2048)
+    assert low.n_buckets > 1
+    got = np.asarray(synthesize_lowered(low, rows_per_tile=8,
+                                        interpret=True))[0]
+    t = np.arange(0, 8.192e-6, 1 / 2e9)
+    oracle = stack(t)
+    scale = np.abs(oracle).max()
+    assert np.abs(got - oracle).max() / scale < 2e-6

@@ -252,6 +252,18 @@ def task_parity_small():
     return {"max_rel_err": worst, "ok": bool(worst < 1e-5)}
 
 
+def task_floor(R):
+    """Grid+store floor: an all-zero schedule (S=1, nterm=0) isolates the
+    kernel's per-tile fixed cost from the segment/factor work."""
+    from waveforms_tpu import zero
+    chans = [zero() for _ in range(128)]
+    run, dev, n_rows = _kernel_runner(chans, 0.0, 524.288e-6, R)
+    run().block_until_ready()
+    med = profile_median(run, 'jit__run_kernel')
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(len(chans) * dev.n_samples / med / 1e9, 1)}
+
+
 def task_int16_parity():
     """int16 DAC-code output on real hardware: compiled kernel codes equal
     round(f32 * scale) to within one code."""
@@ -292,6 +304,8 @@ def pending_tasks(state):
         tasks.append((f"bf16_R{R}", lambda: task_bf16(R, ds)))
     tasks.append(("parity_small", task_parity_small))
     tasks.append(("int16_parity", task_int16_parity))
+    for R in (256, 128):
+        tasks.append((f"floor_zero_R{R}", lambda R=R: task_floor(R)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

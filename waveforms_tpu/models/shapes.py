@@ -245,6 +245,8 @@ def _poly_expr(coeffs):
     consistently.
     """
     terms, amps = [], []
+    if not coeffs:
+        return ZERO        # poly([]) is the zero polynomial
     if coeffs[0] != 0:
         terms.append(((), ()))
         amps.append(coeffs[0])

@@ -90,6 +90,13 @@ def _pallas_desc_bytes(Sb: int, T: int, F: int) -> int:
     per_segment = 3 + T * (2 + F * (7 + W_ARGS))   # i32/f32 words
     return 4 * Sb * per_segment
 
+
+# Unused segment slots carry lo = hi = SEG_SENTINEL so each bucket's
+# (disjoint, ascending) segment list stays sorted through padding -- the
+# kernel bisects into it and early-exits past the tile (pallas_synth).
+# Consumers that walk all slots skip them via nterm == 0 as before.
+SEG_SENTINEL = 2**31 - 1
+
 _TWO_PI = 2 * np.pi
 
 
@@ -928,6 +935,11 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
             b1 = -(-seg.hi // bucket_samples)
             for b in range(max(b0, 0), min(b1, NB)):
                 buckets[c][b].append(seg)
+    # each bucket's list sorted by lo: the kernel bisects into it (stack
+    # channels emit overlapping per-component segments in piece order)
+    for bc in buckets:
+        for bl in bc:
+            bl.sort(key=lambda s: (s.lo, s.hi))
 
     Sb = max((len(bl) for bc in buckets for bl in bc), default=1)
     T = max((len(s.amps) for segs, _, _ in lowered for s in segs), default=1)
@@ -945,8 +957,8 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
         Sb, T, F = pad_to
 
     out = LoweredSchedule(
-        seg_lo=np.zeros((C, NB, Sb), np.int32),
-        seg_hi=np.zeros((C, NB, Sb), np.int32),
+        seg_lo=np.full((C, NB, Sb), SEG_SENTINEL, np.int32),
+        seg_hi=np.full((C, NB, Sb), SEG_SENTINEL, np.int32),
         nterm=np.zeros((C, NB, Sb), np.int32),
         amp=np.zeros((C, NB, Sb, T), np.float32),
         nfac=np.zeros((C, NB, Sb, T), np.int32),
@@ -1134,8 +1146,9 @@ def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
         reps = np.maximum(b1 - b0, 1).astype(np.intp)
         row_seg = np.repeat(np.arange(ns, dtype=np.intp), reps)
         row_b = np.repeat(b0, reps).astype(np.intp) + _grouped_arange(reps)
-        # slot index: order of appearance within each bucket
-        order = np.argsort(row_b, kind='stable')
+        # slot index: lo-sorted within each bucket (the kernel bisects;
+        # stack channels emit overlapping segments out of order)
+        order = np.lexsort((seg_hi[row_seg], seg_lo[row_seg], row_b))
         sorted_b = row_b[order]
         new_group = np.flatnonzero(np.diff(sorted_b)) + 1
         starts = np.concatenate([[0], new_group])
@@ -1162,8 +1175,8 @@ def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
         Sb, T, F = pad_to
 
     out = LoweredSchedule(
-        seg_lo=np.zeros((C, NB, Sb), np.int32),
-        seg_hi=np.zeros((C, NB, Sb), np.int32),
+        seg_lo=np.full((C, NB, Sb), SEG_SENTINEL, np.int32),
+        seg_hi=np.full((C, NB, Sb), SEG_SENTINEL, np.int32),
         nterm=np.zeros((C, NB, Sb), np.int32),
         amp=np.zeros((C, NB, Sb, T), np.float32),
         nfac=np.zeros((C, NB, Sb, T), np.int32),

@@ -95,10 +95,10 @@ def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
     return turns.astype(jnp.float32) * _PHASE + resid + const
 
 
-def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
-                  amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
-                  ext_ref, clip_ref, *rest, S, T, F, R, ops_present,
-                  pair=False, dac=False):
+def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, seg_hmax_ref, nterm_ref,
+                  nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
+                  args_ref, ext_ref, clip_ref, *rest, S, T, F, R,
+                  ops_present, pair=False, dac=False):
     # pair mode fuses a complex synthesis into one pass: the factor
     # product (all the transcendental work) is computed once per term and
     # scaled by two amplitude planes into two output planes.
@@ -332,7 +332,7 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
     def clip(v):
         return jnp.minimum(jnp.maximum(v, cmin), cmax)
 
-    def segment_body(s, acc):
+    def segment_at(s, acc):
         lo = seg_lo_ref[0, 0, 0, s]
         hi = seg_hi_ref[0, 0, 0, s]
         nt = nterm_ref[0, 0, 0, s]
@@ -368,7 +368,37 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         return jax.lax.cond(overlap, add_segment, lambda a: a, acc)
 
     acc0 = (zeros, zeros) if pair else zeros
-    acc = jax.lax.fori_loop(0, S, segment_body, acc0)
+    # Each bucket's segment list is sorted by lo (lowering sorts; padded
+    # slots carry lo = hi = 2^31-1 sentinels) and seg_hmax is the running
+    # max of hi -- ascending even when stack channels overlap.  Bisect to
+    # the first index whose hmax exceeds the tile base (everything before
+    # it ends at or before base), then walk only while segments start
+    # before the tile's end.  Silent tiles cost O(log S) scalar reads
+    # instead of S conditional segment bodies -- on sparse schedules that
+    # was ~3x the kernel's whole runtime.
+    tile_end = base + tile
+
+    def bisect(state):
+        lo_i, hi_i = state
+        mid = (lo_i + hi_i) // 2
+        above = seg_hmax_ref[0, 0, 0, mid] > base
+        return (jnp.where(above, lo_i, mid + 1),
+                jnp.where(above, mid, hi_i))
+
+    s0, _ = jax.lax.while_loop(lambda st: st[0] < st[1], bisect,
+                               (jnp.int32(0), jnp.int32(S)))
+
+    def walk_cond(state):
+        s, _ = state
+        # clamp the probe index: both operands of & are evaluated
+        probe = seg_lo_ref[0, 0, 0, jnp.minimum(s, S - 1)]
+        return (s < S) & (probe < tile_end)
+
+    def walk_body(state):
+        s, acc = state
+        return s + 1, segment_at(s, acc)
+
+    _, acc = jax.lax.while_loop(walk_cond, walk_body, (s0, acc0))
     # accumulation stays f32; the store may narrow (bf16/int16 halve the
     # write bandwidth and buffer footprint)
     if pair:
@@ -386,9 +416,10 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
                    static_argnames=('S', 'T', 'F', 'R', 'n_rows',
                                     'tiles_per_bucket', 'ops_present',
                                     'interpret', 'dimsem', 'out_dtype'))
-def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
-                args, ext, clip, amp_im=None, scale=None, *, S, T, F, R,
-                n_rows, tiles_per_bucket, ops_present=tuple(range(N_OPS)),
+def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
+                sh, q32, args, ext, clip, amp_im=None, scale=None, *, S, T,
+                F, R, n_rows, tiles_per_bucket,
+                ops_present=tuple(range(N_OPS)),
                 interpret=False, dimsem=None, out_dtype=jnp.float32):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
@@ -420,7 +451,7 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
         grid=grid,
         in_specs=[
             smem(1, bcast=True),                         # row0 (shard offset)
-            smem(S), smem(S), smem(S),                   # seg_lo, seg_hi, nterm
+            smem(S), smem(S), smem(S), smem(S),          # seg lo/hi/hmax/nterm
             smem(S * T), smem(S * T),                    # nfac, amp
             smem(S * T * F), smem(S * T * F),            # op, power
             smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
@@ -440,8 +471,9 @@ def _run_kernel(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32,
         # semantically parallel (tuning knob, see tools/tune.py)
         **({'compiler_params': pltpu.CompilerParams(
             dimension_semantics=dimsem)} if dimsem is not None else {}),
-    )(row0, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, ext,
-      clip, *([amp_im] if pair else []), *([scale] if dac else []))
+    )(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw, sh, q32,
+      args, ext, clip, *([amp_im] if pair else []),
+      *([scale] if dac else []))
 
 
 class DeviceSchedule:
@@ -481,9 +513,13 @@ class DeviceSchedule:
         for i, o in enumerate(self.ops_present):
             remap[o] = i
         op_compact = remap[low.op]
+        # running max of hi per bucket list: the kernel's bisect key stays
+        # ascending even when stack channels emit overlapping segments
+        hmax = np.maximum.accumulate(low.seg_hi, axis=-1)
         self.tensors = (
             jnp.asarray(low.seg_lo.reshape(C, NB, 1, S)),
             jnp.asarray(low.seg_hi.reshape(C, NB, 1, S)),
+            jnp.asarray(hmax.reshape(C, NB, 1, S)),
             jnp.asarray(low.nterm.reshape(C, NB, 1, S)),
             jnp.asarray(low.nfac.reshape(C, NB, 1, S * T)),
             jnp.asarray(low.amp.reshape(C, NB, 1, S * T)),

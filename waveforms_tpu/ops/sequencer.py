@@ -28,9 +28,9 @@ from .lowering import N_OPS, UnsupportedFactor, W_ARGS, LoweredSchedule
 __all__ = ['Sequencer']
 
 
-def _pad_to(arr: np.ndarray, shape) -> np.ndarray:
+def _pad_to(arr: np.ndarray, shape, fill=0) -> np.ndarray:
     widths = [(0, s - a) for a, s in zip(arr.shape, shape)]
-    return np.pad(arr, widths)
+    return np.pad(arr, widths, constant_values=fill)
 
 
 class Sequencer:
@@ -87,14 +87,21 @@ class Sequencer:
                     for low in schedules)
         E = max(-(-max(e_max, 1) // 256) * 256, 256)
 
-        def stack(get, shape, dtype=None):
-            out = np.stack([_pad_to(np.asarray(get(low)), shape)
+        def stack(get, shape, dtype=None, fill=0):
+            out = np.stack([_pad_to(np.asarray(get(low)), shape, fill)
                             for low in schedules])
             return jnp.asarray(out if dtype is None else out.astype(dtype))
 
+        # seg slots pad with the sorted-order sentinel (see lowering)
+        from .lowering import SEG_SENTINEL
         self.tensors = (
-            stack(lambda l: l.seg_lo, (C, NB, Sb)).reshape(-1, C, NB, 1, Sb),
-            stack(lambda l: l.seg_hi, (C, NB, Sb)).reshape(-1, C, NB, 1, Sb),
+            stack(lambda l: l.seg_lo, (C, NB, Sb),
+                  fill=SEG_SENTINEL).reshape(-1, C, NB, 1, Sb),
+            stack(lambda l: l.seg_hi, (C, NB, Sb),
+                  fill=SEG_SENTINEL).reshape(-1, C, NB, 1, Sb),
+            stack(lambda l: np.maximum.accumulate(l.seg_hi, axis=-1),
+                  (C, NB, Sb),
+                  fill=SEG_SENTINEL).reshape(-1, C, NB, 1, Sb),
             stack(lambda l: l.nterm, (C, NB, Sb)).reshape(-1, C, NB, 1, Sb),
             stack(lambda l: l.nfac, (C, NB, Sb, T)).reshape(
                 -1, C, NB, 1, Sb * T),

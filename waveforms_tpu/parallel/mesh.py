@@ -96,6 +96,7 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh,
         NamedSharding(mesh, P('channel', bucket_spec, None, None)))
     return dict(
         seg_lo=put(low.seg_lo, S), seg_hi=put(low.seg_hi, S),
+        seg_hmax=put(np.maximum.accumulate(low.seg_hi, axis=-1), S),
         nterm=put(low.nterm, S),
         nfac=put(low.nfac, S * T), amp=put(low.amp, S * T),
         op=put(low.op, S * T * F), pw=put(low.power, S * T * F),
@@ -148,7 +149,7 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
     pair = low.amp_im is not None
     bucket_spec = 'time' if NB > 1 else None
     in_spec = P('channel', bucket_spec, None, None)
-    specs = ([in_spec] * 10 + [P(None, None, None, None), in_spec]
+    specs = ([in_spec] * 11 + [P(None, None, None, None), in_spec]
              + ([in_spec] if pair else []))
 
     @functools.partial(
@@ -156,12 +157,13 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
         in_specs=tuple(specs),
         out_specs=P('channel', 'time', None),
         check_vma=False)
-    def run(seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args, ext,
-            clip, *rest):
+    def run(seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw, sh, q32,
+            args, ext, clip, *rest):
         row0 = jax.lax.axis_index('time').astype(jnp.int32) * (
             rows_local * 128)
         clip_local = clip[:, :1]  # per-channel clip (bucket axis replicated)
-        out = _run_kernel(row0.reshape(1, 1, 1, 1), seg_lo, seg_hi, nterm,
+        out = _run_kernel(row0.reshape(1, 1, 1, 1), seg_lo, seg_hi,
+                          seg_hmax, nterm,
                           nfac, amp, op, pw, sh, q32, args, ext, clip_local,
                           rest[0] if pair else None,
                           S=S, T=T, F=F, R=R, n_rows=rows_local,
@@ -172,7 +174,8 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
             out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
         return out.reshape(out.shape[0], rows_local * 128)[:, None, :]
 
-    out = run(tensors['seg_lo'], tensors['seg_hi'], tensors['nterm'],
+    out = run(tensors['seg_lo'], tensors['seg_hi'], tensors['seg_hmax'],
+              tensors['nterm'],
               tensors['nfac'], tensors['amp'], tensors['op'], tensors['pw'],
               tensors['sh'], tensors['q32'], tensors['args'],
               tensors['ext'], tensors['clip'],

@@ -75,6 +75,13 @@ def measure_device(fn, name_prefix: str, reps: int = 3,
     import jax
 
     shutil.rmtree(log_dir, ignore_errors=True)
+    # a watchdog/abort inside a previous trace can leak a started profiler
+    # session; clear it or every later measurement fails with
+    # "Profile has already been started"
+    try:
+        jax.profiler.stop_trace()
+    except Exception:
+        pass
     with trace(log_dir):
         for _ in range(reps):
             jax.block_until_ready(fn())
