@@ -74,28 +74,26 @@ def time_engine(chans, start, stop, fs, use_pallas, reps):
         import jax.numpy as jnp
 
         from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
-            _run_kernel
+            _run_kernel, default_rows_per_tile
+        from waveforms_tpu.utils.profiling import measure_device
         dev = DeviceSchedule(low)
         jax.block_until_ready(dev.tensors)
         C, NB, S, T, F = dev.shape
-        R = 8
+        R = default_rows_per_tile(dev.n_samples, dev.bucket_samples, NB)
         n_rows = -(-dev.n_samples // 128)
         n_rows = -(-n_rows // R) * R
         kw = dict(S=S, T=T, F=F, R=R, n_rows=n_rows,
                   tiles_per_bucket=max(dev.bucket_samples // (R * 128), 1),
                   ops_present=dev.ops_present, interpret=False)
+        row0 = jnp.zeros((1, 1, 1, 1), jnp.int32)
 
-        @jax.jit
-        def loop():
-            def body(i, acc):
-                row0 = jnp.full((1, 1, 1, 1), i >> 20, jnp.int32)
-                return acc + _run_kernel(row0, *dev.tensors, **kw)[0, 0, 0]
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+        def run():
+            return _run_kernel(row0, *dev.tensors, **kw)
 
-        loop().block_until_ready()
-        t0 = time.perf_counter()
-        loop().block_until_ready()
-        dtm = (time.perf_counter() - t0) / reps
+        run().block_until_ready()              # compile outside the trace
+        # device-event timing: wall clock is unreliable on the tunneled
+        # dev chip (see NOTES.md)
+        dtm = measure_device(run, 'jit__run_kernel', reps=reps)
     else:
         from waveforms_tpu import native
         native.synthesize_native(low)
@@ -116,14 +114,17 @@ def time_flux_iir(use_pallas, reps):
         import jax.numpy as jnp
 
         from waveforms_tpu.ops.iir import lfilter
+        from waveforms_tpu.utils.profiling import measure_device
         bd, ad = jnp.asarray(b, jnp.float32), jnp.asarray(a, jnp.float32)
         sd = jnp.asarray(sig, jnp.float32)
-        f = jax.jit(lambda x: lfilter(bd, ad, x)[0])
-        f(sd).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            f(sd).block_until_ready()
-        dtm = (time.perf_counter() - t0) / reps
+
+        @jax.jit
+        def flux_filter(x):
+            return lfilter(bd, ad, x)[0]
+
+        flux_filter(sd).block_until_ready()
+        dtm = measure_device(lambda: flux_filter(sd), 'jit_flux_filter',
+                             reps=reps)
     else:
         from scipy.signal import lfilter as sp_lfilter
         sp_lfilter(b, a, sig)

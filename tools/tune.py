@@ -3,13 +3,16 @@
 Run on a healthy chip (`python tools/tune.py`); prints one line per
 configuration with the flagship-schedule throughput, then the best setting.
 The knobs map to ops.pallas_synth._run_kernel's ``R`` and ``dimsem``
-arguments; bake the winner into synthesize_device defaults.
+arguments; bake the winner into TUNED_ROWS_PER_TILE.
 
-Timing is d2h-free (block_until_ready only) and runs inside one jitted
-fori_loop per config so host dispatch never pollutes the measurement --
-same protocol as bench.py.
+Timing uses profiler DEVICE events (waveforms_tpu.utils.profiling.
+measure_device): on the tunneled dev chip, wall-clock around
+block_until_ready is meaningless (see NOTES.md); the device-side span is
+the only trustworthy duration.  ``--cpu`` smoke-tests the sweep plumbing
+off-TPU with wall-clock timing (flagged in the output).
 """
 
+import json
 import os
 import sys
 import time
@@ -26,25 +29,26 @@ def main():
     from bench import build_schedule
     from waveforms_tpu.ops.lowering import lower_schedule
     from waveforms_tpu.ops.pallas_synth import DeviceSchedule, _run_kernel
+    from waveforms_tpu.utils.profiling import measure_device
 
     interpret = jax.default_backend() != 'tpu'
-    reps = 2 if interpret else 10
 
     # interpret mode exists only to smoke the sweep plumbing: tiny schedule
     chans = build_schedule(n_channels=4) if interpret else build_schedule()
-    stop = 4.096e-6 if interpret else 1e-3
+    stop = 4.096e-6 if interpret else 524.288e-6
     low = lower_schedule(chans, 0.0, stop, 2e9)
     dev = DeviceSchedule(low)
     jax.block_until_ready(dev.tensors)
     C, NB, S, T, F = dev.shape
+    n_total = C * dev.n_samples
+    row0 = jnp.zeros((1, 1, 1, 1), jnp.int32)
 
     results = []
-    for R in (8, 16, 32):
+    for R in ((8,) if interpret else (64, 128, 256, 512)):
         # NB > 1 requires whole buckets per tile; NB == 1 has no constraint
         if NB > 1 and dev.bucket_samples % (R * 128):
             continue
-        for dimsem in (None, ('parallel', 'arbitrary'),
-                       ('parallel', 'parallel')):
+        for dimsem in (None, ('parallel', 'arbitrary')):
             n_rows = -(-dev.n_samples // 128)
             n_rows = -(-n_rows // R) * R
             G = max(dev.bucket_samples // (R * 128), 1)
@@ -52,29 +56,33 @@ def main():
                       ops_present=dev.ops_present, interpret=interpret,
                       dimsem=dimsem)
 
-            @jax.jit
-            def timed():
-                def body(i, acc):
-                    row0 = jnp.full((1, 1, 1, 1), i >> 20, jnp.int32)
-                    out = _run_kernel(row0, *dev.tensors, **kw)
-                    return acc + out[0, 0, 0]
-                return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+            def run():
+                return _run_kernel(row0, *dev.tensors, **kw)
 
             try:
-                timed().block_until_ready()
-                t0 = time.perf_counter()
-                timed().block_until_ready()
-                dtm = (time.perf_counter() - t0) / reps
+                run().block_until_ready()       # compile outside the trace
+                if interpret:
+                    t0 = time.perf_counter()
+                    run().block_until_ready()
+                    dt = time.perf_counter() - t0
+                else:
+                    dt = measure_device(run, 'jit__run_kernel', reps=3)
             except Exception as exc:
-                print(f"R={R:<3} dimsem={dimsem}: FAILED ({exc!r})")
+                print(json.dumps({"R": R, "dimsem": dimsem,
+                                  "error": repr(exc)[:100]}))
                 continue
-            gsps = len(chans) * dev.n_samples / dtm / 1e9
+            gsps = n_total / dt / 1e9
             results.append((gsps, R, dimsem))
-            print(f"R={R:<3} dimsem={str(dimsem):<28} {gsps:8.1f} GS/s")
+            print(json.dumps({
+                "R": R, "dimsem": dimsem, "device_ms": round(dt * 1e3, 3),
+                "gsps": round(gsps, 1),
+                **({"note": "interpret_mode_non_tpu"} if interpret else {}),
+            }))
 
     if results:
         best = max(results)
-        print(f"\nbest: R={best[1]} dimsem={best[2]} -> {best[0]:.1f} GS/s")
+        print(json.dumps({"best_R": best[1], "best_dimsem": best[2],
+                          "best_gsps": round(best[0], 1)}))
 
 
 if __name__ == '__main__':
