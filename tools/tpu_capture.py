@@ -288,6 +288,52 @@ def task_int16_parity():
     return {"max_code_err": off, "ok": bool(off <= 1)}
 
 
+def task_suite_row(name):
+    """One BASELINE.md row (tools/bench_suite.py config) via device events."""
+    import importlib
+    import jax
+
+    bench_suite = importlib.import_module('bench_suite')
+    if name == 'flux_iir_1M':
+        import jax.numpy as jnp
+
+        from waveforms_tpu.distortion import exp_decay_filter
+        from waveforms_tpu.ops.iir import lfilter
+        from waveforms_tpu.utils.profiling import measure_device
+        b, a = exp_decay_filter([0.02, 0.005], [3e-6, 20e-6], 2e9)
+        sig = np.sin(np.linspace(0, 300.0, 1_000_000))
+        bd, ad = jnp.asarray(b, jnp.float32), jnp.asarray(a, jnp.float32)
+        sd = jnp.asarray(sig, jnp.float32)
+
+        @jax.jit
+        def flux_filter(x):
+            return lfilter(bd, ad, x)[0]
+
+        flux_filter(sd).block_until_ready()
+        med = measure_device(lambda: flux_filter(sd), 'jit_flux_filter')
+        rate = len(sig) / med
+    else:
+        chans, start, stop, fs = bench_suite.build(name)
+        R = None  # auto
+        from waveforms_tpu.ops.lowering import lower_schedule
+        from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
+            default_rows_per_tile
+        low = lower_schedule(chans, start, stop, fs)
+        dev = DeviceSchedule(low)
+        C, NB, S, T, F = dev.shape
+        R = default_rows_per_tile(dev.n_samples, dev.bucket_samples, NB)
+        run, dev, n_rows = _kernel_runner(chans, start, stop, R)
+        run().block_until_ready()
+        med = profile_median(run, 'jit__run_kernel')
+        rate = len(chans) * dev.n_samples / med
+    return {"gsps": round(rate / 1e9, 4),
+            "vs_reference_cpu": round(rate / bench_suite.REF[name], 1)}
+
+
+SUITE_ROWS = ('readme_demo_10k', 'xy_z_pair_200k', 'dense_chirp_2M',
+              'flux_iir_1M', 'vstack_1000x200k')
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -306,6 +352,8 @@ def pending_tasks(state):
     tasks.append(("int16_parity", task_int16_parity))
     for R in (256, 128):
         tasks.append((f"floor_zero_R{R}", lambda R=R: task_floor(R)))
+    for row in SUITE_ROWS:
+        tasks.append((f"suite_{row}", lambda row=row: task_suite_row(row)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

@@ -95,9 +95,10 @@ def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
     return turns.astype(jnp.float32) * _PHASE + resid + const
 
 
-def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, seg_hmax_ref, nterm_ref,
+def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
+                  nterm_ref,
                   nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
-                  args_ref, ext_ref, clip_ref, *rest, S, T, F, R,
+                  args_ref, ext_ref, clip_ref, *rest, S, T, F, R, G,
                   ops_present, pair=False, dac=False):
     # pair mode fuses a complex synthesis into one pass: the factor
     # product (all the transcendental work) is computed once per term and
@@ -368,37 +369,18 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, seg_hmax_ref, nterm_ref,
         return jax.lax.cond(overlap, add_segment, lambda a: a, acc)
 
     acc0 = (zeros, zeros) if pair else zeros
-    # Each bucket's segment list is sorted by lo (lowering sorts; padded
-    # slots carry lo = hi = 2^31-1 sentinels) and seg_hmax is the running
-    # max of hi -- ascending even when stack channels overlap.  Bisect to
-    # the first index whose hmax exceeds the tile base (everything before
-    # it ends at or before base), then walk only while segments start
-    # before the tile's end.  Silent tiles cost O(log S) scalar reads
-    # instead of S conditional segment bodies -- on sparse schedules that
-    # was ~3x the kernel's whole runtime.
-    tile_end = base + tile
-
-    def bisect(state):
-        lo_i, hi_i = state
-        mid = (lo_i + hi_i) // 2
-        above = seg_hmax_ref[0, 0, 0, mid] > base
-        return (jnp.where(above, lo_i, mid + 1),
-                jnp.where(above, mid, hi_i))
-
-    s0, _ = jax.lax.while_loop(lambda st: st[0] < st[1], bisect,
-                               (jnp.int32(0), jnp.int32(S)))
-
-    def walk_cond(state):
-        s, _ = state
-        # clamp the probe index: both operands of & are evaluated
-        probe = seg_lo_ref[0, 0, 0, jnp.minimum(s, S - 1)]
-        return (s < S) & (probe < tile_end)
-
-    def walk_body(state):
-        s, acc = state
-        return s + 1, segment_at(s, acc)
-
-    _, acc = jax.lax.while_loop(walk_cond, walk_body, (s0, acc0))
+    # The host-side prologue in _run_kernel precomputes, per tile, the
+    # index range [s0, s1) of segments that can overlap it (each bucket's
+    # segment list is sorted by lo with 2^31-1 sentinels in the padding;
+    # s0/s1 come from searchsorted over the running-max-of-hi and lo).
+    # Silent tiles therefore cost two scalar reads and the store; live
+    # tiles walk exactly their overlapping segments.  The previous
+    # full-S conditional scan was ~3x the kernel's whole runtime on
+    # sparse schedules.
+    g = pl.program_id(1) % G
+    s0 = s0_ref[0, 0, 0, g]
+    s1 = s1_ref[0, 0, 0, g]
+    acc = jax.lax.fori_loop(s0, s1, segment_at, acc0)
     # accumulation stays f32; the store may narrow (bf16/int16 halve the
     # write bandwidth and buffer footprint)
     if pair:
@@ -430,6 +412,33 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
     if dac and scale is None:
         raise ValueError("integer out_dtype requires a per-channel scale")
 
+    # Prologue (plain XLA, runs once per dispatch): per-tile segment index
+    # ranges.  Tile (b, g) covers samples [row0 + (b*G+g)*tile, ... + tile);
+    # its overlapping segments are exactly [s0, s1) in the bucket's
+    # lo-sorted list, with s0 from the running-max-of-hi (ascending under
+    # overlap) and s1 from lo itself.  The kernel then does no searching.
+    NB = seg_lo.shape[1]
+    S = seg_lo.shape[-1]
+    if NB == 1:
+        # single bucket: G only partitions the tile->bucket index maps, so
+        # any G >= the tile count is valid -- callers may pass a
+        # bucket_samples-derived G smaller than the launch's tile count
+        G = max(n_rows // R, 1)
+    tile_sz = R * 128
+    bases = (row0.reshape(()) +
+             jnp.arange(NB * G, dtype=jnp.int32) * tile_sz).reshape(NB, G)
+
+    def ranges(hmax_row, lo_row, base_row):
+        s0 = jnp.searchsorted(hmax_row, base_row, side='right')
+        s1 = jnp.searchsorted(lo_row, base_row + tile_sz, side='left')
+        return s0.astype(jnp.int32), s1.astype(jnp.int32)
+
+    per_bucket = jax.vmap(ranges, in_axes=(0, 0, 0))
+    s0t, s1t = jax.vmap(per_bucket, in_axes=(0, 0, None))(
+        seg_hmax.reshape(C, NB, S), seg_lo.reshape(C, NB, S), bases)
+    s0t = s0t.reshape(C, NB, 1, G)
+    s1t = s1t.reshape(C, NB, 1, G)
+
     def smem(k, bcast=False):
         # (C, NB, 1, k) arrays with (1, 1, 1, k) blocks: the trailing two
         # block dims equal the array dims (Mosaic's constraint applies only
@@ -441,7 +450,7 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
         return pl.BlockSpec((1, 1, 1, k), lambda c, j: (c, j // G, 0, 0),
                             memory_space=pltpu.SMEM)
 
-    kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R,
+    kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R, G=G,
                                ops_present=ops_present, pair=pair, dac=dac)
     out_spec = pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
                             memory_space=pltpu.VMEM)
@@ -451,7 +460,9 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
         grid=grid,
         in_specs=[
             smem(1, bcast=True),                         # row0 (shard offset)
-            smem(S), smem(S), smem(S), smem(S),          # seg lo/hi/hmax/nterm
+            smem(S), smem(S),                            # seg_lo, seg_hi
+            smem(G), smem(G),                            # per-tile s0, s1
+            smem(S),                                     # nterm
             smem(S * T), smem(S * T),                    # nfac, amp
             smem(S * T * F), smem(S * T * F),            # op, power
             smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
@@ -471,7 +482,7 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
         # semantically parallel (tuning knob, see tools/tune.py)
         **({'compiler_params': pltpu.CompilerParams(
             dimension_semantics=dimsem)} if dimsem is not None else {}),
-    )(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw, sh, q32,
+    )(row0, seg_lo, seg_hi, s0t, s1t, nterm, nfac, amp, op, pw, sh, q32,
       args, ext, clip, *([amp_im] if pair else []),
       *([scale] if dac else []))
 
