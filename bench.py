@@ -85,28 +85,9 @@ def build_dense_schedule(n_channels=128, duration=1e-3):
 
 
 def schedule_occupancy(low):
-    """Fraction of samples covered by live segments, from the descriptors.
-
-    ``seg_lo``/``seg_hi`` are global sample indices (a segment spanning
-    several time buckets appears in each with the same global window), so a
-    per-channel interval union gives the exact live-sample count.
-    """
-    C = low.shape[0]
-    lo = low.seg_lo.reshape(C, -1)
-    hi = low.seg_hi.reshape(C, -1)
-    nt = low.nterm.reshape(C, -1)
-    live = 0
-    for c in range(C):
-        ivals = sorted(
-            (max(int(a), 0), min(int(b), low.n_samples))
-            for a, b, n in zip(lo[c], hi[c], nt[c]) if n > 0 and b > a)
-        end = 0
-        for a, b in ivals:
-            if b <= end:
-                continue
-            live += b - max(a, end)
-            end = b
-    return live / (C * low.n_samples)
+    """Fraction of samples covered by live segments (see
+    LoweredSchedule.occupancy)."""
+    return low.occupancy()
 
 
 def window_runner(dev, window_rows, row0_samples, rows_per_tile,

@@ -168,3 +168,20 @@ def test_dsl_unary_minus_precedence():
     assert wave_eval("const(2 * -3)") == const(2 * -(3))
     assert wave_eval("const(-2)") == const(-2)
     assert wave_eval("const((-2) + 3)") == const(1)
+
+
+def test_lowered_schedule_stats():
+    import numpy as np
+
+    from waveforms_tpu import cosPulse, zero
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    chans = [cosPulse(100e-9) >> 500e-9, zero()]
+    low = lower_schedule(chans, 0, 2e-6, 1e9)
+    st = low.stats()
+    assert st["channels"] == 2 and st["n_samples"] == 2000
+    assert st["pallas_ok"] is True and st["pair_mode"] is False
+    # one 100 ns pulse over 2 channels x 2 us -> occupancy 100/4000
+    assert abs(st["occupancy"] - 100 / 4000) < 1e-6
+    assert st["live_segments"] >= 1
+    assert isinstance(low.describe(), str)

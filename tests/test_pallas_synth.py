@@ -396,3 +396,28 @@ def test_stack_bucketed_vs_oracle():
     oracle = stack(t)
     scale = np.abs(oracle).max()
     assert np.abs(got - oracle).max() / scale < 2e-6
+
+
+def test_sharded_int16_codes():
+    """int16 DAC output through the sharded mesh path matches the
+    single-device codes (per-channel scales shard by 'channel')."""
+    import jax.numpy as jnp
+
+    from waveforms_tpu.parallel.mesh import synthesize_sharded
+
+    chans = [0.7 * cosPulse(100e-9) >> (0.3e-6 + 0.2e-6 * k)
+             for k in range(4)]
+    low = lower_schedule(chans, 0, 2.048e-6, 2e9)
+    scales = np.array([32767.0, 16000.0, 8000.0, 32767.0], np.float32)
+
+    single = np.asarray(synthesize_device(DeviceSchedule(low),
+                                          rows_per_tile=8, interpret=True,
+                                          out_dtype=jnp.int16,
+                                          dac_scale=scales))
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    sharded = np.asarray(synthesize_sharded(low, mesh, rows_per_tile=8,
+                                            interpret=True,
+                                            out_dtype=jnp.int16,
+                                            dac_scale=scales))
+    assert sharded.dtype == np.int16
+    np.testing.assert_array_equal(sharded, single)

@@ -504,6 +504,46 @@ class LoweredSchedule:
     def n_buckets(self):
         return self.op.shape[1]
 
+    def occupancy(self) -> float:
+        """Fraction of samples inside a live segment (per-channel interval
+        union over [lo, hi) of every nterm>0 slot; segments spanning
+        several buckets appear once per bucket with the same global
+        window, so the union dedups them)."""
+        C = self.shape[0]
+        lo = self.seg_lo.reshape(C, -1)
+        hi = self.seg_hi.reshape(C, -1)
+        nt = self.nterm.reshape(C, -1)
+        live = 0
+        for c in range(C):
+            ivals = sorted(
+                (max(int(a), 0), min(int(b), self.n_samples))
+                for a, b, n in zip(lo[c], hi[c], nt[c]) if n > 0 and b > a)
+            end = 0
+            for a, b in ivals:
+                if b <= end:
+                    continue
+                live += b - max(a, end)
+                end = b
+        return live / max(C * self.n_samples, 1)
+
+    def stats(self) -> dict:
+        """Observability snapshot: sizes, occupancy, memory footprints."""
+        C, NB, Sb, T, F = self.shape
+        live_fac = np.arange(F) < self.nfac[..., None]
+        return {
+            "channels": C, "n_samples": self.n_samples,
+            "duration_s": self.n_samples / self.sample_rate,
+            "buckets": NB, "bucket_samples": self.bucket_samples,
+            "segments_padded": Sb, "terms_padded": T, "factors_padded": F,
+            "live_segments": int((self.nterm > 0).sum()),
+            "occupancy": round(self.occupancy(), 6),
+            "opcodes": sorted(int(o) for o in np.unique(self.op[live_fac])),
+            "descriptor_block_bytes": _pallas_desc_bytes(Sb, T, F),
+            "ext_f64_words": 0 if self.ext is None else int(self.ext.size),
+            "pair_mode": self.amp_im is not None,
+            "pallas_ok": self.pallas_ok,
+        }
+
     def describe(self) -> str:
         """One-line human-readable summary (debugging / logging aid)."""
         C, NB, Sb, T, F = self.shape

@@ -111,17 +111,21 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh,
 def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
                        rows_per_tile: int | None = None,
                        interpret: bool = False,
-                       out_dtype=jnp.float32) -> jax.Array:
+                       out_dtype=jnp.float32,
+                       dac_scale=32767.0) -> jax.Array:
     """Synthesize a lowered schedule over a ('channel', 'time') mesh.
 
     Returns the (C, N) output with sharding P('channel', 'time') -- each
     device holds its own channel/time block, ready for sharded downstream
     filtering without any gather.  ``out_dtype=jnp.bfloat16`` narrows the
-    kernel's stores (see synthesize_device); pair-mode requires f32.
+    kernel's stores; ``jnp.int16`` emits exact DAC codes scaled by the
+    scalar/per-channel ``dac_scale`` (see synthesize_device); pair-mode
+    requires f32.
     """
     if low.amp_im is not None and out_dtype != jnp.float32:
         raise ValueError("pair-mode (complex) synthesis requires f32 output")
     C, NB, S, T, F = low.shape
+    dac = jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer)
     nt_shards = mesh.shape['time']
     if rows_per_tile is None:
         from ..ops.pallas_synth import default_rows_per_tile
@@ -149,8 +153,21 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
     pair = low.amp_im is not None
     bucket_spec = 'time' if NB > 1 else None
     in_spec = P('channel', bucket_spec, None, None)
+    chan_spec = P('channel', None, None, None)
     specs = ([in_spec] * 11 + [P(None, None, None, None), in_spec]
-             + ([in_spec] if pair else []))
+             + ([in_spec] if pair else [])
+             + ([chan_spec] if dac else []))
+
+    scale_t = None
+    if dac:
+        sc = np.asarray(dac_scale, np.float32).reshape(-1)
+        if sc.shape[0] == 1:
+            sc = np.broadcast_to(sc, (C,))
+        if sc.shape != (C,):
+            raise ValueError(f"dac_scale must be scalar or length-{C}")
+        scale_t = jax.device_put(
+            _pad_channels(sc.reshape(C, 1, 1, 1).copy(), c_pad),
+            NamedSharding(mesh, chan_spec))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -166,6 +183,7 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
                           seg_hmax, nterm,
                           nfac, amp, op, pw, sh, q32, args, ext, clip_local,
                           rest[0] if pair else None,
+                          rest[-1] if dac else None,
                           S=S, T=T, F=F, R=R, n_rows=rows_local,
                           tiles_per_bucket=G, out_dtype=out_dtype,
                           interpret=interpret)
@@ -179,7 +197,8 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
               tensors['nfac'], tensors['amp'], tensors['op'], tensors['pw'],
               tensors['sh'], tensors['q32'], tensors['args'],
               tensors['ext'], tensors['clip'],
-              *([tensors['amp_im']] if pair else []))
+              *([tensors['amp_im']] if pair else []),
+              *([scale_t] if dac else []))
     out = out.reshape(c_pad, n_rows * 128)
     return out[:C, :low.n_samples]
 
