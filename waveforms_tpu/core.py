@@ -67,9 +67,7 @@ class Waveform:
         self.seq = seq
         self.max = max
         self.min = min
-        self.start = None
-        self.stop = None
-        self.sample_rate = None
+        self.start = self.stop = self.sample_rate = None
         self.filters: tuple[np.ndarray, float] | None = None
         self.label = None
 
@@ -78,29 +76,29 @@ class Waveform:
     @staticmethod
     def _begin(bounds, seq):
         """Lower edge of the first non-zero segment (-inf if unbounded)."""
-        for i, s in enumerate(seq):
-            if s != ZERO:
-                return -inf if i == 0 else bounds[i - 1]
+        for i, expr in enumerate(seq):
+            if expr != ZERO:
+                return bounds[i - 1] if i else -inf
         return inf
 
     @staticmethod
     def _end(bounds, seq):
         """Upper edge of the last non-zero segment (+inf if unbounded)."""
-        n = len(bounds)
-        for i, s in enumerate(seq[::-1]):
-            if s != ZERO:
-                return inf if i == 0 else bounds[n - i - 1]
+        last = len(seq) - 1
+        for i in range(last, -1, -1):
+            if seq[i] != ZERO:
+                return bounds[i] if i < last else inf
         return -inf
 
     @property
     def begin(self):
-        b = self._begin(self.bounds, self.seq)
-        return b if self.start is None else max(self.start, b)
+        edge = self._begin(self.bounds, self.seq)
+        return edge if self.start is None else max(self.start, edge)
 
     @property
     def end(self):
-        e = self._end(self.bounds, self.seq)
-        return e if self.stop is None else min(self.stop, e)
+        edge = self._end(self.bounds, self.seq)
+        return edge if self.stop is None else min(self.stop, edge)
 
     # -- sampling (host oracle path) ----------------------------------------
 
@@ -181,127 +179,109 @@ class Waveform:
 
     @staticmethod
     def _tolist(bounds, seq, ret=None):
-        if ret is None:
-            ret = []
-        ret.append(len(bounds))
-        for expr, b in zip(seq, bounds):
-            ret.append(b)
-            terms, amps = expr
-            ret.append(len(amps))
-            for term, amp in zip(terms, amps):
-                ret.append(amp)
-                factors, powers = term
-                ret.append(len(powers))
+        """Append the recursive segment encoding of (bounds, seq):
+        ``nseg, (bound, nterm, (amp, nfac, (power, nfun, *factor))..)..``"""
+        out = [] if ret is None else ret
+        out.append(len(bounds))
+        for b, (terms, amps) in zip(bounds, seq):
+            out += [b, len(amps)]
+            for (factors, powers), amp in zip(terms, amps):
+                out += [amp, len(powers)]
                 for fun, n in zip(factors, powers):
-                    ret.append(n)
-                    ret.append(len(fun))
-                    ret.extend(fun)
-        return ret
+                    out += [n, len(fun), *fun]
+        return out
 
     @staticmethod
     def _fromlist(l, pos=0):
+        """Decode one waveform's segment encoding starting at ``pos``;
+        returns (bounds, seq, next_pos)."""
+        cur = pos
 
-        def take(count):
-            nonlocal pos
-            try:
-                chunk = tuple(l[pos:pos + count])
-            except Exception:
+        def grab(k):
+            nonlocal cur
+            piece = tuple(l[cur:cur + k])
+            if len(piece) != k:
                 raise ValueError('Invalid waveform format')
-            pos += count
-            return chunk
+            cur += k
+            return piece
 
-        (nseg,) = take(1)
+        (nseg,) = grab(1)
         bounds, seq = [], []
-        for _ in range(nseg):
-            b, nsum = take(2)
-            bounds.append(b)
-            amps, terms = [], []
-            for _ in range(nsum):
-                amp, nmul = take(2)
-                amps.append(amp)
-                powers, factors = [], []
-                for _ in range(nmul):
-                    n, nfun = take(2)
+        for _ in range(int(nseg)):
+            b, nterm = grab(2)
+            terms, amps = [], []
+            for _ in range(int(nterm)):
+                amp, nfac = grab(2)
+                factors, powers = [], []
+                for _ in range(int(nfac)):
+                    n, nfun = grab(2)
                     powers.append(n)
-                    factors.append(take(nfun))
+                    factors.append(grab(int(nfun)))
+                amps.append(amp)
                 terms.append((tuple(factors), tuple(powers)))
+            bounds.append(b)
             seq.append((tuple(terms), tuple(amps)))
-
-        return tuple(bounds), tuple(seq), pos
+        return tuple(bounds), tuple(seq), cur
 
     def tolist(self):
-        l = [self.max, self.min, self.start, self.stop, self.sample_rate]
+        header = [self.max, self.min, self.start, self.stop,
+                  self.sample_rate]
         if self.filters is None:
-            l.append(None)
+            header.append(None)
         else:
-            sos, initial = self.filters
-            flat = list(np.asarray(sos).reshape(-1))
-            l.append(len(flat))
-            l.extend(flat)
-            l.append(initial)
-        return self._tolist(self.bounds, self.seq, l)
+            sos, level = self.filters
+            coeffs = list(np.asarray(sos).reshape(-1))
+            header += [len(coeffs), *coeffs, level]
+        return self._tolist(self.bounds, self.seq, header)
 
     @classmethod
     def fromlist(cls, l):
         w = cls()
+        w.max, w.min, w.start, w.stop, w.sample_rate, n_sos = l[:6]
         pos = 6
-        (w.max, w.min, w.start, w.stop, w.sample_rate, sos_size) = l[:pos]
-        if sos_size is not None:
-            sos = np.array(l[pos:pos + sos_size]).reshape(-1, 6)
-            pos += sos_size
-            initial = l[pos]
-            pos += 1
-            w.filters = sos, initial
+        if n_sos is not None:
+            w.filters = (np.array(l[pos:pos + n_sos]).reshape(-1, 6),
+                         l[pos + n_sos])
+            pos += n_sos + 1
         w.bounds, w.seq, pos = cls._fromlist(l, pos)
         return w
 
     def totree(self):
         header = (self.max, self.min, self.start, self.stop,
                   self.sample_rate, self.filters)
-        body = []
-        for expr, b in zip(self.seq, self.bounds):
-            terms, amps = expr
-            new_seq = []
-            for term, amp in zip(terms, amps):
-                factors, powers = term
-                new_seq.append((amp, tuple(zip(powers, factors))))
-            body.append((b, tuple(new_seq)))
-        return header, tuple(body)
+        body = tuple(
+            (b, tuple((amp, tuple(zip(powers, factors)))
+                      for (factors, powers), amp in zip(*expr)))
+            for b, expr in zip(self.bounds, self.seq))
+        return header, body
 
     @staticmethod
     def fromtree(tree):
-        w = Waveform()
         header, body = tree
+        w = Waveform()
         (w.max, w.min, w.start, w.stop, w.sample_rate, w.filters) = header
-        bounds, seqs = [], []
-        for b, seg in body:
-            bounds.append(b)
-            amps, terms = [], []
-            for amp, term in seg:
-                amps.append(amp)
-                powers, factors = [], []
-                for n, fun in term:
-                    powers.append(n)
-                    factors.append(fun)
-                terms.append((tuple(factors), tuple(powers)))
-            seqs.append((tuple(terms), tuple(amps)))
-        w.bounds = tuple(bounds)
-        w.seq = tuple(seqs)
+        w.bounds = tuple(b for b, _ in body)
+        w.seq = tuple(
+            (tuple((tuple(f for _, f in packed), tuple(n for n, _ in packed))
+                   for _, packed in seg),
+             tuple(amp for amp, _ in seg))
+            for _, seg in body)
         return w
 
     # -- canonicalization ----------------------------------------------------
 
     def simplify(self, eps=1e-15):
-        """Canonicalize every segment; coalesce equal adjacent segments."""
-        seq = [_simplify_expr(self.seq[0], eps)]
-        bounds = [self.bounds[0]]
-        for expr, b in zip(self.seq[1:], self.bounds[1:]):
+        """Canonicalize every segment; coalesce equal adjacent segments
+        (keeping the later bound)."""
+        bounds: list = []
+        seq: list = []
+        for b, expr in zip(self.bounds, self.seq):
             expr = _simplify_expr(expr, eps)
-            if expr == seq[-1]:
-                seq.pop()
-                bounds.pop()
-            seq.append(expr)
-            bounds.append(b)
+            if seq and expr == seq[-1]:
+                bounds[-1] = b
+            else:
+                bounds.append(b)
+                seq.append(expr)
         return Waveform(tuple(bounds), tuple(seq))
 
     def filter(self, low=0, high=inf, eps=1e-15):
@@ -437,11 +417,6 @@ class Waveform:
 
     # -- evaluation ------------------------------------------------------------
 
-    @staticmethod
-    def _fill_parts(parts, out):
-        for start, stop, part in parts:
-            out[start:stop] += part
-
     def __call__(
         self,
         x,
@@ -455,28 +430,26 @@ class Waveform:
         ``frag=True`` returns the raw non-zero parts list instead of a dense
         array.  ``out=``/``accumulate=`` allow writing into a caller buffer.
         """
-        if function_lib is None:
-            function_lib = baseFunc
-        if isinstance(x, (int, float, complex)):
-            return cast(
-                NDArray[np.float64],
-                self.__call__(np.array([x]), function_lib=function_lib))[0]
-        parts, dtype = calc_parts(self.bounds, self.seq, x, function_lib,
+        lib = baseFunc if function_lib is None else function_lib
+        if np.isscalar(x) and not isinstance(x, np.ndarray):
+            return cast(NDArray[np.float64],
+                        self(np.array([x]), function_lib=lib))[0]
+        parts, dtype = calc_parts(self.bounds, self.seq, x, lib,
                                   self.min, self.max)
         if frag:
             if out is None:
                 return cast(list, parts)
-            out = cast(list, out)
             if accumulate:
                 raise NotImplementedError('merging fragment lists')
-            out.clear()
-            out.extend(parts)
-            return out
+            target = cast(list, out)
+            target[:] = parts
+            return target
         if out is None:
             out = np.zeros_like(x, dtype=dtype)
         elif not accumulate:
             out *= 0
-        self._fill_parts(parts, out)
+        for lo, hi, part in parts:
+            out[lo:hi] += part
         return out
 
     # -- identity ---------------------------------------------------------------
@@ -486,15 +459,15 @@ class Waveform:
                      self.sample_rate, self.bounds, self.seq))
 
     def __eq__(self, o: object) -> bool:
+        """Equality up to simplification (plus clip/window metadata)."""
         if isinstance(o, (int, float, complex)):
-            return self == const(o)
-        if isinstance(o, Waveform):
-            a = self.simplify()
-            b = o.simplify()
-            return (a.seq == b.seq and a.bounds == b.bounds
-                    and (a.max, a.min, a.start, a.stop)
-                    == (b.max, b.min, b.start, b.stop))
-        return False
+            o = const(o)
+        if not isinstance(o, Waveform):
+            return False
+        a, b = self.simplify(), o.simplify()
+        meta = ('max', 'min', 'start', 'stop')
+        return (a.seq == b.seq and a.bounds == b.bounds
+                and all(getattr(a, f) == getattr(b, f) for f in meta))
 
     def _repr_latex_(self):
         parts = []
@@ -549,14 +522,10 @@ class WaveVStack(Waveform):
 
     def __init__(self, wlist: Iterable[Waveform] = ()):
         self.wlist = [(w.bounds, w.seq) for w in wlist]
-        self.start = None
-        self.stop = None
-        self.sample_rate = None
+        self.start = self.stop = self.sample_rate = None
         self.offset = 0
         self.shift = 0
-        self.filters = None
-        self.label = None
-        self.function_lib = None
+        self.filters = self.label = self.function_lib = None
 
     def _stack_begin(self):
         if self.wlist:
@@ -596,35 +565,30 @@ class WaveVStack(Waveform):
         return acc.real
 
     def tolist(self):
-        l = [self.start, self.stop, self.offset, self.shift,
-             self.sample_rate]
+        header = [self.start, self.stop, self.offset, self.shift,
+                  self.sample_rate]
         if self.filters is None:
-            l.append(None)
+            header.append(None)
         else:
-            sos, initial = self.filters
-            flat = list(np.asarray(sos).reshape(-1))
-            l.append(len(flat))
-            l.extend(flat)
-            l.append(initial)
-        l.append(len(self.wlist))
-        for bounds, seq in self.wlist:
-            self._tolist(bounds, seq, l)
-        return l
+            sos, level = self.filters
+            coeffs = list(np.asarray(sos).reshape(-1))
+            header += [len(coeffs), *coeffs, level]
+        header.append(len(self.wlist))
+        for component in self.wlist:
+            self._tolist(*component, header)
+        return header
 
     @classmethod
     def fromlist(cls, l):
         w = cls()
+        w.start, w.stop, w.offset, w.shift, w.sample_rate, n_sos = l[:6]
         pos = 6
-        w.start, w.stop, w.offset, w.shift, w.sample_rate, sos_size = l[:pos]
-        if sos_size is not None:
-            sos = np.array(l[pos:pos + sos_size]).reshape(-1, 6)
-            pos += sos_size
-            initial = l[pos]
-            pos += 1
-            w.filters = sos, initial
-        n = l[pos]
-        pos += 1
-        for _ in range(n):
+        if n_sos is not None:
+            w.filters = (np.array(l[pos:pos + n_sos]).reshape(-1, 6),
+                         l[pos + n_sos])
+            pos += n_sos + 1
+        n_components, pos = l[pos], pos + 1
+        for _ in range(n_components):
             bounds, seq, pos = cls._fromlist(l, pos)
             w.wlist.append((bounds, seq))
         return w
@@ -633,19 +597,15 @@ class WaveVStack(Waveform):
         """Collapse the stack into one canonical :class:`Waveform`."""
         if not self.wlist:
             return zero()
-        bounds, seq = wave_sum(self.wlist)
-        wav = Waveform(bounds=bounds, seq=seq)
+        merged = Waveform(*wave_sum(self.wlist))
         if self.offset != 0:
-            wav += self.offset
+            merged += self.offset
         if self.shift != 0:
-            wav >>= self.shift
-        wav = wav.simplify(eps)
-        wav.start = self.start
-        wav.stop = self.stop
-        wav.sample_rate = self.sample_rate
-        wav.filters = self.filters
-        wav.label = self.label
-        return wav
+            merged >>= self.shift
+        merged = merged.simplify(eps)
+        for name in ('start', 'stop', 'sample_rate', 'filters', 'label'):
+            setattr(merged, name, getattr(self, name))
+        return merged
 
     @staticmethod
     def _baked(wlist, dt):
@@ -724,28 +684,30 @@ class WaveVStack(Waveform):
     def _repr_latex_(self):
         return r"\sum_{i=1}^{" + f"{len(self.wlist)}" + r"}" + r"f_i(t)"
 
+    # pickle protocol: the state tuple layout is part of the wire format;
+    # the user function registry travels as a dill blob (or None when it
+    # cannot serialize)
+    _STATE_FIELDS = ('wlist', 'start', 'stop', 'sample_rate', 'offset',
+                     'shift', 'filters', 'label')
+
+    @staticmethod
+    def _dill(operation, payload):
+        if not payload:
+            return payload
+        try:
+            import dill
+            return getattr(dill, operation)(payload)
+        except Exception:
+            return None
+
     def __getstate__(self) -> tuple:
-        function_lib = self.function_lib
-        if function_lib:
-            try:
-                import dill
-                function_lib = dill.dumps(function_lib)
-            except Exception:
-                function_lib = None
-        return (self.wlist, self.start, self.stop, self.sample_rate,
-                self.offset, self.shift, self.filters, self.label,
-                function_lib)
+        return (*[getattr(self, f) for f in self._STATE_FIELDS],
+                self._dill('dumps', self.function_lib))
 
     def __setstate__(self, state: tuple) -> None:
-        (self.wlist, self.start, self.stop, self.sample_rate, self.offset,
-         self.shift, self.filters, self.label, function_lib) = state
-        if function_lib:
-            try:
-                import dill
-                function_lib = dill.loads(function_lib)
-            except Exception:
-                function_lib = None
-        self.function_lib = function_lib
+        for name, value in zip(self._STATE_FIELDS, state):
+            setattr(self, name, value)
+        self.function_lib = self._dill('loads', state[-1])
 
 
 _zero_waveform = Waveform()
