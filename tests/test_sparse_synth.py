@@ -1,0 +1,86 @@
+"""Sparse worklist kernel: must equal the dense-grid kernel and oracle."""
+
+import numpy as np
+import pytest
+
+from waveforms_tpu import cosPulse, gaussian, mixing, square, zero
+from waveforms_tpu.core import WaveVStack
+from waveforms_tpu.ops.lowering import lower_schedule
+from waveforms_tpu.ops.pallas_synth import DeviceSchedule, synthesize_device
+from waveforms_tpu.ops.sparse_synth import build_sparse_plan, \
+    synthesize_sparse
+
+FS = 2e9
+
+
+def _sparse_schedule(n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    chans = []
+    for c in range(n):
+        x = zero()
+        if c % 2 == 0:
+            for _ in range(3):
+                I, _ = mixing(
+                    0.5 * cosPulse(20e-9) >> rng.uniform(0, 7e-6),
+                    freq=-150e6 - 2e6 * c, DRAGScaling=1e-10)
+                x += I
+        else:
+            for _ in range(2):
+                x += 0.3 * (square(80e-9, edge=10e-9)
+                            >> rng.uniform(0, 7e-6))
+        chans.append(x)
+    return chans
+
+
+def test_sparse_matches_dense_and_oracle():
+    chans = _sparse_schedule()
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS)
+    dev = DeviceSchedule(low)
+
+    dense = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True))
+    sparse = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    np.testing.assert_array_equal(sparse, dense)
+
+    t = np.arange(0, stop, 1 / FS)
+    for c, w in enumerate(chans):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        assert np.abs(sparse[c] - oracle).max() / scale < 2e-6, c
+
+
+def test_sparse_plan_counts():
+    chans = _sparse_schedule()
+    low = lower_schedule(chans, 0, 8.192e-6, FS)
+    plan = build_sparse_plan(low, Rs=8)
+    n_tiles_total = len(chans) * plan.n_tiles
+    assert 0 < plan.n_live < n_tiles_total // 4   # genuinely sparse
+    # padding points at the scratch tile
+    assert np.all(plan.work_t[plan.n_live:] == plan.n_tiles)
+    # all live ranges non-empty and sorted inputs respected
+    assert np.all(plan.work_s1[:plan.n_live] > plan.work_s0[:plan.n_live])
+
+
+def test_sparse_bucketed_stack():
+    rng = np.random.default_rng(5)
+    stack = WaveVStack([(0.4 * cosPulse(40e-9) >> o)
+                        for o in rng.uniform(0, 7e-6, 40)])
+    low = lower_schedule([stack], 0, 8.192e-6, FS, bucket_samples=2048)
+    assert low.n_buckets > 1
+    dev = DeviceSchedule(low)
+    dense = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True))
+    sparse = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    np.testing.assert_array_equal(sparse, dense)
+
+
+def test_sparse_dense_schedule_still_correct():
+    """occupancy ~1: every subtile live; still exact."""
+    chans = [gaussian(6e-6) >> 3e-6]
+    low = lower_schedule(chans, 0, 6e-6, FS)
+    dev = DeviceSchedule(low)
+    sparse = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    t = np.arange(0, 6e-6, 1 / FS)
+    oracle = chans[0](t)
+    assert np.abs(sparse[0] - oracle).max() < 2e-6

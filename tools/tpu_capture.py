@@ -334,6 +334,49 @@ SUITE_ROWS = ('readme_demo_10k', 'xy_z_pair_200k', 'dense_chirp_2M',
               'flux_iir_1M', 'vstack_1000x200k')
 
 
+def task_sparse(Rs):
+    """Sparse worklist kernel on the 524us flagship window: parity readback
+    (small) + device-event timing (full window)."""
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
+        synthesize_device
+    from waveforms_tpu.ops.sparse_synth import build_sparse_plan, \
+        synthesize_sparse
+    from waveforms_tpu.utils.profiling import measure_device
+
+    # parity on a small window first (readback-safe size)
+    chans_s = _sparse_chans(8)
+    low_s = lower_schedule(chans_s, 0.0, 32.768e-6, FS)
+    dev_s = DeviceSchedule(low_s)
+    sp = np.asarray(synthesize_sparse(dev_s, low_s, Rs=Rs))
+    t = np.arange(0.0, 32.768e-6, 1 / FS)
+    worst = 0.0
+    for c, w in enumerate(chans_s):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst, float(np.abs(sp[c] - oracle).max() / scale))
+
+    # timing on the full 524us window
+    chans = _sparse_chans()
+    low = lower_schedule(chans, 0.0, 524.288e-6, FS)
+    dev = DeviceSchedule(low)
+    plan = build_sparse_plan(low, Rs=Rs)
+    jax.block_until_ready(dev.tensors)
+
+    def run():
+        return synthesize_sparse(dev, plan=plan, interpret=False)
+
+    run().block_until_ready()
+    med = measure_device(run, 'jit__run_sparse')
+    n_total = len(chans) * dev.n_samples
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(n_total / med / 1e9, 1),
+            "n_live": plan.n_live, "Rs": Rs,
+            "max_rel_err": worst, "parity_ok": bool(worst < 1e-5)}
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -354,6 +397,8 @@ def pending_tasks(state):
         tasks.append((f"floor_zero_R{R}", lambda R=R: task_floor(R)))
     for row in SUITE_ROWS:
         tasks.append((f"suite_{row}", lambda row=row: task_suite_row(row)))
+    for Rs in (32, 16, 64):
+        tasks.append((f"sparse_Rs{Rs}", lambda Rs=Rs: task_sparse(Rs)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

@@ -95,30 +95,18 @@ def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
     return turns.astype(jnp.float32) * _PHASE + resid + const
 
 
-def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
-                  nterm_ref,
-                  nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
-                  args_ref, ext_ref, clip_ref, *rest, S, T, F, R, G,
-                  ops_present, pair=False, dac=False):
-    # pair mode fuses a complex synthesis into one pass: the factor
-    # product (all the transcendental work) is computed once per term and
-    # scaled by two amplitude planes into two output planes.
-    scale_ref = None
-    if pair:
-        amp2_ref, out_ref, out2_ref = rest
-    elif dac:
-        # int16 DAC codes: accumulate f32, store round(acc * scale)
-        scale_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
-    tile = R * 128
-    # row0 is this shard's global sample offset (time-axis sharding over a
-    # device mesh: each shard synthesizes its slice of the sample axis).
-    base = row0_ref[0, 0, 0, 0] + pl.program_id(1) * tile
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-    idx = base + rows * 128 + cols
+def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
+                 nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
+                 args_ref, ext_ref, clip_ref, amp2_ref, *, T, F,
+                 ops_present, pair):
+    """Per-tile segment evaluator shared by the dense-grid and sparse
+    (worklist) kernels: returns ``(segment_at, acc0)`` where
+    ``segment_at(s, acc)`` accumulates segment *s* of this tile.
 
+    ``idx`` is the (R, 128) global sample-index tile starting at ``base``;
+    descriptor refs are the one-channel/one-bucket SMEM blocks.  In pair
+    mode ``acc`` is a (re, im) tuple scaled by the two amplitude planes.
+    """
     def factor_value(flat_idx):
         """Evaluate one factor's opcode over the whole tile."""
         op = op_ref[0, 0, 0, flat_idx]
@@ -369,14 +357,44 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
         return jax.lax.cond(overlap, add_segment, lambda a: a, acc)
 
     acc0 = (zeros, zeros) if pair else zeros
+    return segment_at, acc0
+
+
+def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
+                  nterm_ref,
+                  nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
+                  args_ref, ext_ref, clip_ref, *rest, S, T, F, R, G,
+                  ops_present, pair=False, dac=False):
+    # pair mode fuses a complex synthesis into one pass: the factor
+    # product (all the transcendental work) is computed once per term and
+    # scaled by two amplitude planes into two output planes.
+    scale_ref = amp2_ref = None
+    if pair:
+        amp2_ref, out_ref, out2_ref = rest
+    elif dac:
+        # int16 DAC codes: accumulate f32, store round(acc * scale)
+        scale_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    tile = R * 128
+    # row0 is this shard's global sample offset (time-axis sharding over a
+    # device mesh: each shard synthesizes its slice of the sample axis).
+    base = row0_ref[0, 0, 0, 0] + pl.program_id(1) * tile
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    idx = base + rows * 128 + cols
+
+    segment_at, acc0 = _tile_walker(
+        idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
+        amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
+        clip_ref, amp2_ref, T=T, F=F, ops_present=ops_present, pair=pair)
+
     # The host-side prologue in _run_kernel precomputes, per tile, the
     # index range [s0, s1) of segments that can overlap it (each bucket's
     # segment list is sorted by lo with 2^31-1 sentinels in the padding;
     # s0/s1 come from searchsorted over the running-max-of-hi and lo).
     # Silent tiles therefore cost two scalar reads and the store; live
-    # tiles walk exactly their overlapping segments.  The previous
-    # full-S conditional scan was ~3x the kernel's whole runtime on
-    # sparse schedules.
+    # tiles walk exactly their overlapping segments.
     g = pl.program_id(1) % G
     s0 = s0_ref[0, 0, 0, g]
     s1 = s1_ref[0, 0, 0, g]
