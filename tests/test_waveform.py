@@ -354,3 +354,16 @@ def test_mixing_ssb_oracle():
                                atol=1e-12)
     np.testing.assert_allclose(
         Q(t), -1.2 * env * np.sin(w * t - 0.3 + 0.1), rtol=1e-9, atol=1e-12)
+
+
+def test_cut_head_tail_offsets():
+    """head/tail re-level the waveform so the value at the cut edge hits
+    the requested level."""
+    w = t_wave()                       # f(t) = t
+    c1 = cut(w, start=2.0, head=0.0)   # offset by -w(2) = -2
+    x = np.array([1.0, 2.5, 4.0])
+    np.testing.assert_allclose(c1(x), [0.0, 0.5, 2.0], atol=1e-12)
+
+    c2 = cut(w, stop=3.0, tail=10.0)   # offset by 10 - w(3) = +7
+    np.testing.assert_allclose(c2(np.array([0.0, 2.0, 5.0])),
+                               [7.0, 9.0, 0.0], atol=1e-12)
