@@ -139,3 +139,22 @@ def test_mixed_real_complex_rejected():
                        part='complex')
     with pytest.raises(ValueError, match="mix"):
         Sequencer([a, b])
+
+
+def test_sequencer_int16_codes():
+    """play(k, out_dtype=int16) emits the same DAC codes as the direct
+    device path for each table entry."""
+    import jax.numpy as jnp
+
+    from waveforms_tpu import cosPulse, gaussian
+    lows = [lower_schedule([0.8 * gaussian(200e-9) >> 1e-6], 0, SPAN, FS),
+            lower_schedule([0.5 * cosPulse(160e-9) >> 2e-6], 0, SPAN, FS)]
+    seq = Sequencer(lows)
+    for k, low in enumerate(lows):
+        want = np.asarray(synthesize_device(DeviceSchedule(low),
+                                            rows_per_tile=8, interpret=True,
+                                            out_dtype=jnp.int16))
+        got = np.asarray(seq.play(k, rows_per_tile=8, interpret=True,
+                                  out_dtype=jnp.int16))
+        assert got.dtype == np.int16
+        np.testing.assert_array_equal(got, want)

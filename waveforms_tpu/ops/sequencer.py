@@ -137,12 +137,14 @@ class Sequencer:
                 f"{'complex' if self.pair else 'real'}")
 
     def play(self, k, rows_per_tile: int | None = None,
-             interpret: bool = False, out_dtype=None):
+             interpret: bool = False, out_dtype=None, dac_scale=32767.0):
         """Synthesize schedule ``k`` (int or traced int32) -> (C, N).
 
         Safe inside jit/scan: the gather and the kernel trace once for the
-        whole table.  ``out_dtype=jnp.bfloat16`` narrows the store (see
-        synthesize_device); pair-mode tables require f32.
+        whole table.  ``out_dtype=jnp.bfloat16`` narrows the store;
+        ``jnp.int16`` emits exact DAC codes scaled by scalar/per-channel
+        ``dac_scale`` (see synthesize_device).  Pair-mode tables require
+        f32.
         """
         import jax.numpy as jnp
 
@@ -155,6 +157,12 @@ class Sequencer:
                 "pair-mode (complex) synthesis requires f32 output")
 
         C, NB, Sb, T, F = self.shape
+        scale = None
+        if jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer):
+            scale = jnp.asarray(dac_scale, jnp.float32).reshape(-1)
+            if scale.shape[0] == 1:
+                scale = jnp.broadcast_to(scale, (C,))
+            scale = scale.reshape(C, 1, 1, 1)
         if rows_per_tile is None:
             from .pallas_synth import default_rows_per_tile
             rows_per_tile = default_rows_per_tile(self.n_samples,
@@ -174,7 +182,7 @@ class Sequencer:
         amp_im = (jnp.take(self.amp_im, k, axis=0, mode='clip')
                   if self.amp_im is not None else None)
         out = _run_kernel(
-            jnp.zeros((1, 1, 1, 1), jnp.int32), *sel, amp_im,
+            jnp.zeros((1, 1, 1, 1), jnp.int32), *sel, amp_im, scale,
             S=Sb, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
             ops_present=self.ops_present, interpret=interpret,
             out_dtype=out_dtype)
