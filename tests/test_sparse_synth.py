@@ -84,3 +84,22 @@ def test_sparse_dense_schedule_still_correct():
     t = np.arange(0, 6e-6, 1 / FS)
     oracle = chans[0](t)
     assert np.abs(sparse[0] - oracle).max() < 2e-6
+
+
+def test_sparse_windowed():
+    """tile_window plans emit window-relative outputs that concatenate to
+    the full-range result."""
+    chans = _sparse_schedule()
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS)
+    dev = DeviceSchedule(low)
+
+    whole = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    n_tiles = -(-(-(-low.n_samples // 128)) // 8)
+    half = n_tiles // 2
+    p1 = build_sparse_plan(low, Rs=8, tile_window=(0, half))
+    p2 = build_sparse_plan(low, Rs=8, tile_window=(half, n_tiles))
+    w1 = np.asarray(synthesize_sparse(dev, plan=p1, interpret=True))
+    w2 = np.asarray(synthesize_sparse(dev, plan=p2, interpret=True))
+    got = np.concatenate([w1, w2], axis=1)
+    np.testing.assert_array_equal(got, whole)

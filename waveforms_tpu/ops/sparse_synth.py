@@ -42,13 +42,15 @@ DEFAULT_SUBTILE_ROWS = 32
 class SparsePlan:
     """Host-enumerated live-subtile worklist (see build_sparse_plan)."""
     Rs: int                 # subtile height in output rows
-    n_tiles: int            # subtiles per channel (excl. the scratch tile)
+    n_tiles: int            # OUTPUT subtiles (window; excl. scratch tile)
     work_c: np.ndarray      # i32[K] channel
     work_b: np.ndarray      # i32[K] descriptor bucket
-    work_t: np.ndarray      # i32[K] output subtile index
+    work_t: np.ndarray      # i32[K] ABSOLUTE subtile index (sample base)
+    work_o: np.ndarray      # i32[K] OUTPUT subtile index (window-relative)
     work_s0: np.ndarray     # i32[K] first segment
     work_s1: np.ndarray     # i32[K] one past the last segment
     n_live: int             # un-padded worklist length
+    window_samples: int     # samples this plan's output covers
 
     @property
     def occupied_fraction(self):
@@ -57,7 +59,9 @@ class SparsePlan:
 
 
 def build_sparse_plan(low: LoweredSchedule,
-                      Rs: int = DEFAULT_SUBTILE_ROWS) -> SparsePlan:
+                      Rs: int = DEFAULT_SUBTILE_ROWS,
+                      tile_window: tuple[int, int] | None = None
+                      ) -> SparsePlan:
     """Enumerate live subtiles of a lowered schedule.
 
     For every (channel, bucket) the segment list is lo-sorted (lowering
@@ -73,7 +77,12 @@ def build_sparse_plan(low: LoweredSchedule,
             f"bucket_samples {low.bucket_samples} must be a multiple of "
             f"the sparse subtile ({tile})")
     n_rows = -(-low.n_samples // 128)
-    n_tiles = -(-n_rows // Rs)
+    n_tiles_abs = -(-n_rows // Rs)
+    # optional window: only subtiles in [w_lo, w_hi) are emitted; output
+    # indices are window-relative (output buffers above ~0.6 GB abort the
+    # tunneled dev chip, so big schedules run as windows)
+    w_lo, w_hi = tile_window if tile_window is not None else (0, n_tiles_abs)
+    n_tiles = w_hi - w_lo
 
     cs, bs, ts, s0s, s1s = [], [], [], [], []
     for c in range(C):
@@ -85,9 +94,12 @@ def build_sparse_plan(low: LoweredSchedule,
                 continue
             hmax = np.maximum.accumulate(hi)
             # subtiles covered by this bucket
-            t0 = (b * low.bucket_samples) // tile if NB > 1 else 0
-            t1 = min(-(-((b + 1) * low.bucket_samples) // tile), n_tiles) \
-                if NB > 1 else n_tiles
+            t0 = max((b * low.bucket_samples) // tile if NB > 1 else 0,
+                     w_lo)
+            t1 = min(-(-((b + 1) * low.bucket_samples) // tile)
+                     if NB > 1 else n_tiles_abs, w_hi)
+            if t1 <= t0:
+                continue
             t_idx = np.arange(t0, t1, dtype=np.int64)
             bases = t_idx * tile
             s0 = np.searchsorted(hmax, bases, side='right')
@@ -111,6 +123,7 @@ def build_sparse_plan(low: LoweredSchedule,
     else:
         wc = wb = wt = w0 = w1 = np.zeros(0, np.int64)
     n_live = len(wc)
+    wo = wt - w_lo                       # window-relative output tiles
 
     # pad to a power of two (kernel-cache stability); padding entries do
     # zero segments into the scratch tile at t == n_tiles of channel 0
@@ -120,22 +133,27 @@ def build_sparse_plan(low: LoweredSchedule,
     pad = K - n_live
     wc = np.concatenate([wc, np.zeros(pad, np.int64)])
     wb = np.concatenate([wb, np.zeros(pad, np.int64)])
-    wt = np.concatenate([wt, np.full(pad, n_tiles)])
+    wt = np.concatenate([wt, np.full(pad, w_lo + n_tiles)])
+    wo = np.concatenate([wo, np.full(pad, n_tiles)])
     w0 = np.concatenate([w0, np.zeros(pad, np.int64)])
     w1 = np.concatenate([w1, np.zeros(pad, np.int64)])
+    window_samples = min(n_tiles * Rs * 128, low.n_samples - w_lo * Rs * 128)
     return SparsePlan(Rs=Rs, n_tiles=n_tiles,
                       work_c=wc.astype(np.int32),
                       work_b=wb.astype(np.int32),
                       work_t=wt.astype(np.int32),
+                      work_o=wo.astype(np.int32),
                       work_s0=w0.astype(np.int32),
                       work_s1=w1.astype(np.int32),
-                      n_live=n_live)
+                      n_live=n_live,
+                      window_samples=window_samples)
 
 
-def _sparse_kernel(wc_ref, wb_ref, wt_ref, ws0_ref, ws1_ref,
+def _sparse_kernel(wc_ref, wb_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
                    seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref, amp_ref,
                    op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
                    clip_ref, bg_ref, out_ref, *, S, T, F, Rs, ops_present):
+    del wo_ref  # drives the output index map only
     del bg_ref  # aliased zero background; present only for aliasing
     k = pl.program_id(0)
     tile = Rs * 128
@@ -156,8 +174,8 @@ def _sparse_kernel(wc_ref, wb_ref, wt_ref, ws0_ref, ws1_ref,
 @functools.partial(
     jax.jit, static_argnames=('S', 'T', 'F', 'Rs', 'n_tiles',
                               'ops_present', 'interpret'))
-def _run_sparse(wc, wb, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, op,
-                pw, sh, q32, args, ext, clip, *, S, T, F, Rs, n_tiles,
+def _run_sparse(wc, wb, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
+                op, pw, sh, q32, args, ext, clip, *, S, T, F, Rs, n_tiles,
                 ops_present=tuple(range(N_OPS)), interpret=False):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
@@ -167,18 +185,20 @@ def _run_sparse(wc, wb, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, op,
 
     def smem(k, bcast=False):
         if bcast:
-            return pl.BlockSpec((1, 1, 1, k),
-                                lambda i, wc, wb, wt, ws0, ws1: (0, 0, 0, 0),
-                                memory_space=pltpu.SMEM)
+            return pl.BlockSpec(
+                (1, 1, 1, k),
+                lambda i, wc, wb, wt, wo, ws0, ws1: (0, 0, 0, 0),
+                memory_space=pltpu.SMEM)
         return pl.BlockSpec(
             (1, 1, 1, k),
-            lambda i, wc, wb, wt, ws0, ws1: (wc[i], wb[i], 0, 0),
+            lambda i, wc, wb, wt, wo, ws0, ws1: (wc[i], wb[i], 0, 0),
             memory_space=pltpu.SMEM)
 
-    out_spec = pl.BlockSpec((1, Rs, 128),
-                            lambda i, wc, wb, wt, ws0, ws1: (wc[i], wt[i], 0))
+    out_spec = pl.BlockSpec(
+        (1, Rs, 128),
+        lambda i, wc, wb, wt, wo, ws0, ws1: (wc[i], wo[i], 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(K,),
         in_specs=[
             smem(S), smem(S), smem(S),                   # seg_lo, seg_hi, nterm
@@ -187,9 +207,10 @@ def _run_sparse(wc, wb, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, op,
             smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
             smem(S * T * F * W_ARGS),                    # args
             smem(E, bcast=True),                         # ext
-            pl.BlockSpec((1, 1, 1, 2),
-                         lambda i, wc, wb, wt, ws0, ws1: (wc[i], 0, 0, 0),
-                         memory_space=pltpu.SMEM),       # clip
+            pl.BlockSpec(
+                (1, 1, 1, 2),
+                lambda i, wc, wb, wt, wo, ws0, ws1: (wc[i], 0, 0, 0),
+                memory_space=pltpu.SMEM),                # clip
             out_spec,                                    # bg (aliased)
         ],
         out_specs=out_spec,
@@ -200,11 +221,11 @@ def _run_sparse(wc, wb, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, op,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(bg.shape, jnp.float32),
-        # bg is input 12 after the 5 scalar-prefetch operands
-        input_output_aliases={17: 0},
+        # bg is input 12 after the 6 scalar-prefetch operands
+        input_output_aliases={18: 0},
         interpret=interpret,
-    )(wc, wb, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh,
-      q32, args, ext, clip, bg)
+    )(wc, wb, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, op, pw,
+      sh, q32, args, ext, clip, bg)
     return out
 
 
@@ -229,8 +250,8 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
     tensors = dev.tensors[:2] + dev.tensors[3:]
     out = _run_sparse(
         jnp.asarray(plan.work_c), jnp.asarray(plan.work_b),
-        jnp.asarray(plan.work_t), jnp.asarray(plan.work_s0),
-        jnp.asarray(plan.work_s1), *tensors,
+        jnp.asarray(plan.work_t), jnp.asarray(plan.work_o),
+        jnp.asarray(plan.work_s0), jnp.asarray(plan.work_s1), *tensors,
         S=S, T=T, F=F, Rs=plan.Rs, n_tiles=plan.n_tiles,
         ops_present=dev.ops_present, interpret=interpret)
-    return out.reshape(C, -1)[:, :dev.n_samples]
+    return out.reshape(C, -1)[:, :plan.window_samples]
