@@ -145,3 +145,20 @@ def test_fuzz_complex_pair(seed):
         for i, ora in enumerate(oras):
             scale = max(np.abs(ora).max(), 1e-3)
             assert np.abs(out_p[i] - ora).max() / scale < 5e-6, f"pallas ch{i}"
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_fuzz_sparse_vs_dense(seed):
+    """Random schedules: the sparse worklist kernel must equal the dense
+    grid bit-for-bit (both interpret mode, same walker)."""
+    from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,
+                                                synthesize_device)
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse
+    rng = np.random.default_rng(4000 + seed)
+    chans = [random_channel(rng) for _ in range(2)]
+    low = lower_schedule(chans, 0, SPAN, FS, bucket_samples=4096)
+    dev = DeviceSchedule(low)
+    dense = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True))
+    sparse = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    np.testing.assert_array_equal(sparse, dense)
