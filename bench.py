@@ -255,7 +255,10 @@ def interpret_fallback():
 def cpu_fallback():
     """Last resort when the TPU terminal is unavailable: measure the
     native C++ engine on the same workload so the round still records an
-    honest number (flagged via the ``note`` field)."""
+    honest number (flagged via the ``note`` field).  The wedged tunnel is
+    an environment fault, not a code property, so the JSON also carries
+    the session's last *verified* device-event headline from
+    benchmarks/tpu_state.json, clearly labeled as such."""
     from waveforms_tpu import native
     from waveforms_tpu.ops.lowering import lower_schedule
 
@@ -268,14 +271,26 @@ def cpu_fallback():
         native.synthesize_native(low)
     elapsed = (time.perf_counter() - t0) / reps
     gsps = len(chans) * low.n_samples / elapsed / 1e9
-    print(json.dumps({
+    result = {
         "metric": "full_chip_synthesis_128ch_2GSps_1ms",
         "value": round(gsps, 3),
         "unit": "Gsamples/s/chip",
         "vs_baseline": round(gsps / 10.0, 3),
         "occupancy": round(schedule_occupancy(low), 5),
         "note": "tpu_terminal_unavailable_cpu_native_fallback",
-    }))
+    }
+    try:
+        with open('/root/repo/benchmarks/tpu_state.json') as f:
+            state = json.load(f)
+        head = state.get('headline_windowed_R256')
+        if head and 'gsps' in head:
+            result["last_verified_tpu_gsps"] = head["gsps"]
+            result["last_verified_tpu_source"] = \
+                "benchmarks/tpu_state.json (profiler device events, " \
+                "this session)"
+    except Exception:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':
