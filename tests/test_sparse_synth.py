@@ -103,3 +103,50 @@ def test_sparse_windowed():
     w2 = np.asarray(synthesize_sparse(dev, plan=p2, interpret=True))
     got = np.concatenate([w1, w2], axis=1)
     np.testing.assert_array_equal(got, whole)
+
+
+def test_sparse_plan_occupied_fraction_bounds():
+    """occupied_fraction normalizes by channels x tiles (<= 1 even dense)."""
+    chans = [gaussian(6e-6) >> 3e-6 for _ in range(4)]
+    low = lower_schedule(chans, 0, 6e-6, FS)
+    plan = build_sparse_plan(low, Rs=8)
+    assert 0.5 < plan.occupied_fraction <= 1.0
+
+
+def test_checkpoint_load_renormalizes_legacy_layout():
+    """Pre-invariant checkpoints (zero-padded, unsorted bucket lists) must
+    synthesize correctly after load (code-review finding r2)."""
+    import tempfile
+
+    from waveforms_tpu.ops.lowering import SEG_SENTINEL, LoweredSchedule
+
+    chans = _sparse_schedule(4, seed=3)
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS)
+    want = np.asarray(synthesize_device(DeviceSchedule(low),
+                                        rows_per_tile=8, interpret=True))
+
+    # forge a legacy-layout schedule: shuffle each bucket's slots and
+    # zero-fill the padding (what the old format stored)
+    rng = np.random.default_rng(0)
+    C, NB, Sb, T, F = low.shape
+    for c in range(C):
+        for b in range(NB):
+            perm = rng.permutation(Sb)
+            for name in ('seg_lo', 'seg_hi', 'nterm', 'amp', 'nfac', 'op',
+                         'power', 'shift_hi', 'q32', 'args'):
+                arr = getattr(low, name)
+                arr[c, b] = arr[c, b][perm]
+    dead = low.nterm == 0
+    low.seg_lo[dead] = 0
+    low.seg_hi[dead] = 0
+
+    with tempfile.NamedTemporaryFile(suffix='.npz') as f:
+        low.save(f.name)
+        restored = LoweredSchedule.load(f.name)
+
+    # invariant re-established: sorted by lo, sentinels in dead slots
+    assert np.all(restored.seg_lo[restored.nterm == 0] == SEG_SENTINEL)
+    got = np.asarray(synthesize_device(DeviceSchedule(restored),
+                                       rows_per_tile=8, interpret=True))
+    np.testing.assert_array_equal(got, want)

@@ -580,7 +580,7 @@ class LoweredSchedule:
     def load(cls, path) -> 'LoweredSchedule':
         z = np.load(path)
         meta = z['meta']
-        return cls(
+        out = cls(
             seg_lo=z['seg_lo'], seg_hi=z['seg_hi'], nterm=z['nterm'],
             amp=z['amp'], nfac=z['nfac'], op=z['op'], power=z['power'],
             shift_hi=z['shift_hi'], q32=z['q32'], args=z['args'],
@@ -589,6 +589,38 @@ class LoweredSchedule:
             sample_rate=float(meta[2]), bucket_samples=int(meta[3]),
             amp_im=z['amp_im'] if 'amp_im' in z.files else None,
             pallas_ok=bool(meta[4]))
+        out._normalize_segment_order()
+        return out
+
+    def _normalize_segment_order(self) -> None:
+        """Re-establish the kernel's bucket-list invariant in place.
+
+        The bisecting kernels require every (channel, bucket) segment list
+        sorted by lo with SEG_SENTINEL in unused slots.  Checkpoints
+        written before this invariant existed (zero-padded, piece-order
+        lists) would otherwise synthesize silently wrong, so loading
+        always re-normalizes -- a stable no-op for current-format files.
+        """
+        C, NB, Sb, T, F = self.shape
+        live = self.nterm > 0                       # (C, NB, Sb)
+        key_lo = np.where(live, self.seg_lo, SEG_SENTINEL)
+        key_hi = np.where(live, self.seg_hi, SEG_SENTINEL)
+        order = np.lexsort((key_hi.reshape(-1, Sb),
+                            key_lo.reshape(-1, Sb)))  # (C*NB, Sb)
+        rows = np.arange(order.shape[0])[:, None]
+
+        def permute(arr):
+            flat = arr.reshape((order.shape[0], Sb) + arr.shape[3:])
+            arr[...] = flat[rows, order].reshape(arr.shape)
+
+        for name in ('seg_lo', 'seg_hi', 'nterm', 'amp', 'nfac', 'op',
+                     'power', 'shift_hi', 'q32', 'args'):
+            permute(getattr(self, name))
+        if self.amp_im is not None:
+            permute(self.amp_im)
+        dead = ~(self.nterm > 0)
+        self.seg_lo[dead] = SEG_SENTINEL
+        self.seg_hi[dead] = SEG_SENTINEL
 
 
 def _waveform_pieces(wav):

@@ -48,6 +48,26 @@ _EXP_CLAMP = np.float32(80.0)
 TUNED_ROWS_PER_TILE = 256
 
 
+def dac_scale_tensor(out_dtype, dac_scale, n_channels):
+    """Validated (C, 1, 1, 1) DAC scale for integer output, else None.
+
+    One shared gate for every synthesis entry point: integer output means
+    int16 exactly (other widths would silently wrap after the kernel's
+    +-32767 clamp), and ``dac_scale`` must be a scalar or length-C vector.
+    """
+    if not jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer):
+        return None
+    if jnp.dtype(out_dtype) != jnp.dtype(jnp.int16):
+        raise ValueError("integer output supports int16 only")
+    scale = jnp.asarray(dac_scale, jnp.float32).reshape(-1)
+    if scale.shape[0] == 1:
+        scale = jnp.broadcast_to(scale, (n_channels,))
+    if scale.shape != (n_channels,):
+        raise ValueError(
+            f"dac_scale must be scalar or length-{n_channels}")
+    return scale.reshape(n_channels, 1, 1, 1)
+
+
 def default_rows_per_tile(n_samples, bucket_samples=0, n_buckets=1,
                           divides=0):
     """Largest power-of-two tile height <= the tuned optimum that satisfies
@@ -582,18 +602,10 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int | None = None,
     require f32.
     """
     C, NB, S, T, F = dev.shape
-    scale = None
-    if jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer):
-        if jnp.dtype(out_dtype) != jnp.dtype(jnp.int16):
-            raise ValueError("integer output supports int16 only")
+    scale = dac_scale_tensor(out_dtype, dac_scale, C)
+    if scale is not None:
         if dev.amp_im is not None:
             raise ValueError("pair-mode (complex) synthesis requires f32")
-        scale = jnp.asarray(dac_scale, jnp.float32).reshape(-1)
-        if scale.shape[0] == 1:
-            scale = jnp.broadcast_to(scale, (C,))
-        if scale.shape != (C,):
-            raise ValueError(f"dac_scale must be scalar or length-{C}")
-        scale = scale.reshape(C, 1, 1, 1)
     elif dev.amp_im is not None and out_dtype != jnp.float32:
         raise ValueError("pair-mode (complex) synthesis requires f32 output")
     elif jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),

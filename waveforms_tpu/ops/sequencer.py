@@ -157,12 +157,8 @@ class Sequencer:
                 "pair-mode (complex) synthesis requires f32 output")
 
         C, NB, Sb, T, F = self.shape
-        scale = None
-        if jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer):
-            scale = jnp.asarray(dac_scale, jnp.float32).reshape(-1)
-            if scale.shape[0] == 1:
-                scale = jnp.broadcast_to(scale, (C,))
-            scale = scale.reshape(C, 1, 1, 1)
+        from .pallas_synth import dac_scale_tensor
+        scale = dac_scale_tensor(out_dtype, dac_scale, C)
         if rows_per_tile is None:
             from .pallas_synth import default_rows_per_tile
             rows_per_tile = default_rows_per_tile(self.n_samples,

@@ -51,11 +51,12 @@ class SparsePlan:
     work_s1: np.ndarray     # i32[K] one past the last segment
     n_live: int             # un-padded worklist length
     window_samples: int     # samples this plan's output covers
+    n_channels: int         # channels covered by the worklist
 
     @property
     def occupied_fraction(self):
-        den = max(self.n_tiles * 1, 1)
-        return self.n_live / den
+        """Live subtiles / total subtiles across all channels."""
+        return self.n_live / max(self.n_tiles * self.n_channels, 1)
 
 
 def build_sparse_plan(low: LoweredSchedule,
@@ -146,7 +147,8 @@ def build_sparse_plan(low: LoweredSchedule,
                       work_s0=w0.astype(np.int32),
                       work_s1=w1.astype(np.int32),
                       n_live=n_live,
-                      window_samples=window_samples)
+                      window_samples=window_samples,
+                      n_channels=C)
 
 
 def _sparse_kernel(wc_ref, wb_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,

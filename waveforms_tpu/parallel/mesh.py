@@ -160,14 +160,10 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
 
     scale_t = None
     if dac:
-        sc = np.asarray(dac_scale, np.float32).reshape(-1)
-        if sc.shape[0] == 1:
-            sc = np.broadcast_to(sc, (C,))
-        if sc.shape != (C,):
-            raise ValueError(f"dac_scale must be scalar or length-{C}")
-        scale_t = jax.device_put(
-            _pad_channels(sc.reshape(C, 1, 1, 1).copy(), c_pad),
-            NamedSharding(mesh, chan_spec))
+        from ..ops.pallas_synth import dac_scale_tensor
+        sc = np.asarray(dac_scale_tensor(out_dtype, dac_scale, C))
+        scale_t = jax.device_put(_pad_channels(sc, c_pad),
+                                 NamedSharding(mesh, chan_spec))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
