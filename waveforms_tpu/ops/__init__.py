@@ -7,6 +7,7 @@ from .lowering import (LoweredSchedule, UnsupportedFactor, lower_schedule)
 from .pallas_synth import (DeviceSchedule, synthesize, synthesize_device,
                            synthesize_lowered)
 from .sequencer import Sequencer
+from .sparse_synth import SparsePlan, build_sparse_plan, synthesize_sparse
 from .streaming import synthesize_stream
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     'LoweredSchedule', 'UnsupportedFactor', 'lower_schedule',
     'DeviceSchedule', 'synthesize', 'synthesize_device',
     'synthesize_lowered', 'synthesize_stream', 'Sequencer',
+    'SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
 ]
