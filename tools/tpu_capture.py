@@ -377,6 +377,34 @@ def task_sparse(Rs):
             "max_rel_err": worst, "parity_ok": bool(worst < 1e-5)}
 
 
+def task_dense_probe(kind):
+    """Decompose the dense-path per-sample cost: one basis per probe.
+
+    cos = 1 transcendental + 1 int32 mul (fixed-point phase);
+    gauss = 1 transcendental + float envelope math;
+    chirp = 1 transcendental + 6 int32 muls (quadratic phase).
+    Comparing per-sample times isolates the int-multiply cost on the VPU.
+    """
+    import numpy as np
+
+    from waveforms_tpu import chirp, cos, gaussian
+    dur = 524.288e-6
+    if kind == 'cos':
+        chans = [cos(2 * np.pi * (100e6 + 1e6 * c)) for c in range(128)]
+    elif kind == 'gauss':
+        chans = [gaussian(3 * dur) >> (dur / 2) for _ in range(128)]
+    else:
+        chans = [chirp(1e6, 300e6 + 1e6 * c, dur, 0.0, 'linear')
+                 for c in range(128)]
+    run, dev, n_rows = _kernel_runner(chans, 0.0, dur, 256)
+    run().block_until_ready()
+    med = profile_median(run, 'jit__run_kernel')
+    n_total = len(chans) * dev.n_samples
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(n_total / med / 1e9, 1),
+            "ns_per_sample_per_ch": round(med / dev.n_samples * 1e9, 4)}
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -399,6 +427,9 @@ def pending_tasks(state):
         tasks.append((f"suite_{row}", lambda row=row: task_suite_row(row)))
     for Rs in (32, 16, 64):
         tasks.append((f"sparse_Rs{Rs}", lambda Rs=Rs: task_sparse(Rs)))
+    for kind in ('cos', 'gauss', 'chirp'):
+        tasks.append((f"dense_probe_{kind}",
+                      lambda kind=kind: task_dense_probe(kind)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
