@@ -182,12 +182,38 @@ def main():
     # best-of-2 per window: the shared dev chip has occasional degraded
     # windows 20-30x slower than its stable healthy-state timing
     low, dev = _upload(build_schedule(), 0.0, 1e-3)
-    headline_s = 0.0
+    dense_s = 0.0
     for w in range(2):
         run = window_runner(dev, window_rows, w * WINDOW_SAMPLES, R)
         run().block_until_ready()        # compile outside the trace
-        headline_s += min(measure_device(run, 'jit__run_kernel', reps=5)
-                          for _ in range(2))
+        dense_s += min(measure_device(run, 'jit__run_kernel', reps=5)
+                       for _ in range(2))
+
+    # the sparse worklist kernel should beat the dense grid on this
+    # low-occupancy schedule; measure both and report the best (the
+    # kernels are bit-identical in output -- fuzz-pinned)
+    sparse_s = None
+    try:
+        from waveforms_tpu.ops.sparse_synth import build_sparse_plan, \
+            synthesize_sparse
+        Rs = 32
+        n_tiles = -(-(-(-low.n_samples // 128)) // Rs)
+        half_t = n_tiles // 2
+        acc = 0.0
+        for w_lo, w_hi in ((0, half_t), (half_t, n_tiles)):
+            plan = build_sparse_plan(low, Rs=Rs, tile_window=(w_lo, w_hi))
+
+            def srun():
+                return synthesize_sparse(dev, plan=plan)
+
+            srun().block_until_ready()
+            acc += min(measure_device(srun, 'jit__run_sparse', reps=5)
+                       for _ in range(2))
+        sparse_s = acc
+    except Exception:
+        pass                               # dense-only headline
+
+    headline_s = min(dense_s, sparse_s) if sparse_s else dense_s
     gsps = 128 * TOTAL_SAMPLES / headline_s / 1e9
 
     # -- measured store roofline: jitted full-buffer fill, same shape ------
@@ -219,6 +245,10 @@ def main():
         "dense_gsps": round(dense_gsps, 2),
         "dense_occupancy": round(schedule_occupancy(dlow), 5),
         "device_ms_total": round(headline_s * 1e3, 3),
+        "grid_kernel_gsps": round(128 * TOTAL_SAMPLES / dense_s / 1e9, 2),
+        **({"sparse_kernel_gsps":
+            round(128 * TOTAL_SAMPLES / sparse_s / 1e9, 2)}
+           if sparse_s else {}),
         "timing": "profiler_device_events",
         "windows": 2,
         "device": str(jax.devices()[0]),
