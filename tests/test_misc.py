@@ -185,3 +185,24 @@ def test_lowered_schedule_stats():
     assert abs(st["occupancy"] - 100 / 4000) < 1e-6
     assert st["live_segments"] >= 1
     assert isinstance(low.describe(), str)
+
+
+def test_reference_export_parity():
+    """Every symbol the reference's __init__ exports must exist here."""
+    import re
+
+    import pytest
+
+    import waveforms_tpu as w
+    ref_init = "/root/reference/waveforms/__init__.py"
+    try:
+        src = open(ref_init).read()
+    except OSError:
+        pytest.skip("reference checkout not mounted")
+    names = set()
+    for m in re.finditer(r'import\s*\(([^)]*)\)|import\s+([\w, ]+)', src):
+        blob = (m.group(1) or m.group(2) or '')
+        names.update(n.strip() for n in blob.replace('\n', ' ').split(',')
+                     if n.strip().isidentifier())
+    missing = sorted(n for n in names if not hasattr(w, n))
+    assert not missing, missing
