@@ -113,6 +113,90 @@ def test_sparse_plan_occupied_fraction_bounds():
     assert 0.5 < plan.occupied_fraction <= 1.0
 
 
+def test_sparse_pair_mode_matches_dense():
+    """part='complex' schedules run the worklist kernel in one fused
+    pass, equal to the dense pair-mode kernel."""
+    chans = _sparse_schedule(4, seed=2)
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS, part='complex')
+    assert low.amp_im is not None
+    dev = DeviceSchedule(low)
+    dense = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True))
+    sparse = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    assert sparse.dtype == np.complex64
+    np.testing.assert_array_equal(sparse, dense)
+
+
+def test_sparse_int16_dac_codes():
+    import jax.numpy as jnp
+    chans = _sparse_schedule(4, seed=4)
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS)
+    dev = DeviceSchedule(low)
+    f32 = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    codes = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True,
+                                         out_dtype=jnp.int16))
+    assert codes.dtype == np.int16
+    expected = np.clip(np.round(f32 * 32767.0), -32768, 32767)
+    np.testing.assert_array_equal(codes, expected.astype(np.int16))
+    # per-channel scales
+    scales = np.linspace(1000.0, 30000.0, len(chans))
+    codes2 = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True,
+                                          out_dtype=jnp.int16,
+                                          dac_scale=scales))
+    expected2 = np.clip(np.round(f32 * scales[:, None]), -32768, 32767)
+    np.testing.assert_array_equal(codes2, expected2.astype(np.int16))
+
+
+def test_sparse_bf16_store():
+    import jax.numpy as jnp
+    chans = _sparse_schedule(4, seed=6)
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS)
+    dev = DeviceSchedule(low)
+    f32 = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    b16 = synthesize_sparse(dev, low, Rs=8, interpret=True,
+                            out_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(b16, np.float32),
+                                  f32.astype(jnp.bfloat16).astype(np.float32))
+
+
+def test_sparse_plan_validation_rejects_mismatched_plan():
+    chans = _sparse_schedule(4, seed=0)
+    low4 = lower_schedule(chans, 0, 8.192e-6, FS)
+    low2 = lower_schedule(chans[:2], 0, 8.192e-6, FS)
+    plan4 = build_sparse_plan(low4, Rs=8)
+    dev2 = DeviceSchedule(low2)
+    with pytest.raises(ValueError, match="channels"):
+        synthesize_sparse(dev2, plan=plan4)
+    # same channel count, shorter window: subtile indices out of range
+    low_short = lower_schedule(chans, 0, 2.048e-6, FS)
+    plan_long = build_sparse_plan(low4, Rs=8)
+    with pytest.raises(ValueError):
+        synthesize_sparse(DeviceSchedule(low_short), plan=plan_long)
+
+
+def test_engine_auto_routes_by_occupancy():
+    """engine='pallas' picks the worklist kernel for sparse schedules and
+    the dense grid for dense ones; both match the numpy oracle."""
+    from waveforms_tpu.engine import synthesize as engine_synthesize
+    chans = _sparse_schedule(2, seed=1)
+    stop = 8.192e-6
+    got = np.asarray(engine_synthesize(chans, 0, stop, FS,
+                                       engine='pallas'))
+    want = np.asarray(engine_synthesize(chans, 0, stop, FS,
+                                        engine='numpy'))
+    assert np.abs(got - want).max() < 2e-6
+    forced = np.asarray(engine_synthesize(chans, 0, stop, FS,
+                                          engine='pallas-sparse'))
+    np.testing.assert_array_equal(got, forced)
+    dense = np.asarray(engine_synthesize(chans, 0, stop, FS,
+                                         engine='pallas-dense'))
+    assert np.abs(dense - want).max() < 2e-6
+
+
 def test_checkpoint_load_renormalizes_legacy_layout():
     """Pre-invariant checkpoints (zero-padded, unsorted bucket lists) must
     synthesize correctly after load (code-review finding r2)."""

@@ -2,8 +2,10 @@
 
 Engines:
 
-* ``'pallas'``  -- fused TPU kernel over descriptor tensors (production
-  path; 35 GS/s/chip measured on v5e, f32 output, compile-once).
+* ``'pallas'``  -- fused TPU kernels over descriptor tensors (production
+  path; 122 GS/s/chip measured on v5e, compile-once).  Low-occupancy
+  schedules run the sparse worklist kernel, everything else the dense
+  grid; ``'pallas-sparse'`` / ``'pallas-dense'`` force one of the two.
 * ``'xla'``     -- trace-specialized XLA program per waveform structure
   (any backend; float64 under x64 -- the 1e-9-parity device path).
 * ``'native'``  -- C++ host engine (float64, SIMD + threads; same
@@ -38,20 +40,42 @@ def _is_device_fault(exc: BaseException) -> bool:
                         'ResourceExhaustedError'})
 
 
-def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part):
+def _sparse_threshold():
+    import os
+    try:
+        return float(os.environ.get('WFTPU_SPARSE_THRESHOLD', ''))
+    except ValueError:
+        from .ops.sparse_synth import SPARSE_OCCUPANCY_THRESHOLD
+        return SPARSE_OCCUPANCY_THRESHOLD
+
+
+def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
+                force=None):
     import jax
 
     from .ops.pallas_synth import DeviceSchedule, synthesize_device
+    from .ops.sparse_synth import build_sparse_plan, synthesize_sparse
     interpret = jax.default_backend() != 'tpu'
-
-    def run(p):
-        low = lower_schedule(channels, start, stop, sample_rate, part=p,
-                             bucket_samples=bucket_samples)
-        return synthesize_device(DeviceSchedule(low), interpret=interpret)
 
     # part='complex' runs ONE fused kernel pass: the factor products are
     # computed once and scaled by both amplitude planes (pair mode)
-    return run(part)
+    low = lower_schedule(channels, start, stop, sample_rate, part=part,
+                         bucket_samples=bucket_samples)
+    dev = DeviceSchedule(low)
+    if force != 'dense':
+        # pulse-sparse schedules route to the worklist kernel: only live
+        # subtiles run; silence costs one roofline background fill
+        # (measured 3.3x on the 0.02%-occupancy flagship, tpu_state.json)
+        try:
+            plan = build_sparse_plan(low)
+            if force == 'sparse' or (plan.occupied_fraction
+                                     < _sparse_threshold()):
+                return synthesize_sparse(dev, plan=plan,
+                                         interpret=interpret)
+        except UnsupportedFactor:
+            if force == 'sparse':
+                raise
+    return synthesize_device(dev, interpret=interpret)
 
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,
@@ -64,9 +88,11 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     pallas engine; the native engine runs its real and imag passes).
     Returns a jax.Array for device engines ('pallas'), ndarray otherwise.
     """
-    if engine == 'pallas':
+    if engine in ('pallas', 'pallas-sparse', 'pallas-dense'):
+        force = {'pallas-sparse': 'sparse',
+                 'pallas-dense': 'dense'}.get(engine)
         return _try_pallas(channels, start, stop, sample_rate,
-                           bucket_samples, part)
+                           bucket_samples, part, force=force)
     if engine == 'xla':
         import jax.numpy as jnp
 

@@ -13,10 +13,12 @@ with a pre-zeroed buffer, so silent regions cost exactly one roofline
 fill and no kernel work at all.
 
 Trade-offs vs the dense grid: the worklist length keys the kernel cache
-(padded to powers of two), the plan is per-schedule host work, and only
-real-f32 single-device synthesis is supported (pair/int16/sharded stay on
-the dense path).  Use for low-occupancy schedules; ``synthesize_device``
-remains the general path.
+(padded to powers of two), the plan is per-schedule host work, and the
+kernel is single-device (time-sharded runs build one windowed plan per
+shard).  Pair-mode (complex) schedules, bf16 stores, and int16 DAC codes
+run the same worklist as the f32 path.  ``synthesize_device`` remains the
+general dense path; the engine routes to this kernel below an occupancy
+threshold (measured breakeven, docs/TUNING.md).
 """
 
 from __future__ import annotations
@@ -31,11 +33,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lowering import N_OPS, W_ARGS, LoweredSchedule, UnsupportedFactor
-from .pallas_synth import DeviceSchedule, _tile_walker
+from .pallas_synth import DeviceSchedule, _tile_walker, dac_scale_tensor
 
-__all__ = ['SparsePlan', 'build_sparse_plan', 'synthesize_sparse']
+__all__ = ['SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
+           'SPARSE_OCCUPANCY_THRESHOLD']
 
 DEFAULT_SUBTILE_ROWS = 32
+
+# Route engine='auto' here below this live-subtile fraction.  Breakeven
+# model from v5e device events (benchmarks/tpu_state.json): the worklist
+# pays one background fill (~0.8 ms/GB at the 656 GB/s store roofline)
+# plus ~0.5 us fixed cost per live subtile, while the dense grid pays the
+# per-tile cost on EVERY tile; at the flagship's 0.02% occupancy that is
+# 3.3x (36.4 -> 121.8 GS/s), converging at roughly 1/5 of tiles live.
+SPARSE_OCCUPANCY_THRESHOLD = 0.2
 
 
 @dataclass
@@ -52,6 +63,7 @@ class SparsePlan:
     n_live: int             # un-padded worklist length
     window_samples: int     # samples this plan's output covers
     n_channels: int         # channels covered by the worklist
+    bucket_samples: int = 0  # descriptor bucket size the plan was built for
 
     @property
     def occupied_fraction(self):
@@ -148,15 +160,25 @@ def build_sparse_plan(low: LoweredSchedule,
                       work_s1=w1.astype(np.int32),
                       n_live=n_live,
                       window_samples=window_samples,
-                      n_channels=C)
+                      n_channels=C,
+                      bucket_samples=low.bucket_samples)
 
 
 def _sparse_kernel(wc_ref, wb_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
                    seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref, amp_ref,
                    op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
-                   clip_ref, bg_ref, out_ref, *, S, T, F, Rs, ops_present):
+                   clip_ref, *rest, S, T, F, Rs, ops_present, pair=False,
+                   dac=False):
+    # mode-dependent trailing refs; backgrounds are the aliased zero
+    # buffers (present only so untouched subtiles keep their zeros)
+    scale_ref = amp2_ref = None
+    if pair:
+        amp2_ref, _bg, _bg2, out_ref, out2_ref = rest
+    elif dac:
+        scale_ref, _bg, out_ref = rest
+    else:
+        _bg, out_ref = rest
     del wo_ref  # drives the output index map only
-    del bg_ref  # aliased zero background; present only for aliasing
     k = pl.program_id(0)
     tile = Rs * 128
     base = wt_ref[k] * tile
@@ -167,23 +189,36 @@ def _sparse_kernel(wc_ref, wb_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
     segment_at, acc0 = _tile_walker(
         idx, base, tile, Rs, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
-        clip_ref, None, T=T, F=F, ops_present=ops_present, pair=False)
+        clip_ref, amp2_ref, T=T, F=F, ops_present=ops_present, pair=pair)
 
     acc = jax.lax.fori_loop(ws0_ref[k], ws1_ref[k], segment_at, acc0)
-    out_ref[0] = acc.astype(out_ref.dtype)
+    if pair:
+        out_ref[0] = acc[0].astype(out_ref.dtype)
+        out2_ref[0] = acc[1].astype(out2_ref.dtype)
+    elif dac:
+        # exact DAC codes: round-half-even then clamp to the code range
+        code = jnp.round(acc * scale_ref[0, 0, 0, 0])
+        out_ref[0] = jnp.clip(code, -32768.0, 32767.0).astype(out_ref.dtype)
+    else:
+        out_ref[0] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=('S', 'T', 'F', 'Rs', 'n_tiles',
-                              'ops_present', 'interpret'))
+                              'ops_present', 'interpret', 'out_dtype'))
 def _run_sparse(wc, wb, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
-                op, pw, sh, q32, args, ext, clip, *, S, T, F, Rs, n_tiles,
-                ops_present=tuple(range(N_OPS)), interpret=False):
+                op, pw, sh, q32, args, ext, clip, amp_im=None, scale=None,
+                *, S, T, F, Rs, n_tiles,
+                ops_present=tuple(range(N_OPS)), interpret=False,
+                out_dtype=jnp.float32):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
     K = wc.shape[0]
+    pair = amp_im is not None
+    dac = jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer)
     # background: zeros incl. one scratch row-block for padding work items
-    bg = jnp.zeros((C, (n_tiles + 1) * Rs, 128), jnp.float32)
+    bg_shape = (C, (n_tiles + 1) * Rs, 128)
+    bg = jnp.zeros(bg_shape, out_dtype)
 
     def smem(k, bcast=False):
         if bcast:
@@ -196,57 +231,125 @@ def _run_sparse(wc, wb, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
             lambda i, wc, wb, wt, wo, ws0, ws1: (wc[i], wb[i], 0, 0),
             memory_space=pltpu.SMEM)
 
+    def chan_smem(k):
+        return pl.BlockSpec(
+            (1, 1, 1, k),
+            lambda i, wc, wb, wt, wo, ws0, ws1: (wc[i], 0, 0, 0),
+            memory_space=pltpu.SMEM)
+
     out_spec = pl.BlockSpec(
         (1, Rs, 128),
         lambda i, wc, wb, wt, wo, ws0, ws1: (wc[i], wo[i], 0))
+    in_specs = [
+        smem(S), smem(S), smem(S),                   # seg_lo, seg_hi, nterm
+        smem(S * T), smem(S * T),                    # nfac, amp
+        smem(S * T * F), smem(S * T * F),            # op, power
+        smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
+        smem(S * T * F * W_ARGS),                    # args
+        smem(E, bcast=True),                         # ext
+        chan_smem(2),                                # clip
+    ]
+    operands = [seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args,
+                ext, clip]
+    if pair:
+        in_specs.append(smem(S * T))                 # amp_im
+        operands.append(amp_im)
+    if dac:
+        if scale is None:
+            raise ValueError("integer out_dtype requires a per-channel "
+                             "scale")
+        in_specs.append(chan_smem(1))                # DAC scale
+        operands.append(scale)
+    # aliased zero background(s); operand indices below count the 6
+    # scalar-prefetch operands first
+    bg_at = 6 + len(operands)
+    in_specs.append(out_spec)
+    operands.append(bg)
+    aliases = {bg_at: 0}
+    if pair:
+        in_specs.append(out_spec)
+        operands.append(bg)
+        aliases[bg_at + 1] = 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(K,),
-        in_specs=[
-            smem(S), smem(S), smem(S),                   # seg_lo, seg_hi, nterm
-            smem(S * T), smem(S * T),                    # nfac, amp
-            smem(S * T * F), smem(S * T * F),            # op, power
-            smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
-            smem(S * T * F * W_ARGS),                    # args
-            smem(E, bcast=True),                         # ext
-            pl.BlockSpec(
-                (1, 1, 1, 2),
-                lambda i, wc, wb, wt, wo, ws0, ws1: (wc[i], 0, 0, 0),
-                memory_space=pltpu.SMEM),                # clip
-            out_spec,                                    # bg (aliased)
-        ],
-        out_specs=out_spec,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec) if pair else out_spec,
     )
     kernel = functools.partial(_sparse_kernel, S=S, T=T, F=F, Rs=Rs,
-                               ops_present=ops_present)
+                               ops_present=ops_present, pair=pair, dac=dac)
+    out_shape = jax.ShapeDtypeStruct(bg_shape, out_dtype)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(bg.shape, jnp.float32),
-        # bg is input 12 after the 6 scalar-prefetch operands
-        input_output_aliases={18: 0},
+        out_shape=(out_shape, out_shape) if pair else out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(wc, wb, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, op, pw,
-      sh, q32, args, ext, clip, bg)
+    )(wc, wb, wt, wo, ws0, ws1, *operands)
     return out
+
+
+def _validate_plan(plan: SparsePlan, dev: DeviceSchedule) -> None:
+    """A plan built from a different (or re-lowered) schedule would index
+    the wrong descriptor blocks and silently produce wrong samples; check
+    every cross-reference before launching (code-review finding r2)."""
+    C, NB, S, T, F = dev.shape
+    if plan.n_channels != C:
+        raise ValueError(
+            f"sparse plan covers {plan.n_channels} channels, schedule has "
+            f"{C} -- rebuild the plan from this schedule's lowering")
+    if plan.bucket_samples and plan.bucket_samples != dev.bucket_samples:
+        raise ValueError(
+            f"sparse plan bucket_samples {plan.bucket_samples} != "
+            f"schedule's {dev.bucket_samples}")
+    n_rows = -(-dev.n_samples // 128)
+    n_tiles_abs = -(-n_rows // plan.Rs)
+    if plan.window_samples > dev.n_samples:
+        raise ValueError(
+            f"sparse plan window ({plan.window_samples} samples) exceeds "
+            f"the schedule ({dev.n_samples})")
+    if plan.n_live:
+        live = slice(0, plan.n_live)
+        if (int(plan.work_c[live].max()) >= C
+                or int(plan.work_b[live].max()) >= NB
+                or int(plan.work_s1[live].max()) > S
+                or int(plan.work_t[live].max()) >= n_tiles_abs):
+            raise ValueError(
+                "sparse plan indexes outside this schedule's descriptor "
+                f"blocks (shape {dev.shape}, {n_tiles_abs} subtiles) -- "
+                "it was built from a different lowering")
 
 
 def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
                       plan: SparsePlan | None = None,
                       Rs: int = DEFAULT_SUBTILE_ROWS,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      out_dtype=jnp.float32,
+                      dac_scale=32767.0) -> jax.Array:
     """Run the sparse worklist kernel on device-resident descriptors.
 
     ``low`` (or a prebuilt ``plan``) supplies the host-side worklist;
-    returns (C, n_samples) f32.  Real single-device schedules only.
+    returns (C, n_samples).  Output modes mirror
+    :func:`waveforms_tpu.ops.pallas_synth.synthesize_device`: f32
+    (default), bf16/f16 stores, int16 DAC codes via ``dac_scale``, and
+    pair-mode complex64 when the schedule carries two amplitude planes.
     """
-    if dev.amp_im is not None:
-        raise UnsupportedFactor("sparse path supports real schedules only")
+    C, NB, S, T, F = dev.shape
+    scale = dac_scale_tensor(out_dtype, dac_scale, C)
+    if scale is not None:
+        if dev.amp_im is not None:
+            raise ValueError("pair-mode (complex) synthesis requires f32")
+    elif dev.amp_im is not None and out_dtype != jnp.float32:
+        raise ValueError("pair-mode (complex) synthesis requires f32 output")
+    elif jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16),
+                                      jnp.dtype(jnp.float16)):
+        raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
     if plan is None:
         if low is None:
             raise ValueError("synthesize_sparse needs `low` or `plan`")
         plan = build_sparse_plan(low, Rs=Rs)
-    C, NB, S, T, F = dev.shape
+    _validate_plan(plan, dev)
     # dev.tensors = (seg_lo, seg_hi, seg_hmax, nterm, ...): hmax is the
     # dense prologue's bisect key; the sparse plan already encodes it
     tensors = dev.tensors[:2] + dev.tensors[3:]
@@ -254,6 +357,11 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
         jnp.asarray(plan.work_c), jnp.asarray(plan.work_b),
         jnp.asarray(plan.work_t), jnp.asarray(plan.work_o),
         jnp.asarray(plan.work_s0), jnp.asarray(plan.work_s1), *tensors,
+        dev.amp_im, scale,
         S=S, T=T, F=F, Rs=plan.Rs, n_tiles=plan.n_tiles,
-        ops_present=dev.ops_present, interpret=interpret)
+        ops_present=dev.ops_present, interpret=interpret,
+        out_dtype=out_dtype)
+    if dev.amp_im is not None:
+        re, im = out
+        out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
     return out.reshape(C, -1)[:, :plan.window_samples]
