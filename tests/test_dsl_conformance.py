@@ -131,3 +131,23 @@ def test_grammar_errors():
                 "()"]:                     # empty tuple isn't in the grammar
         with pytest.raises(SyntaxError):
             wave_eval(bad)
+
+
+def test_whitelist_rejects_module_attributes():
+    """Only the explicit 31-name whitelist resolves: callables reachable
+    as *attributes* of the constructor modules (imported helpers, numpy,
+    registered internals) must not be callable from expressions
+    (reference parity: waveform_parser.py:30-36)."""
+    for bad in ["cast(1, 2)",              # typing.cast via core import
+                "np([1])",                 # module alias
+                "play(one())",             # public API but not grammar
+                "Waveform()",              # class, not whitelisted
+                "lower_schedule()",        # internals must stay internal
+                "function(1)",             # registers arbitrary callables
+                "freeze([1])"]:
+        with pytest.raises(SyntaxError, match="Unknown function|Failed"):
+            wave_eval(bad)
+    # the two post-grammar additions stay resolvable
+    from waveforms_tpu.dsl.parser import _resolve_function
+    assert callable(_resolve_function('slepian'))
+    assert wave_eval("drag_sin(100.0, 1e-2)") is not None

@@ -87,3 +87,55 @@ def test_reflection_roundtrip_device():
     out = reflection_jax(jnp.asarray(sig), 0.2, 5e-9, fs)
     back = correct_reflection_jax(out, 0.2, 5e-9, fs)
     np.testing.assert_allclose(np.asarray(back), sig, atol=1e-9)
+
+
+def test_lfilter_high_order_long_signal_matches_scipy():
+    """d>=3 multi-exponential precompensation over 1M samples: clustered
+    near-unit poles make the doubling scan numerically divergent, so
+    lfilter must route to the exact sequential form and track scipy
+    without materializing (n, d, d) maps (round-2 review finding)."""
+    from waveforms_tpu.distortion import exp_decay_filter
+    b, a = exp_decay_filter([0.02, 0.008, 0.004], [2e-6, 9e-6, 30e-6], 2e9,
+                            output='ba')
+    assert max(len(a), len(b)) - 1 >= 3
+    n = 1_000_000
+    t = np.arange(n)
+    sig = np.sin(t * 0.37e-3) + 0.2 * (t % 50000 < 12000)
+    want = sps.lfilter(b, a, sig)
+    got = np.asarray(lfilter(b, a, jnp.asarray(sig)))
+    scale = np.abs(want).max()
+    # NB: ~1e-6 is the (b, a) DIRECT FORM's own conditioning limit here,
+    # not an implementation gap: the internal DF2T states amplify to
+    # ~1/(1-lambda)^3 ~ 1e10, so any two f64 direct-form realizations
+    # (scipy's C loop included) differ at eps * that.  The well-
+    # conditioned production path is filter_zpk below.
+    assert np.abs(got - want).max() / scale < 1e-5
+
+
+def test_filter_zpk_parallel_cascade_matches_sos_reference():
+    """The PARALLEL device path for clustered-pole filters: factored-form
+    cascade vs scipy's sosfilt on the same zpk (both stable realizations
+    of the same transfer function)."""
+    from waveforms_tpu.distortion import exp_decay_filter
+    from waveforms_tpu.ops.iir import filter_zpk
+    z, p, k = exp_decay_filter([0.02, 0.008, 0.004], [2e-6, 9e-6, 30e-6],
+                               2e9, output='zpk')
+    n = 1_000_000
+    t = np.arange(n)
+    sig = np.sin(t * 0.37e-3) + 0.2 * (t % 50000 < 12000)
+    want = sps.sosfilt(sps.zpk2sos(z, p, k), sig)
+    got = np.asarray(filter_zpk(z, p, k, jnp.asarray(sig)))
+    scale = np.abs(want).max()
+    # two independent stable realizations of the same zpk agree to ~5e-9
+    assert np.abs(got - want).max() / scale < 2e-8
+
+
+def test_filter_zpk_complex_poles():
+    """Complex-conjugate pole pairs run as complex AR1 scans."""
+    from waveforms_tpu.ops.iir import filter_zpk
+    z, p, k = sps.butter(4, 0.12, output='zpk')
+    rng = np.random.default_rng(11)
+    sig = rng.standard_normal(50_000)
+    want = sps.sosfilt(sps.zpk2sos(z, p, k), sig)
+    got = np.asarray(filter_zpk(z, p, k, jnp.asarray(sig)))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-9

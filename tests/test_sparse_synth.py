@@ -113,6 +113,44 @@ def test_sparse_plan_occupied_fraction_bounds():
     assert 0.5 < plan.occupied_fraction <= 1.0
 
 
+def test_checkpoint_v1_const_phase_upgrades():
+    """v1 checkpoints stored carrier const phase as f32 radians; load()
+    must split it into int32 turns + residual (descriptor format v2)."""
+    import tempfile
+
+    import waveforms_tpu as wt
+    from waveforms_tpu.ops.lowering import _TWO_PI, LoweredSchedule
+
+    chans = [wt.cos(2 * np.pi * 137e6, 0.7),
+             wt.drag(100e6, 40e-9, plateau=20e-9, delta=2e6,
+                     block_freq=250e6, phase=0.4, t0=3e-9) >> 0.2e-6]
+    low = lower_schedule(chans, 0, 1.024e-6, FS)
+    want = np.asarray(synthesize_device(DeviceSchedule(low),
+                                        rows_per_tile=8, interpret=True))
+
+    # forge the v1 layout: fold q32 slot 1 back into radians in the arg
+    # slot, zero the turns, and save without the version meta entry
+    import waveforms_tpu.ops.lowering as lowmod
+    for op_code, slot in ((lowmod.OP_COS, 3), (lowmod.OP_DRAG, 4)):
+        sel = low.op == op_code
+        rad = (low.q32[..., 1][sel].astype(np.float64) * (_TWO_PI / 2**32)
+               + low.args[..., slot][sel]) % _TWO_PI
+        low.args[..., slot][sel] = rad.astype(np.float32)
+        low.q32[..., 1][sel] = 0
+    with tempfile.NamedTemporaryFile(suffix='.npz') as f:
+        low.save(f.name)
+        # rewrite meta to the 5-entry v1 form
+        z = dict(np.load(f.name).items())
+        z['meta'] = z['meta'][:5]
+        np.savez_compressed(f.name, **z)
+        restored = LoweredSchedule.load(f.name)
+    got = np.asarray(synthesize_device(DeviceSchedule(restored),
+                                       rows_per_tile=8, interpret=True))
+    # v1 storage quantized the const to f32 radians (~3.7e-7); the upgrade
+    # must reproduce the synthesis to that storage precision
+    assert np.abs(got - want).max() < 2e-6
+
+
 def test_sparse_pair_mode_matches_dense():
     """part='complex' schedules run the worklist kernel in one fused
     pass, equal to the dense pair-mode kernel."""

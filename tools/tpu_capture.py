@@ -430,6 +430,19 @@ def pending_tasks(state):
     for kind in ('cos', 'gauss', 'chirp'):
         tasks.append((f"dense_probe_{kind}",
                       lambda kind=kind: task_dense_probe(kind)))
+    # r3: polynomial sin/cos kernel (exact int32-turn range reduction) --
+    # re-measure the trig-bound rows and re-pin on-chip parity
+    tasks.append(("r3_parity_small", task_parity_small))
+    for kind in ('cos', 'chirp'):
+        tasks.append((f"r3_poly_probe_{kind}",
+                      lambda kind=kind: task_dense_probe(kind)))
+    tasks.append(("r3_dense_R256", lambda: task_dense(256, None)))
+    tasks.append(("r3_sweep_R256", lambda: task_sweep(256, None)))
+    tasks.append(("r3_headline_R256", lambda: task_headline(256, None)))
+    tasks.append(("r3_sparse_Rs32", lambda: task_sparse(32)))
+    for row in ('readme_demo_10k', 'dense_chirp_2M', 'xy_z_pair_200k',
+                'overlap100_drag_2200'):
+        tasks.append((f"r3_suite_{row}", lambda row=row: task_suite_row(row)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

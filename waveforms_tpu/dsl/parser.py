@@ -225,12 +225,28 @@ class _Parser:
         return func(*args, **kwargs)
 
 
+# Explicit call whitelist, matching the reference's 29-name set
+# (/root/reference/waveforms/waveform_parser.py:30-36) plus the two public
+# constructors it omits only because they postdate the grammar (slepian,
+# function is deliberately NOT exposed: it registers arbitrary callables).
+# Everything else -- including module imports reachable as attributes of
+# the constructor modules (np, cast, ...) -- must NOT resolve.
+_FUNCTIONS = frozenset([
+    'D', 'chirp', 'const', 'cos', 'cosh', 'coshPulse', 'cosPulse',
+    'cut', 'drag', 'drag_sin', 'drag_sinx', 'exp', 'gaussian',
+    'general_cosine', 'hanning', 'interp', 'mixing', 'mollifier',
+    'one', 'poly', 'samplingPoints', 'sign', 'sin', 'sinc', 'sinh',
+    'slepian', 'square', 'step', 't', 'zero',
+])
+
+
 def _resolve_function(name: str):
-    """Resolve a callable from the public constructor namespaces."""
-    for mod in (_shapes_mod, _mixing_mod, _multy_drag_mod, core):
-        func = getattr(mod, name, None)
-        if func is not None and callable(func):
-            return func
+    """Resolve a whitelisted callable from the constructor namespaces."""
+    if name in _FUNCTIONS:
+        for mod in (_shapes_mod, _mixing_mod, _multy_drag_mod, core):
+            func = getattr(mod, name, None)
+            if func is not None and callable(func):
+                return func
     raise WaveformParseError(f"Unknown function '{name}'")
 
 

@@ -390,10 +390,12 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
       double frac = plain();
       r.op = OP_COS;
       const double dphi = arg(0) * dt;
-      double eps;
+      double eps, ceps;
       phase_q32(dphi, &r.q32[0], &eps);
       r.a[2] = static_cast<float>(eps);
-      r.a[3] = static_cast<float>(-dphi * frac);
+      // descriptor v2: const phase split into turns (q32[1]) + residual
+      phase_q32(-dphi * frac, &r.q32[1], &ceps);
+      r.a[3] = static_cast<float>(ceps);
       break;
     }
     case B_SINC:
@@ -473,14 +475,16 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
       const double o = M_PI / width;
       r.a[1] = static_cast<float>(o * dt);
       const double w = kTwoPi * (freq + delta);
-      double eps;
+      double eps, ceps;
       phase_q32(w * dt, &r.q32[0], &eps);
       r.a[3] = static_cast<float>(eps);
       const double phi0 = std::fmod(
           std::fmod(w * (start + static_cast<double>(r.shift_hi) * dt
                          - shift) - kTwoPi * delta * t0 - phase, kTwoPi)
           + kTwoPi, kTwoPi);
-      r.a[4] = static_cast<float>(phi0);
+      // descriptor v2: const phase split into turns (q32[1]) + residual
+      phase_q32(phi0, &r.q32[1], &ceps);
+      r.a[4] = static_cast<float>(ceps);
       if (bf == Py_None) {
         r.a[5] = 0.0f;
       } else {
@@ -550,14 +554,16 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
       const double o = M_PI / width;
       r.a[1] = static_cast<float>(o * dt);
       const double w = kTwoPi * (freq + delta);
-      double eps;
+      double eps, ceps;
       phase_q32(w * dt, &r.q32[0], &eps);
       r.a[3] = static_cast<float>(eps);
       const double phi0 = std::fmod(
           std::fmod(w * (start + static_cast<double>(r.shift_hi) * dt
                          - shift) - kTwoPi * delta * t0 - phase, kTwoPi)
           + kTwoPi, kTwoPi);
-      r.a[4] = static_cast<float>(phi0);
+      // descriptor v2: const phase split into turns (q32[1]) + residual
+      phase_q32(phi0, &r.q32[1], &ceps);
+      r.a[4] = static_cast<float>(ceps);
       r.a[5] = static_cast<float>(width / dt);
       r.a[6] = static_cast<float>(plateau / dt);
 

@@ -146,14 +146,17 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
       break;
     }
     case OP_COS: {
-      const int32_t q = f.q32[0];
+      // const phase = int32 turns in q32[1] + f32 residual in a[3]
+      // (descriptor format v2, cf. lowering._lower_factor)
+      const int32_t q = f.q32[0], cq = f.q32[1];
       const double eps = f.a[2], cst = f.a[3];
       const int32_t d0 = static_cast<int32_t>(di0);
 #pragma omp simd
       for (int i = 0; i < n; ++i) {
         int32_t di = d0 + i;
         int32_t turns = static_cast<int32_t>(
-            static_cast<uint32_t>(q) * static_cast<uint32_t>(di));
+            static_cast<uint32_t>(q) * static_cast<uint32_t>(di) +
+            static_cast<uint32_t>(cq));
         buf[i] = std::cos(turns * kPhaseScale + eps * di + cst);
       }
       break;
@@ -206,7 +209,7 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
     }
     case OP_DRAG: {
       const double a1 = f.a[1];
-      const int32_t q = f.q32[0];
+      const int32_t q = f.q32[0], cq = f.q32[1];
       const double eps = f.a[3], cst = f.a[4], b = f.a[5];
       const int32_t d0 = static_cast<int32_t>(di0);
 #pragma omp simd
@@ -215,7 +218,8 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
         double s = std::sin(x);
         int32_t di = d0 + i;
         int32_t turns = static_cast<int32_t>(
-            static_cast<uint32_t>(q) * static_cast<uint32_t>(di));
+            static_cast<uint32_t>(q) * static_cast<uint32_t>(di) +
+            static_cast<uint32_t>(cq));
         double theta = turns * kPhaseScale + eps * di + cst;
         buf[i] = s * s * std::cos(theta) +
                  b * std::sin(2.0 * x) * std::sin(theta);
@@ -277,7 +281,7 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
       const double o_dt = f.a[1];
       const double eps = f.a[3], cst = f.a[4];
       const double w_samp = f.a[5], p_samp = f.a[6];
-      const int32_t q = f.q32[0];
+      const int32_t q = f.q32[0], cq = f.q32[1];
       const int32_t d0 = static_cast<int32_t>(di0);
 
       double blend_half = 0.0;
@@ -331,7 +335,8 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
         }
         const int32_t di = d0 + i;
         const int32_t turns = static_cast<int32_t>(
-            static_cast<uint32_t>(q) * static_cast<uint32_t>(di));
+            static_cast<uint32_t>(q) * static_cast<uint32_t>(di) +
+            static_cast<uint32_t>(cq));
         const double theta = turns * kPhaseScale + eps * di + cst;
         buf[i] = ox * std::cos(theta) + oy * std::sin(theta);
       }

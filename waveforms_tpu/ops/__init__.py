@@ -1,7 +1,7 @@
 """Device execution layer: descriptor lowering, Pallas/XLA evaluators,
 IIR scans, FFT pipelines, streaming synthesis."""
 
-from .iir import lfilter, predistort_jax, sosfilt
+from .iir import filter_zpk, lfilter, predistort_jax, sosfilt
 from .jax_eval import compile_waveform, evaluate, sample_waveform
 from .lowering import (LoweredSchedule, UnsupportedFactor, lower_schedule)
 from .pallas_synth import (DeviceSchedule, synthesize, synthesize_device,
@@ -12,7 +12,7 @@ from .streaming import synthesize_stream
 
 __all__ = [
     'compile_waveform', 'evaluate', 'sample_waveform',
-    'sosfilt', 'lfilter', 'predistort_jax',
+    'sosfilt', 'lfilter', 'filter_zpk', 'predistort_jax',
     'LoweredSchedule', 'UnsupportedFactor', 'lower_schedule',
     'DeviceSchedule', 'synthesize', 'synthesize_device',
     'synthesize_lowered', 'synthesize_stream', 'Sequencer',

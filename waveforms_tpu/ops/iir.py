@@ -20,13 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['sosfilt', 'lfilter', 'iir_apply', 'predistort_jax']
+__all__ = ['sosfilt', 'lfilter', 'filter_zpk', 'iir_apply',
+           'predistort_jax']
 
 
 def _affine_scan(M: jax.Array, v: jax.Array) -> jax.Array:
     """Scan the affine recurrence s[n] = M[n] @ s[n-1] + v[n] (s[-1] = 0).
 
-    M: (n, d, d) static per-sample maps; v: (n, d).  Returns s: (n, d).
+    M: (n, d, d) per-sample maps; v: (n, d).  Returns s: (n, d).  Use
+    :func:`_affine_scan_const` when M is sample-independent (every IIR
+    here) -- this general form hauls (n, d, d) matrices through the scan.
     """
 
     def combine(a, b):
@@ -36,6 +39,157 @@ def _affine_scan(M: jax.Array, v: jax.Array) -> jax.Array:
 
     _, s = jax.lax.associative_scan(combine, (M, v))
     return s
+
+
+def _affine_scan_const(M: jax.Array, v: jax.Array) -> jax.Array:
+    """s[n] = M @ s[n-1] + v[n] (s[-1] = 0) for a CONSTANT recurrence map.
+
+    Every filter here has a sample-independent M, so at doubling level k
+    the scan's operator is the same ``M^(2^k)`` everywhere -- squared once
+    per level on the d x d matrix, never materialized per sample.  The
+    state sweep is then a weighted prefix sum,
+
+        s_k+1[i] = s_k[i] + M^(2^k) @ s_k[i - 2^k],
+
+    costing O(n d^2 log n) FLOPs through (n, d) arrays: a 2M-sample d=4
+    run carries ~64 MB f64 instead of the ~512 MB (n, d, d) sequence the
+    general monoid form would (round-2 review finding).
+    """
+    n, d = v.shape
+    s = v
+    P = M
+    shift = 1
+    while shift < n:
+        s = s + jnp.concatenate(
+            [jnp.zeros((shift, d), dtype=s.dtype), s[:-shift] @ P.T])
+        P = P @ P
+        shift *= 2
+    return s
+
+
+def _doubling_unstable(M_np: np.ndarray, n: int,
+                       limit: float = 1e6) -> bool:
+    """Host probe: walk the squarings the doubling scan would perform.
+
+    Clustered near-unit poles (multi-exponential precompensation at
+    d >= 3) make the companion matrix highly non-normal: ``M^(2^k)`` has
+    a huge transient before decaying, and every squaring amplifies
+    rounding error by that transient -- at d = 3 with poles ~1e-4 apart,
+    f64 squaring of M^2048 is already wrong in its second digit.  Any
+    power-magnitude excursion past ``limit`` routes to the factored
+    cascade, whose operators (scalars and normal 2x2 rotations) have
+    exactly conditioned powers.
+    """
+    P = np.asarray(M_np, np.float64)
+    shift = 1
+    while shift < n:
+        if not np.all(np.isfinite(P)) or np.abs(P).max() > limit:
+            return True
+        P = P @ P
+        shift *= 2
+    return False
+
+
+def _ar1_doubling(lam, u: jax.Array) -> jax.Array:
+    """Prefix scan of the first-order section s[n] = lam*s[n-1] + u[n].
+
+    Scalar (or complex-scalar) operator powers ``lam^(2^k)`` carry no
+    companion-matrix cancellation, so doubling is stable for any
+    |lam| <= 1; each level adds true partial sums with coefficients
+    bounded by 1.
+    """
+    s = u
+    p = jnp.asarray(lam, u.dtype)
+    shift = 1
+    n = u.shape[0]
+    while shift < n:
+        s = s + p * jnp.concatenate(
+            [jnp.zeros((shift,), s.dtype), s[:-shift]])
+        p = p * p
+        shift *= 2
+    return s
+
+
+def filter_zpk(z, p, k, x: jax.Array) -> jax.Array:
+    """Numerically stable parallel IIR from the FACTORED (zpk) form.
+
+    H(z) = k * prod (1 - z_i/z) / (1 - p_i/z), applied as a series of
+    first-order sections: real poles as real AR1 doubling scans, complex
+    pairs as a complex AR1 scan followed by its conjugate (normal
+    operators -- perfectly conditioned powers), zeros as 1- or 2-tap FIR
+    sections.  Sections are sorted so each pole runs next to the zero
+    that nearly cancels it (multi-exponential precompensation pairs a
+    pole and zero per decay time), bounding intermediate dynamic range.
+    Zero initial state.
+
+    This is THE device path for clustered-pole pre-compensation: keep the
+    factored form end-to-end (``exp_decay_filter(..., output='zpk')``) --
+    expanding to (b, a) and re-rooting loses ~5 digits at d = 3 because
+    the polynomial coefficients are an ill-conditioned encoding of the
+    clustered roots, a loss no realization can undo.
+    """
+    z = np.atleast_1d(np.asarray(z, complex))
+    p = np.atleast_1d(np.asarray(p, complex))
+    g = float(np.real(k))
+
+    def split(roots):
+        real, cplx = [], []
+        for r in roots:
+            if abs(r.imag) <= 1e-12 * max(1.0, abs(r)):
+                real.append(float(r.real))
+            elif r.imag > 0:
+                cplx.append(complex(r))
+        return real, cplx
+
+    zr, zc = split(z)
+    pr, pc = split(p)
+    zr.sort(reverse=True)
+    pr.sort(reverse=True)
+    zc.sort(key=lambda c: -c.real)
+    pc.sort(key=lambda c: -c.real)
+
+    def delay(y, k=1):
+        return jnp.concatenate([jnp.zeros((k,), y.dtype), y[:-k]])
+
+    y = x * jnp.asarray(g, x.dtype)
+    for i in range(max(len(pr), len(zr))):
+        if i < len(zr):
+            y = y - jnp.asarray(zr[i], y.dtype) * delay(y)
+        if i < len(pr):
+            y = _ar1_doubling(pr[i], y)
+    cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    for i in range(max(len(pc), len(zc))):
+        if i < len(zc):
+            zeta = zc[i]
+            y = (y - np.float64(2 * zeta.real) * delay(y)
+                 + np.float64(abs(zeta) ** 2) * delay(y, 2))
+        if i < len(pc):
+            lam = pc[i]
+            yc = _ar1_doubling(lam, y.astype(cdt))
+            yc = _ar1_doubling(np.conj(lam), yc)
+            y = yc.real.astype(x.dtype)
+    return y
+
+
+def _sequential_filter(bb: np.ndarray, aa: np.ndarray, x: jax.Array,
+                       zi0: jax.Array):
+    """Direct-form-II-transposed lax.scan: exact scipy semantics including
+    zi/zf, O(n) sequential depth.  The correctness fallback when the
+    doubling scan is numerically unstable: (b, a) coefficient semantics
+    can only be reproduced by direct-form arithmetic (see filter_zpk's
+    docstring for why no factored realization can)."""
+    b0 = jnp.asarray(bb[0], x.dtype)
+    bt = jnp.asarray(bb[1:], x.dtype)
+    at = jnp.asarray(aa[1:], x.dtype)
+
+    def step(s, xn):
+        yn = b0 * xn + s[0]
+        s2 = (jnp.concatenate([s[1:], jnp.zeros((1,), s.dtype)])
+              + bt * xn - at * yn)
+        return s2, yn
+
+    zf, y = jax.lax.scan(step, zi0, x)
+    return y, zf
 
 
 def _biquad(x: jax.Array, b: jax.Array, a: jax.Array,
@@ -54,12 +208,10 @@ def _biquad(x: jax.Array, b: jax.Array, a: jax.Array,
     M = jnp.array([[-a1, 1.0], [-a2, 0.0]], dtype=x.dtype)
     k = jnp.array([b1 - a1 * b0, b2 - a2 * b0], dtype=x.dtype)
 
-    n = x.shape[0]
-    Ms = jnp.broadcast_to(M, (n, 2, 2))
     vs = x[:, None] * k[None, :]
     # inject the initial state through the first element
     vs = vs.at[0].add(M @ zi)
-    s = _affine_scan(Ms, vs)
+    s = _affine_scan_const(M, vs)
     z0_prev = jnp.concatenate([zi[:1], s[:-1, 0]])
     y = b0 * x + z0_prev
     return y, s[-1]
@@ -116,12 +268,22 @@ def lfilter(b, a, x: jax.Array, zi: jax.Array | None = None):
     M[:-1, 1:] = np.eye(d - 1)
     k = bb[1:] - aa[1:] * bb[0]
 
+    if _doubling_unstable(M, x.shape[0]):
+        # Clustered near-unit poles: doubling diverges numerically, and NO
+        # factored realization can reproduce (b, a) semantics either --
+        # extracting roots from the expanded polynomial is itself
+        # ill-conditioned (observed ~4e-5 output error at d=3).  Exact
+        # scipy semantics therefore run the direct-form sequential scan;
+        # callers who HOLD the factored form (exp_decay_filter produces
+        # zpk natively) should use :func:`filter_zpk`, which is both
+        # stable and parallel.
+        y, zf = _sequential_filter(bb, aa, x, zi0)
+        return (y, zf) if return_zf else y
+
     Mj = jnp.asarray(M, dtype=x.dtype)
-    n = x.shape[0]
-    Ms = jnp.broadcast_to(Mj, (n, d, d))
     vs = x[:, None] * jnp.asarray(k, dtype=x.dtype)[None, :]
     vs = vs.at[0].add(Mj @ zi0)
-    s = _affine_scan(Ms, vs)
+    s = _affine_scan_const(Mj, vs)
     s0_prev = jnp.concatenate([zi0[:1], s[:-1, 0]])
     y = bb[0] * x + s0_prev
     return (y, s[-1]) if return_zf else y

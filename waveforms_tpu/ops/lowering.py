@@ -97,6 +97,11 @@ def _pallas_desc_bytes(Sb: int, T: int, F: int) -> int:
 # Consumers that walk all slots skip them via nterm == 0 as before.
 SEG_SENTINEL = 2**31 - 1
 
+# descriptor format version (checkpoints carry it; load() upgrades):
+#   1 -- carrier const phase as f32 radians in an arg slot
+#   2 -- const phase split into int32 turns (q32 slot 1) + f32 residual
+_DESC_VERSION = 2
+
 _TWO_PI = 2 * np.pi
 
 
@@ -229,9 +234,12 @@ def _lower_factor(factor, power, start: float, dt: float,
         dphi = w * dt
         q32, eps = _phase_q32(dphi)
         a[2] = eps
-        # phase at di = 0 (idx = shift_hi): -w*dt*frac (small, exact host f64)
-        a[3] = np.float32(-dphi * frac)
-        return FactorDesc(OP_COS, power, hi, a, (q32, 0, 0, 0))
+        # phase at di = 0 (idx = shift_hi) is -w*dt*frac; split into int32
+        # turns (q32 slot 1) + f32 residual so the kernel's total phase is
+        # exactly range-reduced (host f64 split -> poly sin/cos on device)
+        cq, ceps = _phase_q32(-dphi * frac)
+        a[3] = ceps
+        return FactorDesc(OP_COS, power, hi, a, (q32, cq, 0, 0))
 
     if fun_id == _reg.SINC:
         (bw,) = fargs
@@ -305,14 +313,16 @@ def _lower_factor(factor, power, start: float, dt: float,
         a[3] = eps
         # carrier phase at idx = shift_hi (f64 host reduction):
         #   wt(idx) = w*(start + idx*dt - shift) - 2*pi*delta*t0 - phase
+        # split into int32 turns (q32 slot 1) + f32 residual (see OP_COS)
         phi0 = (w * (start + hi * dt - shift)
                 - _TWO_PI * delta * t0 - phase) % _TWO_PI
-        a[4] = np.float32(phi0)
+        cq, ceps = _phase_q32(phi0)
+        a[4] = ceps
         if block_freq is None or block_freq - delta == 0:
             a[5] = 0.0
         else:
             a[5] = -o / (_TWO_PI * (block_freq - delta))
-        return FactorDesc(OP_DRAG, power, hi, a, (q32, 0, 0, 0))
+        return FactorDesc(OP_DRAG, power, hi, a, (q32, cq, 0, 0))
 
     if fun_id == _reg.D_GAUSSIAN:
         std_sq2, n = fargs
@@ -363,8 +373,9 @@ def _lower_factor(factor, power, start: float, dt: float,
         w = _TWO_PI * (freq + delta)
         q32, eps = _phase_q32(w * dt)
         a[3] = eps
-        a[4] = np.float32((w * (start + hi * dt - shift)
-                           - _TWO_PI * delta * t0 - phase) % _TWO_PI)
+        cq, ceps = _phase_q32((w * (start + hi * dt - shift)
+                               - _TWO_PI * delta * t0 - phase) % _TWO_PI)
+        a[4] = ceps
         a[5] = width / dt       # width in samples
         a[6] = plateau / dt     # plateau in samples
         a[7] = len(ext)
@@ -416,7 +427,7 @@ def _lower_factor(factor, power, start: float, dt: float,
         a[8] = len(block)
         ext.extend(block)
         op_code = OP_DRAG_SIN if fun_id == _DS else OP_DRAG_SINX
-        return FactorDesc(op_code, power, hi, a, (q32, 0, 0, 0))
+        return FactorDesc(op_code, power, hi, a, (q32, cq, 0, 0))
 
     raise UnsupportedFactor(f"basis id {fun_id}")
 
@@ -444,16 +455,23 @@ def _lower_factor_cached(factor, power, start, dt, ext, cache):
     off = (T.shift_hi + float(T.args[0])) + (shift - shift0) / dt
     hi, frac = _split_shift(off)
     a = T.args.copy()
+    q = T.q32
     a[0] = frac
     if T.op == OP_COS:
         dphi = factor[1] * dt
-        a[3] = np.float32(-dphi * frac)
+        cq, ce = _phase_q32(-dphi * frac)
+        a[3] = ce
+        q = (T.q32[0], cq, 0, 0)
     elif T.op in (OP_DRAG, OP_DRAG_SIN, OP_DRAG_SINX):
         freq, delta = factor[2], factor[4]
         wdt = _TWO_PI * (freq + delta) * dt
-        pc = (float(T.args[4]) + wdt * float(T.args[0])) % _TWO_PI
-        a[4] = np.float32((pc - wdt * frac) % _TWO_PI)
-    return FactorDesc(T.op, T.power, hi, a, T.q32)
+        # template const phase (turns + residual) back to f64 radians
+        pc = (T.q32[1] * (_TWO_PI / 2**32) + float(T.args[4])
+              + wdt * float(T.args[0])) % _TWO_PI
+        cq, ce = _phase_q32((pc - wdt * frac) % _TWO_PI)
+        a[4] = ce
+        q = (T.q32[0], cq, 0, 0)
+    return FactorDesc(T.op, T.power, hi, a, q)
 
 
 @dataclass
@@ -573,7 +591,8 @@ class LoweredSchedule:
             args=self.args, clip_min=self.clip_min, clip_max=self.clip_max,
             ext=self.ext if self.ext is not None else np.zeros(0),
             meta=np.array([self.n_samples, self.start, self.sample_rate,
-                           self.bucket_samples, float(self.pallas_ok)]),
+                           self.bucket_samples, float(self.pallas_ok),
+                           _DESC_VERSION]),
             **({'amp_im': self.amp_im} if self.amp_im is not None else {}))
 
     @classmethod
@@ -589,8 +608,28 @@ class LoweredSchedule:
             sample_rate=float(meta[2]), bucket_samples=int(meta[3]),
             amp_im=z['amp_im'] if 'amp_im' in z.files else None,
             pallas_ok=bool(meta[4]))
+        version = int(meta[5]) if len(meta) > 5 else 1
+        if version < 2:
+            out._upgrade_const_phase_v2()
         out._normalize_segment_order()
         return out
+
+    def _upgrade_const_phase_v2(self) -> None:
+        """v1 checkpoints stored carrier const phase as f32 radians in an
+        arg slot; v2 splits it into int32 turns (q32 slot 1) + residual so
+        the kernel's polynomial sin/cos gets an exactly range-reduced
+        argument.  Exact in-place conversion."""
+        for op_code, slot in ((OP_COS, 3), (OP_DRAG, 4),
+                              (OP_DRAG_SIN, 4), (OP_DRAG_SINX, 4)):
+            sel = self.op == op_code
+            if not sel.any():
+                continue
+            rad = self.args[..., slot][sel].astype(np.float64)
+            q = np.round(rad / _TWO_PI * 2**32)
+            eps = rad - q * (_TWO_PI / 2**32)
+            self.q32[..., 1][sel] = ((q.astype(np.int64) + 2**31)
+                                     % 2**32 - 2**31).astype(np.int32)
+            self.args[..., slot][sel] = eps.astype(np.float32)
 
     def _normalize_segment_order(self) -> None:
         """Re-establish the kernel's bucket-list invariant in place.

@@ -40,6 +40,7 @@ from .lowering import (DRAG_SIN_NC, DRAG_SINX_MAXQ, N_OPS, OP_COS, OP_COSH,
 __all__ = ['synthesize', 'synthesize_lowered', 'default_rows_per_tile']
 
 _PHASE = np.float32(2 * np.pi / 2**32)   # int32 fixed-point turn -> radians
+_INV_TWO_PI = np.float32(1.0 / (2 * np.pi))
 _EXP_CLAMP = np.float32(80.0)
 
 # Measured optimum on TPU v5e (device-event sweep, benchmarks/tpu_state.json):
@@ -85,16 +86,21 @@ def default_rows_per_tile(n_samples, bucket_samples=0, n_buckets=1,
     return 8
 
 
-def _carrier_phase(di, q32, eps, const):
-    """Exact-mod-2pi carrier phase: int32 turns + linear f32 residual."""
-    turns = q32 * di  # int32 wraparound == mod 2^32 == mod 2 pi, exact
-    return turns.astype(jnp.float32) * _PHASE + eps * di.astype(
-        jnp.float32) + const
+def _carrier_parts(di, q32, cq32, eps, ceps):
+    """Exact-mod-2pi carrier phase as (int32 turns, small f32 residual).
+
+    ``q32`` is the per-sample increment and ``cq32`` the constant phase,
+    both in int32 fixed-point turns (2^32 == one turn) -- integer
+    multiply-accumulate wraps to the exact phase modulo 2 pi.  The
+    residual (sub-quantum increment ``eps`` times the sample delta, plus
+    the constant's split remainder) stays below ~2e-3 rad.
+    """
+    turns = q32 * di + cq32
+    return turns, eps * di.astype(jnp.float32) + ceps
 
 
-def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
-                     const):
-    """Exact-mod-2pi quadratic phase (chirps).
+def _quadratic_parts(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin):
+    """Exact-mod-2pi quadratic phase (chirps) as (turns, residual).
 
     int32 arithmetic is a ring mod 2^32, so integer multiply-accumulate
     wraps to the exact phase; but the f32 *residual* of A*di^2 would reach
@@ -112,7 +118,57 @@ def _quadratic_phase(di, q_hh, q_hl, q_ll, q_lin, e_hh, e_hl, e_ll, e_lin,
     dif = di.astype(jnp.float32)
     resid = ((e_hh * dhf + e_hl * dlf) * dhf + e_ll * dlf * dlf
              + e_lin * dif)
-    return turns.astype(jnp.float32) * _PHASE + resid + const
+    return turns, resid
+
+
+def _const_phase_turns(phi):
+    """Scalar f32 radians -> (int32 turns, f32 residual), for consts whose
+    q32 slots are already spoken for (chirps).  Error ~2e-7 rad -- below
+    the chirp residual budget (~3e-3 rad)."""
+    c = phi * _INV_TWO_PI
+    ci = jnp.round((c - jnp.round(c)) * np.float32(2**31)).astype(jnp.int32)
+    turns = ci * 2
+    # turns*PHASE lands in [-pi, pi) while phi may be in [0, 2pi): wrap the
+    # residual back to a small value (it must stay << pi/4 for the poly)
+    resid = phi - turns.astype(jnp.float32) * _PHASE
+    return turns, resid - np.float32(2 * np.pi) * jnp.round(
+        resid * _INV_TWO_PI)
+
+
+def _sincos_turns(turns, resid, need_sin=True, need_cos=True):
+    """(sin, cos) of ``turns * 2pi/2^32 + resid``.
+
+    The int32 turns give an EXACT range reduction for free: the top two
+    bits (after rounding to the nearest quarter turn) select the quadrant
+    and the low 30 bits map to [-pi/4, pi/4), where short Taylor
+    polynomials reach < 1e-9 truncation error (f32 arithmetic ~1e-7
+    dominates).  Replaces two jnp.sin/cos calls -- whose internal
+    range-reduction work the turns representation makes redundant -- at
+    roughly a third of the VPU cost (measured: dense carrier schedules
+    5.2 -> ~3 ns/sample/ch).  |resid| must be << pi/4; lowering bounds it
+    at ~1e-2 rad.
+    """
+    q = turns + np.int32(1 << 29)           # round to nearest quarter turn
+    quad = (q >> 30) & 3                    # top two bits: quadrant 0..3
+    r = (q & np.int32(0x3FFFFFFF)) - np.int32(1 << 29)
+    x = r.astype(jnp.float32) * _PHASE + resid
+    x2 = x * x
+    cosx = 1.0 + x2 * (np.float32(-1 / 2) + x2 * (
+        np.float32(1 / 24) + x2 * (np.float32(-1 / 720) + x2 * (
+            np.float32(1 / 40320) + x2 * np.float32(-1 / 3628800)))))
+    sinx = x * (1.0 + x2 * (np.float32(-1 / 6) + x2 * (
+        np.float32(1 / 120) + x2 * (np.float32(-1 / 5040)
+                                    + x2 * np.float32(1 / 362880)))))
+    swap = (quad & 1) == 1
+    sin = cos = None
+    if need_cos:
+        csign = jnp.where((quad == 1) | (quad == 2),
+                          np.float32(-1.0), np.float32(1.0))
+        cos = jnp.where(swap, sinx, cosx) * csign
+    if need_sin:
+        ssign = jnp.where(quad >= 2, np.float32(-1.0), np.float32(1.0))
+        sin = jnp.where(swap, cosx, sinx) * ssign
+    return sin, cos
 
 
 def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
@@ -162,9 +218,10 @@ def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
             return sign * (1.0 - poly * jnp.exp(-(ax * ax)))
 
         def op_cos():
-            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat_idx], arg(2),
-                                   arg(3))
-            return jnp.cos(theta)
+            turns, resid = _carrier_parts(
+                di, q32_ref[0, 0, 0, 4 * flat_idx],
+                q32_ref[0, 0, 0, 4 * flat_idx + 1], arg(2), arg(3))
+            return _sincos_turns(turns, resid, need_sin=False)[1]
 
         def op_sinc():
             x = arg(1) * u()
@@ -178,12 +235,16 @@ def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
             return jnp.exp(x)
 
         def op_linearchirp():
-            theta = _quadratic_phase(
+            turns, resid = _quadratic_parts(
                 di,
                 q32_ref[0, 0, 0, 4 * flat_idx], q32_ref[0, 0, 0, 4 * flat_idx + 1],
                 q32_ref[0, 0, 0, 4 * flat_idx + 2], q32_ref[0, 0, 0, 4 * flat_idx + 3],
-                arg(2), arg(3), arg(4), arg(5), arg(6))
-            return jnp.sin(theta)
+                arg(2), arg(3), arg(4), arg(5))
+            # q32 slots are all taken by the quadratic split; the constant
+            # phase converts to turns from its (scalar) f32 arg instead
+            cturns, ceps = _const_phase_turns(arg(6))
+            return _sincos_turns(turns + cturns, resid + ceps,
+                                 need_cos=False)[0]
 
         def op_expchirp():
             x = jnp.clip(arg(2) * u(), -_EXP_CLAMP, _EXP_CLAMP)
@@ -208,12 +269,14 @@ def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
             x = arg(1) * u()                      # o * (t - t0')
             s = jnp.sin(x)
             env_x = s * s
-            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat_idx], arg(3),
-                                   arg(4))
-            main = env_x * jnp.cos(theta)
+            # one range reduction yields BOTH carrier quadratures
+            turns, resid = _carrier_parts(
+                di, q32_ref[0, 0, 0, 4 * flat_idx],
+                q32_ref[0, 0, 0, 4 * flat_idx + 1], arg(3), arg(4))
+            sin_t, cos_t = _sincos_turns(turns, resid)
             b = arg(5)
             env_y = b * jnp.sin(2.0 * x)
-            return main + env_y * jnp.sin(theta)
+            return env_x * cos_t + env_y * sin_t
 
         def _polyval_asc(x, first, count):
             # coefficients stored ascending at args[first:first+count]
@@ -276,9 +339,11 @@ def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
                 ox = jnp.where(in_r, horner(b0 + 2 + 2 * stride, dr_), ox)
                 oy = jnp.where(in_r, horner(b0 + 2 + 3 * stride, dr_), oy)
 
-            theta = _carrier_phase(di, q32_ref[0, 0, 0, 4 * flat_idx],
-                                   arg(3), arg(4))
-            return ox * jnp.cos(theta) + oy * jnp.sin(theta)
+            turns, resid = _carrier_parts(
+                di, q32_ref[0, 0, 0, 4 * flat_idx],
+                q32_ref[0, 0, 0, 4 * flat_idx + 1], arg(3), arg(4))
+            sin_t, cos_t = _sincos_turns(turns, resid)
+            return ox * cos_t + oy * sin_t
 
         def op_drag_sin():
             return _drag_sin_like(False)
