@@ -1,0 +1,120 @@
+"""Pulse-instance batched synthesis: must equal the oracle and kernels."""
+
+import numpy as np
+import pytest
+
+from waveforms_tpu import cos, cosPulse, drag, gaussian, mixing, square, zero
+from waveforms_tpu.core import WaveVStack
+from waveforms_tpu.ops.lowering import lower_schedule
+from waveforms_tpu.ops.stack_synth import build_stack_plan, synthesize_stack
+
+FS = 2e9
+
+
+def _oracle(chans, start, stop):
+    t = np.arange(start, stop, 1 / FS)
+    return t, np.stack([np.asarray(ch(t), float) for ch in chans])
+
+
+def test_vstack_many_pulses_matches_oracle():
+    rng = np.random.default_rng(7)
+    wl = [(0.5 * cosPulse(50e-9) >> o)
+          for o in rng.uniform(0, 9e-6, 200)]
+    chans = [WaveVStack(wl)]
+    low = lower_schedule(chans, 0, 10e-6, FS)
+    plan = build_stack_plan(low)
+    assert plan is not None and plan.n_narrow >= 200
+    assert plan.wide is None          # every pulse is narrow
+    out = np.asarray(synthesize_stack(low, plan))
+    t, want = _oracle(chans, 0, 10e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_overlap_drag_stack_rescues_smem_blowup():
+    """100 overlapping DRAGs merge into a schedule whose descriptor block
+    exceeds the kernels' SMEM budget (pallas_ok=False); the instance path
+    reads descriptors from HBM and handles it."""
+    rng = np.random.default_rng(3)
+    ch = zero()
+    for _ in range(40):
+        ch += drag(100e6, 300e-9, plateau=200e-9, delta=2e6,
+                   block_freq=None, phase=rng.uniform(0, 6),
+                   t0=0.0) >> rng.uniform(0, 0.6e-6)
+    low = lower_schedule([ch], 0, 1.1e-6, FS)
+    plan = build_stack_plan(low)
+    assert plan is not None
+    out = np.asarray(synthesize_stack(low, plan))
+    t, want = _oracle([ch], 0, 1.1e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_mixed_narrow_wide_residual():
+    """Short pulses (batched) on top of a long carrier and a DC offset
+    (wide -> kernel residual); the two outputs must add exactly."""
+    rng = np.random.default_rng(5)
+    ch = 0.1 * cos(2 * np.pi * 150e6) + 0.05
+    for _ in range(30):
+        ch += 0.4 * (cosPulse(40e-9) >> rng.uniform(0, 7e-6))
+    chans = [ch, gaussian(7e-6) >> 3.5e-6]
+    low = lower_schedule(chans, 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    assert plan is not None and plan.wide is not None
+    out = np.asarray(synthesize_stack(low, plan, interpret=True))
+    t, want = _oracle(chans, 0, 8.192e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_bucketed_schedule_instances_dedup():
+    """NB>1 duplicates bucket-spanning segments; clipping to the bucket
+    window must keep the result exact (no double counting)."""
+    rng = np.random.default_rng(11)
+    stack = WaveVStack([(0.4 * cosPulse(400e-9) >> o)
+                        for o in rng.uniform(0, 7e-6, 50)])
+    low = lower_schedule([stack], 0, 8.192e-6, FS, bucket_samples=2048)
+    assert low.n_buckets > 1
+    plan = build_stack_plan(low)
+    out = np.asarray(synthesize_stack(low, plan))
+    t, want = _oracle([stack], 0, 8.192e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_clipped_channel_goes_to_kernel():
+    from waveforms_tpu import cut
+    rng = np.random.default_rng(2)
+    clipped = cut(2.0 * (gaussian(2e-6) >> 4e-6), max=1.2)
+    pulses = zero()
+    for _ in range(20):
+        pulses += 0.3 * (cosPulse(40e-9) >> rng.uniform(0, 7e-6))
+    low = lower_schedule([clipped, pulses], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    assert plan is not None and plan.wide is not None
+    out = np.asarray(synthesize_stack(low, plan, interpret=True))
+    t, want = _oracle([cut(2.0 * (gaussian(2e-6) >> 4e-6), max=1.2),
+                       pulses], 0, 8.192e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_engine_routes_stack_schedules():
+    from waveforms_tpu.engine import synthesize
+    rng = np.random.default_rng(9)
+    wl = [(0.5 * cosPulse(50e-9) >> o) for o in rng.uniform(0, 9e-6, 150)]
+    chans = [WaveVStack(wl)]
+    got = np.asarray(synthesize(chans, 0, 10e-6, FS, engine='pallas'))
+    want = synthesize(chans, 0, 10e-6, FS, engine='numpy')
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_mixing_pulses_with_drag_correction():
+    """DRAG-corrected IQ pulses (multi-factor terms) through the batch."""
+    rng = np.random.default_rng(13)
+    x = zero()
+    for _ in range(25):
+        I, _ = mixing(0.5 * cosPulse(20e-9) >> rng.uniform(0, 7e-6),
+                      freq=-150e6, DRAGScaling=1e-10)
+        x += I
+    low = lower_schedule([x], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    assert plan is not None
+    out = np.asarray(synthesize_stack(low, plan))
+    t, want = _oracle([x], 0, 8.192e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6

@@ -405,6 +405,45 @@ def task_dense_probe(kind):
             "ns_per_sample_per_ch": round(med / dev.n_samples * 1e9, 4)}
 
 
+def task_stack_row(name):
+    """A stack-heavy BASELINE row via the pulse-instance batched path
+    (plus small-window parity readback against the oracle)."""
+    import importlib
+
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.stack_synth import build_stack_plan, \
+        synthesize_stack
+    from waveforms_tpu.utils.profiling import measure_device
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(name)
+    low = lower_schedule(chans, start, stop, fs)
+    plan = build_stack_plan(low)
+
+    # parity readback (these rows are small enough to read whole)
+    out = np.asarray(synthesize_stack(low, plan))
+    t = np.arange(start, stop, 1 / fs)
+    worst = 0.0
+    for c, w in enumerate(chans):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst, float(np.abs(out[c] - oracle).max() / scale))
+
+    def run():
+        return synthesize_stack(low, plan)
+
+    jax.block_until_ready(run())
+    med = measure_device(run, 'jit_run_stack')
+    n = len(chans) * low.n_samples
+    return {"gsps": round(n / med / 1e9, 4),
+            "device_ms": round(med * 1e3, 3),
+            "n_narrow": plan.n_narrow, "advantage": round(plan.advantage, 1),
+            "max_rel_err": worst, "parity_ok": bool(worst < 1e-5),
+            "vs_reference_cpu": round(n / med / bench_suite.REF[name], 1)}
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -440,9 +479,11 @@ def pending_tasks(state):
     tasks.append(("r3_sweep_R256", lambda: task_sweep(256, None)))
     tasks.append(("r3_headline_R256", lambda: task_headline(256, None)))
     tasks.append(("r3_sparse_Rs32", lambda: task_sparse(32)))
-    for row in ('readme_demo_10k', 'dense_chirp_2M', 'xy_z_pair_200k',
-                'overlap100_drag_2200'):
+    for row in ('readme_demo_10k', 'dense_chirp_2M', 'xy_z_pair_200k'):
         tasks.append((f"r3_suite_{row}", lambda row=row: task_suite_row(row)))
+    # stack-heavy rows via the pulse-instance batched path
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r3_stack_{row}", lambda row=row: task_stack_row(row)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

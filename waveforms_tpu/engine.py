@@ -49,6 +49,15 @@ def _sparse_threshold():
         return SPARSE_OCCUPANCY_THRESHOLD
 
 
+def _stack_advantage():
+    import os
+    try:
+        return float(os.environ.get('WFTPU_STACK_ADVANTAGE', ''))
+    except ValueError:
+        from .ops.stack_synth import DEFAULT_ADVANTAGE
+        return DEFAULT_ADVANTAGE
+
+
 def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
                 force=None):
     import jax
@@ -61,6 +70,21 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
     # computed once and scaled by both amplitude planes (pair mode)
     low = lower_schedule(channels, start, stop, sample_rate, part=part,
                          bucket_samples=bucket_samples)
+    if force in (None, 'stack'):
+        # many-short-pulse schedules (WaveVStack trains, overlap stacks)
+        # run the instance-batched path: per-tile segment walks degenerate
+        # there, and it sidesteps the kernels' SMEM descriptor budget
+        from .ops.stack_synth import build_stack_plan, synthesize_stack
+        plan = build_stack_plan(low)
+        if plan is not None and (
+                force == 'stack'
+                or (plan.n_narrow >= 64
+                    and plan.advantage >= _stack_advantage())
+                or (not low.pallas_ok and plan.wide is None)):
+            return synthesize_stack(low, plan, interpret=interpret)
+        if force == 'stack':
+            raise UnsupportedFactor(
+                "schedule has no batchable pulse instances")
     dev = DeviceSchedule(low)
     if force != 'dense':
         # pulse-sparse schedules route to the worklist kernel: only live
@@ -88,9 +112,11 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     pallas engine; the native engine runs its real and imag passes).
     Returns a jax.Array for device engines ('pallas'), ndarray otherwise.
     """
-    if engine in ('pallas', 'pallas-sparse', 'pallas-dense'):
+    if engine in ('pallas', 'pallas-sparse', 'pallas-dense',
+                  'pallas-stack'):
         force = {'pallas-sparse': 'sparse',
-                 'pallas-dense': 'dense'}.get(engine)
+                 'pallas-dense': 'dense',
+                 'pallas-stack': 'stack'}.get(engine)
         return _try_pallas(channels, start, stop, sample_rate,
                            bucket_samples, part, force=force)
     if engine == 'xla':

@@ -8,6 +8,7 @@ from .pallas_synth import (DeviceSchedule, synthesize, synthesize_device,
                            synthesize_lowered)
 from .sequencer import Sequencer
 from .sparse_synth import SparsePlan, build_sparse_plan, synthesize_sparse
+from .stack_synth import StackPlan, build_stack_plan, synthesize_stack
 from .streaming import synthesize_stream
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     'DeviceSchedule', 'synthesize', 'synthesize_device',
     'synthesize_lowered', 'synthesize_stream', 'Sequencer',
     'SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
+    'StackPlan', 'build_stack_plan', 'synthesize_stack',
 ]

@@ -171,6 +171,196 @@ def _sincos_turns(turns, resid, need_sin=True, need_cos=True):
     return sin, cos
 
 
+def op_builders(di, arg, q32, eread):
+    """The basis-function formulas, written once for every engine.
+
+    Returns ``{opcode: zero-arg builder}``.  ``di`` is the int32 sample
+    delta (idx - shift_hi); ``arg(k)``/``q32(j)``/``eread(k)`` read the
+    factor's descriptor slots -- SMEM scalars inside the Pallas kernels,
+    per-instance (M, 1) arrays in the batched pulse-instance evaluator
+    (:mod:`waveforms_tpu.ops.stack_synth`).  Broadcasting makes the same
+    expressions correct in both, so cross-engine equality is structural.
+    """
+    dif = di.astype(jnp.float32)
+
+    def u():  # shift-corrected sample delta
+        return dif - arg(0)
+
+    def op_linear():
+        return arg(1) * u()
+
+    def op_gaussian():
+        x = arg(1) * u()
+        return jnp.exp(-(x * x))
+
+    def op_erf():
+        # Mosaic has no erf primitive; Abramowitz-Stegun 7.1.26
+        # rational approximation (max abs error 1.5e-7 ~ f32 noise).
+        x = arg(1) * u()
+        sign = jnp.sign(x)
+        ax = jnp.abs(x)
+        t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
+        poly = t * (np.float32(0.254829592) + t *
+                    (np.float32(-0.284496736) + t *
+                     (np.float32(1.421413741) + t *
+                      (np.float32(-1.453152027) + t *
+                       np.float32(1.061405429)))))
+        return sign * (1.0 - poly * jnp.exp(-(ax * ax)))
+
+    def op_cos():
+        turns, resid = _carrier_parts(di, q32(0), q32(1), arg(2), arg(3))
+        return _sincos_turns(turns, resid, need_sin=False)[1]
+
+    def op_sinc():
+        x = arg(1) * u()
+        px = np.float32(np.pi) * x
+        small = jnp.abs(px) < 1e-6
+        safe = jnp.where(small, 1.0, px)
+        return jnp.where(small, 1.0, jnp.sin(safe) / safe)
+
+    def op_exp():
+        x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
+        return jnp.exp(x)
+
+    def op_linearchirp():
+        turns, resid = _quadratic_parts(
+            di, q32(0), q32(1), q32(2), q32(3),
+            arg(2), arg(3), arg(4), arg(5))
+        # q32 slots are all taken by the quadratic split; the constant
+        # phase converts to turns from its (scalar) f32 arg instead
+        cturns, ceps = _const_phase_turns(arg(6))
+        return _sincos_turns(turns + cturns, resid + ceps,
+                             need_cos=False)[0]
+
+    def op_expchirp():
+        x = jnp.clip(arg(2) * u(), -_EXP_CLAMP, _EXP_CLAMP)
+        return jnp.sin(arg(3) + arg(1) * jnp.exp(x))
+
+    def op_hypchirp():
+        x = jnp.maximum(1.0 + arg(2) * u(), 1e-30)
+        return jnp.sin(arg(3) + arg(1) * jnp.log(x))
+
+    def op_cosh():
+        # Mosaic has no cosh/sinh primitive; use the exp form.
+        x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
+        e = jnp.exp(x)
+        return 0.5 * (e + 1.0 / e)
+
+    def op_sinh():
+        x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
+        e = jnp.exp(x)
+        return 0.5 * (e - 1.0 / e)
+
+    def op_drag():
+        x = arg(1) * u()                      # o * (t - t0')
+        s = jnp.sin(x)
+        env_x = s * s
+        # one range reduction yields BOTH carrier quadratures
+        turns, resid = _carrier_parts(di, q32(0), q32(1), arg(3), arg(4))
+        sin_t, cos_t = _sincos_turns(turns, resid)
+        b = arg(5)
+        env_y = b * jnp.sin(2.0 * x)
+        return env_x * cos_t + env_y * sin_t
+
+    def _polyval_asc(x, first, count):
+        # coefficients stored ascending at args[first:first+count]
+        acc = jnp.zeros_like(x)
+        for k in range(count - 1, -1, -1):
+            acc = acc * x + arg(first + k)
+        return acc
+
+    def op_poly_gauss():
+        x = arg(1) * u()
+        return arg(2) * _polyval_asc(x, 3, 9) * jnp.exp(-(x * x))
+
+    def _drag_sin_like(with_blend):
+        # fixed-layout ext block (see lowering._lower_factor), read via the
+        # engine-provided eread accessor
+        o_dt = arg(1)
+        uu = u()
+        left_hi = arg(5) * 0.5
+        right_lo = left_hi + arg(6)
+        rise = uu <= left_hi
+        flat = jnp.logical_not(rise) & (uu < right_lo)
+        bt = jnp.where(rise, uu, uu - arg(6))
+        s = jnp.sin(o_dt * bt)
+        c = jnp.cos(o_dt * bt)
+
+        ox = jnp.zeros_like(uu)
+        oy = jnp.zeros_like(uu)
+        sp = jnp.ones_like(uu)
+        for p in range(DRAG_SIN_NC):          # padded coeffs: zeros no-op
+            basis = sp * c if p % 2 else sp
+            ox = ox + eread(1 + p) * basis
+            oy = oy + eread(1 + DRAG_SIN_NC + p) * basis
+            sp = sp * s
+        ox = jnp.where(flat, eread(1 + 2 * DRAG_SIN_NC), ox)
+        oy = jnp.where(flat, eread(2 + 2 * DRAG_SIN_NC), oy)
+
+        if with_blend:
+            b0 = 3 + 2 * DRAG_SIN_NC
+            bh = eread(b0)
+
+            def horner(base, x):
+                # descending Horner over zero-padded ascending storage:
+                # never forms large powers of x (x is in samples)
+                acc = jnp.zeros_like(x)
+                for k in range(DRAG_SINX_MAXQ - 1, -1, -1):
+                    acc = acc * x + eread(base + k)
+                return acc
+
+            stride = 1 + DRAG_SINX_MAXQ
+            dl_ = uu - left_hi
+            dr_ = uu - right_lo
+            in_l = (uu >= left_hi - bh) & (uu <= left_hi)
+            in_r = (uu >= right_lo) & (uu <= right_lo + bh)
+            ox = jnp.where(in_l, horner(b0 + 2, dl_), ox)
+            oy = jnp.where(in_l, horner(b0 + 2 + stride, dl_), oy)
+            ox = jnp.where(in_r, horner(b0 + 2 + 2 * stride, dr_), ox)
+            oy = jnp.where(in_r, horner(b0 + 2 + 3 * stride, dr_), oy)
+
+        turns, resid = _carrier_parts(di, q32(0), q32(1), arg(3), arg(4))
+        sin_t, cos_t = _sincos_turns(turns, resid)
+        return ox * cos_t + oy * sin_t
+
+    def op_drag_sin():
+        return _drag_sin_like(False)
+
+    def op_drag_sinx():
+        return _drag_sin_like(True)
+
+    def op_mollifier():
+        x = arg(1) * u()
+        xx1 = x * x - 1.0
+        inside = xx1 < 0
+        safe = jnp.where(inside, xx1, -1.0)
+        bump = jnp.exp(1.0 / safe + 1.0)
+        d = arg(2)
+        denom = jnp.where(inside, (-safe) ** (2.0 * d), 1.0)
+        poly = jnp.where(d > 0, _polyval_asc(x, 3, 9), 1.0)
+        return jnp.where(inside, bump / denom * poly, 0.0)
+
+    return {
+        OP_LINEAR: op_linear,
+        OP_GAUSSIAN: op_gaussian,
+        OP_ERF: op_erf,
+        OP_COS: op_cos,
+        OP_SINC: op_sinc,
+        OP_EXP: op_exp,
+        OP_LINEARCHIRP: op_linearchirp,
+        OP_EXPCHIRP: op_expchirp,
+        OP_HYPCHIRP: op_hypchirp,
+        OP_COSH: op_cosh,
+        OP_SINH: op_sinh,
+        OP_DRAG: op_drag,
+        OP_POLY_GAUSS: op_poly_gauss,
+        OP_MOLLIFIER: op_mollifier,
+        OP_INTERP: op_linear,   # reserved: never emitted
+        OP_DRAG_SIN: op_drag_sin,
+        OP_DRAG_SINX: op_drag_sinx,
+    }
+
+
 def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
                  nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
                  args_ref, ext_ref, clip_ref, amp2_ref, *, T, F,
@@ -183,204 +373,23 @@ def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
     descriptor refs are the one-channel/one-bucket SMEM blocks.  In pair
     mode ``acc`` is a (re, im) tuple scaled by the two amplitude planes.
     """
+
     def factor_value(flat_idx):
         """Evaluate one factor's opcode over the whole tile."""
         op = op_ref[0, 0, 0, flat_idx]
         di = idx - sh_ref[0, 0, 0, flat_idx]
-        dif = di.astype(jnp.float32)
         aoff = flat_idx * W_ARGS
 
         def arg(k):
             return args_ref[0, 0, 0, aoff + k]
 
-        def u():  # shift-corrected sample delta
-            return dif - arg(0)
+        def q32(j):
+            return q32_ref[0, 0, 0, 4 * flat_idx + j]
 
-        def op_linear():
-            return arg(1) * u()
+        def eread(k):
+            return ext_ref[0, 0, 0, arg(7).astype(jnp.int32) + k]
 
-        def op_gaussian():
-            x = arg(1) * u()
-            return jnp.exp(-(x * x))
-
-        def op_erf():
-            # Mosaic has no erf primitive; Abramowitz-Stegun 7.1.26
-            # rational approximation (max abs error 1.5e-7 ~ f32 noise).
-            x = arg(1) * u()
-            sign = jnp.sign(x)
-            ax = jnp.abs(x)
-            t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
-            poly = t * (np.float32(0.254829592) + t *
-                        (np.float32(-0.284496736) + t *
-                         (np.float32(1.421413741) + t *
-                          (np.float32(-1.453152027) + t *
-                           np.float32(1.061405429)))))
-            return sign * (1.0 - poly * jnp.exp(-(ax * ax)))
-
-        def op_cos():
-            turns, resid = _carrier_parts(
-                di, q32_ref[0, 0, 0, 4 * flat_idx],
-                q32_ref[0, 0, 0, 4 * flat_idx + 1], arg(2), arg(3))
-            return _sincos_turns(turns, resid, need_sin=False)[1]
-
-        def op_sinc():
-            x = arg(1) * u()
-            px = np.float32(np.pi) * x
-            small = jnp.abs(px) < 1e-6
-            safe = jnp.where(small, 1.0, px)
-            return jnp.where(small, 1.0, jnp.sin(safe) / safe)
-
-        def op_exp():
-            x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
-            return jnp.exp(x)
-
-        def op_linearchirp():
-            turns, resid = _quadratic_parts(
-                di,
-                q32_ref[0, 0, 0, 4 * flat_idx], q32_ref[0, 0, 0, 4 * flat_idx + 1],
-                q32_ref[0, 0, 0, 4 * flat_idx + 2], q32_ref[0, 0, 0, 4 * flat_idx + 3],
-                arg(2), arg(3), arg(4), arg(5))
-            # q32 slots are all taken by the quadratic split; the constant
-            # phase converts to turns from its (scalar) f32 arg instead
-            cturns, ceps = _const_phase_turns(arg(6))
-            return _sincos_turns(turns + cturns, resid + ceps,
-                                 need_cos=False)[0]
-
-        def op_expchirp():
-            x = jnp.clip(arg(2) * u(), -_EXP_CLAMP, _EXP_CLAMP)
-            return jnp.sin(arg(3) + arg(1) * jnp.exp(x))
-
-        def op_hypchirp():
-            x = jnp.maximum(1.0 + arg(2) * u(), 1e-30)
-            return jnp.sin(arg(3) + arg(1) * jnp.log(x))
-
-        def op_cosh():
-            # Mosaic has no cosh/sinh primitive; use the exp form.
-            x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
-            e = jnp.exp(x)
-            return 0.5 * (e + 1.0 / e)
-
-        def op_sinh():
-            x = jnp.clip(arg(1) * u(), -_EXP_CLAMP, _EXP_CLAMP)
-            e = jnp.exp(x)
-            return 0.5 * (e - 1.0 / e)
-
-        def op_drag():
-            x = arg(1) * u()                      # o * (t - t0')
-            s = jnp.sin(x)
-            env_x = s * s
-            # one range reduction yields BOTH carrier quadratures
-            turns, resid = _carrier_parts(
-                di, q32_ref[0, 0, 0, 4 * flat_idx],
-                q32_ref[0, 0, 0, 4 * flat_idx + 1], arg(3), arg(4))
-            sin_t, cos_t = _sincos_turns(turns, resid)
-            b = arg(5)
-            env_y = b * jnp.sin(2.0 * x)
-            return env_x * cos_t + env_y * sin_t
-
-        def _polyval_asc(x, first, count):
-            # coefficients stored ascending at args[first:first+count]
-            acc = jnp.zeros_like(x)
-            for k in range(count - 1, -1, -1):
-                acc = acc * x + arg(first + k)
-            return acc
-
-        def op_poly_gauss():
-            x = arg(1) * u()
-            return arg(2) * _polyval_asc(x, 3, 9) * jnp.exp(-(x * x))
-
-        def _drag_sin_like(with_blend):
-            # fixed-layout ext block, see lowering._lower_factor
-            eoff = arg(7).astype(jnp.int32)
-
-            def eread(k):
-                return ext_ref[0, 0, 0, eoff + k]
-
-            o_dt = arg(1)
-            uu = u()
-            left_hi = arg(5) * 0.5
-            right_lo = left_hi + arg(6)
-            rise = uu <= left_hi
-            flat = jnp.logical_not(rise) & (uu < right_lo)
-            bt = jnp.where(rise, uu, uu - arg(6))
-            s = jnp.sin(o_dt * bt)
-            c = jnp.cos(o_dt * bt)
-
-            ox = jnp.zeros_like(uu)
-            oy = jnp.zeros_like(uu)
-            sp = jnp.ones_like(uu)
-            for p in range(DRAG_SIN_NC):          # padded coeffs: zeros no-op
-                basis = sp * c if p % 2 else sp
-                ox = ox + eread(1 + p) * basis
-                oy = oy + eread(1 + DRAG_SIN_NC + p) * basis
-                sp = sp * s
-            ox = jnp.where(flat, eread(1 + 2 * DRAG_SIN_NC), ox)
-            oy = jnp.where(flat, eread(2 + 2 * DRAG_SIN_NC), oy)
-
-            if with_blend:
-                b0 = 3 + 2 * DRAG_SIN_NC
-                bh = eread(b0)
-
-                def horner(base, x):
-                    # descending Horner over zero-padded ascending storage:
-                    # never forms large powers of x (x is in samples)
-                    acc = jnp.zeros_like(x)
-                    for k in range(DRAG_SINX_MAXQ - 1, -1, -1):
-                        acc = acc * x + eread(base + k)
-                    return acc
-
-                stride = 1 + DRAG_SINX_MAXQ
-                dl_ = uu - left_hi
-                dr_ = uu - right_lo
-                in_l = (uu >= left_hi - bh) & (uu <= left_hi)
-                in_r = (uu >= right_lo) & (uu <= right_lo + bh)
-                ox = jnp.where(in_l, horner(b0 + 2, dl_), ox)
-                oy = jnp.where(in_l, horner(b0 + 2 + stride, dl_), oy)
-                ox = jnp.where(in_r, horner(b0 + 2 + 2 * stride, dr_), ox)
-                oy = jnp.where(in_r, horner(b0 + 2 + 3 * stride, dr_), oy)
-
-            turns, resid = _carrier_parts(
-                di, q32_ref[0, 0, 0, 4 * flat_idx],
-                q32_ref[0, 0, 0, 4 * flat_idx + 1], arg(3), arg(4))
-            sin_t, cos_t = _sincos_turns(turns, resid)
-            return ox * cos_t + oy * sin_t
-
-        def op_drag_sin():
-            return _drag_sin_like(False)
-
-        def op_drag_sinx():
-            return _drag_sin_like(True)
-
-        def op_mollifier():
-            x = arg(1) * u()
-            xx1 = x * x - 1.0
-            inside = xx1 < 0
-            safe = jnp.where(inside, xx1, -1.0)
-            bump = jnp.exp(1.0 / safe + 1.0)
-            d = arg(2)
-            denom = jnp.where(inside, (-safe) ** (2.0 * d), 1.0)
-            poly = jnp.where(d > 0, _polyval_asc(x, 3, 9), 1.0)
-            return jnp.where(inside, bump / denom * poly, 0.0)
-
-        builders = {
-            OP_LINEAR: op_linear,
-            OP_GAUSSIAN: op_gaussian,
-            OP_ERF: op_erf,
-            OP_COS: op_cos,
-            OP_SINC: op_sinc,
-            OP_EXP: op_exp,
-            OP_LINEARCHIRP: op_linearchirp,
-            OP_EXPCHIRP: op_expchirp,
-            OP_HYPCHIRP: op_hypchirp,
-            OP_COSH: op_cosh,
-            OP_SINH: op_sinh,
-            OP_DRAG: op_drag,
-            OP_POLY_GAUSS: op_poly_gauss,
-            OP_MOLLIFIER: op_mollifier,
-            OP_INTERP: op_linear,   # reserved: never emitted
-            OP_DRAG_SIN: op_drag_sin,
-            OP_DRAG_SINX: op_drag_sinx,
-        }
+        builders = op_builders(di, arg, q32, eread)
         # only the opcodes this schedule actually uses compile into the
         # switch (descriptor op values are compact indices into
         # ops_present); one-op schedules branch not at all

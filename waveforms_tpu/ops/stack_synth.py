@@ -1,0 +1,365 @@
+"""Pulse-instance batched synthesis: the stack/overlap path.
+
+The dense and sparse kernels pay per (tile, overlapping segment): every
+segment visit evaluates basis functions over a whole (Rs, 128) tile even
+when the segment covers a few dozen samples.  Schedules made of MANY SHORT
+pulses -- a WaveVStack of 1000 pulses, or 100 overlapping DRAGs merged
+into one channel -- degenerate into thousands of such visits
+(suite_vstack_1000x200k ran at 0.17 GS/s on the dense grid, round 2).
+
+This path flips the decomposition to be instance-parallel, the way a TPU
+wants it:
+
+1. Every (channel, segment, term) of the lowered schedule whose support
+   is NARROW becomes a *pulse instance*.  Instances are grouped by factor
+   structure (opcodes + powers), so each group evaluates as ONE batched
+   jnp expression over an (M, blocks*128) pulse-local sample grid -- no
+   per-segment masking of big tiles, no scalar walk, full VPU vectoration
+   via the same :func:`waveforms_tpu.ops.pallas_synth.op_builders`
+   formulas the kernels run (identical int32-turn phase math).
+2. The evaluated 128-wide blocks scatter-add into the output through a
+   chunked ONE-HOT MATMUL: for each 128-row output chunk, out[chunk] =
+   onehot(local_rows) @ block_values.  Scatter-by-matmul rides the MXU --
+   the TPU-native answer to indexed accumulation (XLA's scatter-add
+   serializes).
+3. WIDE instances (long plateaus, DC segments, whole-window carriers) and
+   channels with finite clip limits stay on the dense/sparse kernels as a
+   residual schedule; the two outputs add.
+
+Because instances come from the LOWERED descriptors, this works for any
+IR shape -- un-merged WaveVStack components and symbolically merged
+overlap stacks alike -- and is immune to the kernel's SMEM descriptor
+budget (descriptors stream from HBM as plain arrays), which rescues
+many-overlap schedules that lower with ``pallas_ok=False``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lowering import LoweredSchedule, UnsupportedFactor
+from .pallas_synth import op_builders
+
+__all__ = ['StackPlan', 'build_stack_plan', 'synthesize_stack']
+
+# instances at most this many samples wide run batched; wider ones go to
+# the kernels (tile amortization already works there)
+DEFAULT_MAX_WIDTH = 2048
+
+# use the stack path when the kernels would touch >= this many times more
+# samples than the batched path evaluates (tile-amortization waste)
+DEFAULT_ADVANTAGE = 4.0
+
+
+@dataclass
+class GroupData:
+    """One structure group of narrow pulse instances (host arrays)."""
+    ops: tuple            # per-factor opcode (static)
+    powers: tuple         # per-factor integer power (static)
+    n_blocks: int         # 128-sample blocks per instance (padded)
+    amp: np.ndarray       # f32[M]
+    lo: np.ndarray        # i64[M] first sample (clipped, global)
+    hi: np.ndarray        # i64[M] one past last sample
+    row0: np.ndarray      # i64[M] first 128-row
+    chan: np.ndarray      # i64[M]
+    shift: np.ndarray     # i32[M, F]
+    q32: np.ndarray       # i32[M, F, 4]
+    args: np.ndarray      # f32[M, F, W]
+
+
+@dataclass
+class StackPlan:
+    groups: list[GroupData] = field(default_factory=list)
+    wide: LoweredSchedule | None = None   # residual for the kernels
+    n_narrow: int = 0
+    n_blocks_total: int = 0
+    kernel_samples: int = 0    # samples the kernels would walk for narrow
+    batch_samples: int = 0     # samples the batched path evaluates
+    n_rows: int = 0
+    n_channels: int = 0
+    n_samples: int = 0
+
+    @property
+    def advantage(self) -> float:
+        """How many times fewer samples the batched path touches."""
+        return self.kernel_samples / max(self.batch_samples, 1)
+
+
+def build_stack_plan(low: LoweredSchedule,
+                     max_width: int = DEFAULT_MAX_WIDTH,
+                     subtile: int = 32 * 128) -> StackPlan | None:
+    """Enumerate narrow pulse instances of a lowered schedule.
+
+    Returns None when the schedule has no batched work (all wide, complex
+    amplitudes, or clipped channels).  ``subtile`` is the sparse kernel's
+    tile size, used only for the cost model in ``kernel_samples``.
+    """
+    if low.amp_im is not None:
+        return None
+    C, NB, S, T, F = low.shape
+    n_rows = -(-low.n_samples // 128)
+    clip_finite = (np.isfinite(low.clip_min) | np.isfinite(low.clip_max))
+
+    # vectorized instance enumeration over (c, b, s)
+    nt = low.nterm                      # (C, NB, S)
+    live = nt > 0
+    if not live.any():
+        return None
+    cs, bs, ss = np.nonzero(live)
+    lo = low.seg_lo[cs, bs, ss].astype(np.int64)
+    hi = low.seg_hi[cs, bs, ss].astype(np.int64)
+    if NB > 1:
+        blo = bs.astype(np.int64) * low.bucket_samples
+        bhi = np.minimum(blo + low.bucket_samples, low.n_samples)
+        lo = np.maximum(lo, blo)
+        hi = np.minimum(hi, bhi)
+    lo = np.clip(lo, 0, low.n_samples)
+    hi = np.clip(hi, 0, low.n_samples)
+    keep = hi > lo
+    cs, bs, ss, lo, hi = cs[keep], bs[keep], ss[keep], lo[keep], hi[keep]
+    nseg_terms = nt[cs, bs, ss]
+
+    # expand EVERY live segment into per-term instances
+    rep = np.repeat(np.arange(len(cs)), nseg_terms)   # segment idx per inst
+    tj = (np.concatenate([np.arange(k) for k in nseg_terms])
+          if len(nseg_terms) else np.zeros(0, np.int64))
+    ic, ib, is_ = cs[rep], bs[rep], ss[rep]
+    ilo, ihi = lo[rep], hi[rep]
+    M0 = len(ic)
+    if M0 == 0:
+        return None
+    nfac = low.nfac[ic, ib, is_, tj]
+    ops_arr = low.op[ic, ib, is_, tj].reshape(M0, -1)   # (M0, F)
+    pw_arr = low.power[ic, ib, is_, tj].reshape(M0, -1)
+    sh_arr = low.shift_hi[ic, ib, is_, tj].reshape(M0, -1)
+    q_arr = low.q32[ic, ib, is_, tj].reshape(M0, -1)
+    a_arr = low.args[ic, ib, is_, tj].reshape(M0, -1)
+    amp_arr = low.amp[ic, ib, is_, tj]
+
+    # COALESCE: a pulse overlapped by others is split by the piecewise
+    # merge into many adjacent segments carrying IDENTICAL term
+    # descriptors (and bucket splits duplicate them again).  Merging
+    # contiguous identical-descriptor instances recovers each pulse's
+    # full physical support -- 100 overlapping DRAGs become 100
+    # instances, not 20k (segment x term) atoms.  f64 packing is exact
+    # for every field (f32 bits, int32, small ints).
+    mat = np.column_stack([ic, nfac, ops_arr, pw_arr, sh_arr, q_arr,
+                           a_arr.astype(np.float64),
+                           amp_arr.astype(np.float64)])
+    _, inv = np.unique(mat, axis=0, return_inverse=True)
+    order = np.lexsort((ilo, inv))
+    sinv, slo, shi = inv[order], ilo[order], ihi[order]
+    new_run = np.ones(M0, bool)
+    new_run[1:] = (sinv[1:] != sinv[:-1]) | (slo[1:] != shi[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.r_[starts[1:], M0] - 1
+    keep = order[starts]                    # representative instance
+    mlo = slo[starts]
+    mhi = shi[ends]
+    gid_of_inst = np.empty(M0, np.int64)    # original -> coalesced id
+    gid_of_inst[order] = np.cumsum(new_run) - 1
+
+    width = mhi - mlo
+    narrow = (width <= max_width) & ~clip_finite[ic[keep]]
+    n_narrow = int(narrow.sum())
+    if n_narrow == 0:
+        return None
+
+    plan = StackPlan(n_rows=n_rows, n_channels=C, n_samples=low.n_samples)
+    plan.n_narrow = n_narrow
+    # kernel cost proxy: each narrow instance forces its covering
+    # subtiles' evaluation in the sparse kernel (dense is worse)
+    ktiles = (mhi[narrow] - 1) // subtile - mlo[narrow] // subtile + 1
+    plan.kernel_samples = int((ktiles * subtile).sum())
+
+    nk = keep[narrow]
+    nlo, nhi = mlo[narrow], mhi[narrow]
+    row0 = nlo >> 7
+    nblk = ((nhi - 1) >> 7) - row0 + 1
+    plan.n_blocks_total = int(nblk.sum())
+    plan.batch_samples = int(nblk.sum()) * 128
+
+    # structure key: live factor opcodes + powers
+    keys = [(tuple(int(o) for o in ops_arr[i, :int(nfac[i])]),
+             tuple(int(p) for p in pw_arr[i, :int(nfac[i])]))
+            for i in nk]
+    by_key: dict = {}
+    for i, k in enumerate(keys):
+        by_key.setdefault(k, []).append(i)
+    for (kops, kpw), idxs in sorted(by_key.items()):
+        sel = np.asarray(idxs)
+        src = nk[sel]
+        plan.groups.append(GroupData(
+            ops=kops, powers=kpw, n_blocks=int(nblk[sel].max()),
+            amp=amp_arr[src].astype(np.float32),
+            lo=nlo[sel], hi=nhi[sel], row0=row0[sel], chan=ic[src],
+            shift=sh_arr[src].reshape(len(src), F),
+            q32=q_arr[src].reshape(len(src), F, 4),
+            args=a_arr[src].reshape(len(src), F, -1),
+        ))
+
+    # residual schedule: terms belonging to WIDE coalesced instances (and
+    # clipped channels) keep the kernel path.  Per segment, wide terms
+    # compact to the front so batched slots vanish from the walk.
+    inst_narrow = narrow[gid_of_inst]       # per original instance
+    if not inst_narrow.all():
+        import copy
+        wide = copy.copy(low)
+        for name in ('nterm', 'nfac', 'amp', 'op', 'power', 'shift_hi',
+                     'q32', 'args', 'seg_lo', 'seg_hi'):
+            setattr(wide, name, getattr(low, name).copy())
+        from .lowering import SEG_SENTINEL
+        seg_first = np.searchsorted(rep, np.arange(len(cs)))
+        for j, (c, b, s) in enumerate(zip(cs, bs, ss)):
+            k = int(nseg_terms[j])
+            sl = slice(seg_first[j], seg_first[j] + k)
+            w_terms = np.flatnonzero(~inst_narrow[sl])
+            if len(w_terms) == k:
+                continue
+            if len(w_terms) == 0:
+                wide.nterm[c, b, s] = 0
+                wide.seg_lo[c, b, s] = SEG_SENTINEL
+                wide.seg_hi[c, b, s] = SEG_SENTINEL
+                continue
+            for name in ('nfac', 'amp'):
+                arr = getattr(wide, name)
+                arr[c, b, s, :len(w_terms)] = arr[c, b, s, w_terms]
+            for name in ('op', 'power', 'shift_hi', 'q32', 'args'):
+                arr = getattr(wide, name)
+                arr[c, b, s, :len(w_terms)] = arr[c, b, s, w_terms]
+            wide.nterm[c, b, s] = len(w_terms)
+        wide._normalize_segment_order()
+        plan.wide = wide
+    return plan
+
+
+def _eval_group(g: GroupData, ext: jax.Array) -> jax.Array:
+    """Evaluate one group's instances -> (M, n_blocks, 128) f32 values."""
+    M = g.amp.shape[0]
+    W = g.n_blocks * 128
+    idx = (jnp.asarray(g.row0, jnp.int32)[:, None] * 128
+           + jnp.arange(W, dtype=jnp.int32)[None, :])        # (M, W)
+    args = jnp.asarray(g.args)                               # (M, F, Wargs)
+    q32a = jnp.asarray(g.q32)                                # (M, F, 4)
+    sh = jnp.asarray(g.shift)                                # (M, F)
+    prod = jnp.broadcast_to(jnp.asarray(g.amp)[:, None], (M, W))
+    for f, (op_code, power) in enumerate(zip(g.ops, g.powers)):
+        di = idx - sh[:, f][:, None]
+
+        def arg(k, f=f):
+            return args[:, f, k][:, None]
+
+        def q32(j, f=f):
+            return q32a[:, f, j][:, None]
+
+        def eread(k, f=f):
+            off = args[:, f, 7].astype(jnp.int32) + k
+            return ext[off][:, None]
+
+        val = op_builders(di, arg, q32, eread)[op_code]()
+        if power != 1:
+            ap = abs(int(power))
+            v = val
+            for _ in range(ap - 1):
+                v = v * val
+            val = 1.0 / v if power < 0 else v
+        prod = prod * val
+    lo = jnp.asarray(g.lo, jnp.int32)[:, None]
+    hi = jnp.asarray(g.hi, jnp.int32)[:, None]
+    prod = jnp.where((idx >= lo) & (idx < hi), prod, 0.0)
+    return prod.reshape(M, g.n_blocks, 128)
+
+
+def _build_runner(plan: StackPlan, low: LoweredSchedule):
+    """One jitted program for the whole batched path (cached on the plan).
+
+    All index tables are host-built once; the returned thunk evaluates
+    every group, scatters via the chunked one-hot matmul, and returns the
+    (C, n_samples) f32 output in a single XLA dispatch.
+    """
+    C, n_rows = plan.n_channels, plan.n_rows
+    total_rows = C * n_rows
+    n_chunks = -(-(total_rows + 1) // 128)
+
+    # flat block order: groups concatenated; per group (M * n_blocks)
+    rows_list = []
+    for g in plan.groups:
+        rows = (g.chan[:, None] * n_rows
+                + g.row0[:, None] + np.arange(g.n_blocks)[None, :])
+        # blocks past an instance's actual span evaluate to zero but must
+        # not index out of range: send them to the scratch row
+        nblk_m = ((g.hi - 1) >> 7) - g.row0 + 1
+        rows = np.where(np.arange(g.n_blocks)[None, :] < nblk_m[:, None],
+                        rows, total_rows)
+        rows_list.append(rows.reshape(-1))
+    rows_flat = (np.concatenate(rows_list) if rows_list
+                 else np.zeros(0, np.int64))
+    B = rows_flat.shape[0]
+
+    # chunk tables: 128 output rows per chunk (+ scratch); padding slots
+    # point at the appended zero block (index B) and local row 128
+    # (matches no one-hot row)
+    chunk = rows_flat // 128
+    lr = rows_flat % 128
+    counts = np.bincount(chunk, minlength=n_chunks)
+    k_max = max(int(counts.max()), 1)
+    k_max = 1 << (k_max - 1).bit_length()
+    table = np.full((n_chunks, k_max), B, np.int64)
+    lrt = np.full((n_chunks, k_max), 128, np.int64)
+    pos = np.zeros(n_chunks, np.int64)
+    for j in np.argsort(chunk, kind='stable'):
+        q = chunk[j]
+        table[q, pos[q]] = j
+        lrt[q, pos[q]] = lr[j]
+        pos[q] += 1
+
+    ext_np = (low.ext if low.ext is not None and low.ext.size
+              else np.zeros(1))
+    ext_arr = jnp.asarray(ext_np, jnp.float32)
+    table_d = jnp.asarray(table)
+    onehot = (jnp.asarray(lrt)[:, None, :]
+              == jnp.arange(128)[None, :, None]).astype(jnp.float32)
+
+    @jax.jit
+    def run_stack():
+        vals_list = [_eval_group(g, ext_arr).reshape(-1, 128)
+                     for g in plan.groups]
+        vals_flat = jnp.concatenate(
+            vals_list + [jnp.zeros((1, 128), jnp.float32)])
+        gathered = vals_flat[table_d]                # (n_chunks, K, 128)
+        out_chunks = jnp.einsum('qrk,qkw->qrw', onehot, gathered,
+                                precision=jax.lax.Precision.HIGHEST)
+        out = out_chunks.reshape(-1, 128)[:total_rows]
+        return out.reshape(C, n_rows * 128)[:, :plan.n_samples]
+
+    return run_stack
+
+
+def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
+                     interpret: bool = False) -> jax.Array:
+    """Synthesize via the pulse-instance batched path -> (C, n_samples) f32.
+
+    ``interpret`` is forwarded to the kernel run of the wide residual (the
+    batched path itself is plain XLA).  The compiled program is cached on
+    the plan: lower once, plan once, synthesize many times.
+    """
+    if plan is None:
+        plan = build_stack_plan(low)
+    if plan is None:
+        raise UnsupportedFactor(
+            "schedule has no batchable pulse instances (complex, clipped, "
+            "or all-wide) -- use the kernel engines")
+    runner = getattr(plan, '_runner', None)
+    if runner is None:
+        runner = _build_runner(plan, low)
+        plan._runner = runner
+    out = runner()
+    if plan.wide is not None:
+        from .pallas_synth import DeviceSchedule, synthesize_device
+        out = out + synthesize_device(DeviceSchedule(plan.wide),
+                                      interpret=interpret)
+    return out
