@@ -237,16 +237,27 @@ def build_stack_plan(low: LoweredSchedule,
     return plan
 
 
-def _eval_group(g: GroupData, ext: jax.Array) -> jax.Array:
-    """Evaluate one group's instances -> (M, n_blocks, 128) f32 values."""
-    M = g.amp.shape[0]
-    W = g.n_blocks * 128
-    idx = (jnp.asarray(g.row0, jnp.int32)[:, None] * 128
-           + jnp.arange(W, dtype=jnp.int32)[None, :])        # (M, W)
-    args = jnp.asarray(g.args)                               # (M, F, Wargs)
-    q32a = jnp.asarray(g.q32)                                # (M, F, 4)
-    sh = jnp.asarray(g.shift)                                # (M, F)
-    prod = jnp.broadcast_to(jnp.asarray(g.amp)[:, None], (M, W))
+def _eval_blocks(g: GroupData, src: np.ndarray, rowblk: np.ndarray,
+                 ext: jax.Array) -> jax.Array:
+    """Evaluate one group's 128-sample blocks -> (NK, 128) f32 values.
+
+    ``src`` maps each block slot to its source instance (host gather of
+    the descriptor rows -- the device sees only dense arrays), ``rowblk``
+    is the block's global 128-row.  Slots with src < 0 are padding:
+    amp = 0 and an empty [0, 0) support mask zero them exactly.
+    """
+    pad = src < 0
+    s = np.where(pad, 0, src)
+    amp = np.where(pad, 0.0, g.amp[s]).astype(np.float32)
+    lo = np.where(pad, 0, g.lo[s])
+    hi = np.where(pad, 0, g.hi[s])
+    NK = len(src)
+    idx = (jnp.asarray(rowblk, jnp.int32)[:, None] * 128
+           + jnp.arange(128, dtype=jnp.int32)[None, :])      # (NK, 128)
+    args = jnp.asarray(g.args[s])                            # (NK, F, W)
+    q32a = jnp.asarray(g.q32[s])                             # (NK, F, 4)
+    sh = jnp.asarray(g.shift[s])                             # (NK, F)
+    prod = jnp.broadcast_to(jnp.asarray(amp)[:, None], (NK, 128))
     for f, (op_code, power) in enumerate(zip(g.ops, g.powers)):
         di = idx - sh[:, f][:, None]
 
@@ -268,72 +279,64 @@ def _eval_group(g: GroupData, ext: jax.Array) -> jax.Array:
                 v = v * val
             val = 1.0 / v if power < 0 else v
         prod = prod * val
-    lo = jnp.asarray(g.lo, jnp.int32)[:, None]
-    hi = jnp.asarray(g.hi, jnp.int32)[:, None]
-    prod = jnp.where((idx >= lo) & (idx < hi), prod, 0.0)
-    return prod.reshape(M, g.n_blocks, 128)
+    mask = ((idx >= jnp.asarray(lo, jnp.int32)[:, None])
+            & (idx < jnp.asarray(hi, jnp.int32)[:, None]))
+    return jnp.where(mask, prod, 0.0)
 
 
 def _build_runner(plan: StackPlan, low: LoweredSchedule):
     """One jitted program for the whole batched path (cached on the plan).
 
-    All index tables are host-built once; the returned thunk evaluates
-    every group, scatters via the chunked one-hot matmul, and returns the
-    (C, n_samples) f32 output in a single XLA dispatch.
+    Per group, every 128-sample block is assigned a (chunk, slot)
+    position on the HOST: descriptor rows are gathered host-side into
+    dense (n_chunks * K) order, so the device program is just fused
+    element-wise evaluation followed by one one-hot matmul per group --
+    no device gathers, no concatenation, no scratch rows.
     """
     C, n_rows = plan.n_channels, plan.n_rows
     total_rows = C * n_rows
-    n_chunks = -(-(total_rows + 1) // 128)
-
-    # flat block order: groups concatenated; per group (M * n_blocks)
-    rows_list = []
-    for g in plan.groups:
-        rows = (g.chan[:, None] * n_rows
-                + g.row0[:, None] + np.arange(g.n_blocks)[None, :])
-        # blocks past an instance's actual span evaluate to zero but must
-        # not index out of range: send them to the scratch row
-        nblk_m = ((g.hi - 1) >> 7) - g.row0 + 1
-        rows = np.where(np.arange(g.n_blocks)[None, :] < nblk_m[:, None],
-                        rows, total_rows)
-        rows_list.append(rows.reshape(-1))
-    rows_flat = (np.concatenate(rows_list) if rows_list
-                 else np.zeros(0, np.int64))
-    B = rows_flat.shape[0]
-
-    # chunk tables: 128 output rows per chunk (+ scratch); padding slots
-    # point at the appended zero block (index B) and local row 128
-    # (matches no one-hot row)
-    chunk = rows_flat // 128
-    lr = rows_flat % 128
-    counts = np.bincount(chunk, minlength=n_chunks)
-    k_max = max(int(counts.max()), 1)
-    k_max = 1 << (k_max - 1).bit_length()
-    table = np.full((n_chunks, k_max), B, np.int64)
-    lrt = np.full((n_chunks, k_max), 128, np.int64)
-    pos = np.zeros(n_chunks, np.int64)
-    for j in np.argsort(chunk, kind='stable'):
-        q = chunk[j]
-        table[q, pos[q]] = j
-        lrt[q, pos[q]] = lr[j]
-        pos[q] += 1
-
+    n_chunks = -(-total_rows // 128)
     ext_np = (low.ext if low.ext is not None and low.ext.size
               else np.zeros(1))
     ext_arr = jnp.asarray(ext_np, jnp.float32)
-    table_d = jnp.asarray(table)
-    onehot = (jnp.asarray(lrt)[:, None, :]
-              == jnp.arange(128)[None, :, None]).astype(jnp.float32)
+
+    per_group = []
+    for g in plan.groups:
+        nblk_m = ((g.hi - 1) >> 7) - g.row0 + 1
+        m_idx = np.repeat(np.arange(len(g.amp)), nblk_m)
+        r_off = (np.concatenate([np.arange(k) for k in nblk_m])
+                 if len(nblk_m) else np.zeros(0, np.int64))
+        rowblk = g.row0[m_idx] + r_off                 # per-channel row
+        grow = g.chan[m_idx] * n_rows + rowblk         # global row
+        chunk = grow // 128
+        lr = grow % 128
+        counts = np.bincount(chunk, minlength=n_chunks)
+        k_max = max(int(counts.max()), 1)
+        k_max = 1 << (k_max - 1).bit_length()
+        src = np.full((n_chunks, k_max), -1, np.int64)
+        rb = np.zeros((n_chunks, k_max), np.int64)
+        lrt = np.full((n_chunks, k_max), 128, np.int64)
+        pos = np.zeros(n_chunks, np.int64)
+        for j in np.argsort(chunk, kind='stable'):
+            q = chunk[j]
+            src[q, pos[q]] = m_idx[j]
+            rb[q, pos[q]] = rowblk[j]
+            lrt[q, pos[q]] = lr[j]
+            pos[q] += 1
+        onehot = (jnp.asarray(lrt)[:, None, :]
+                  == jnp.arange(128)[None, :, None]).astype(jnp.float32)
+        per_group.append((g, src.reshape(-1), rb.reshape(-1), k_max,
+                          onehot))
 
     @jax.jit
     def run_stack():
-        vals_list = [_eval_group(g, ext_arr).reshape(-1, 128)
-                     for g in plan.groups]
-        vals_flat = jnp.concatenate(
-            vals_list + [jnp.zeros((1, 128), jnp.float32)])
-        gathered = vals_flat[table_d]                # (n_chunks, K, 128)
-        out_chunks = jnp.einsum('qrk,qkw->qrw', onehot, gathered,
-                                precision=jax.lax.Precision.HIGHEST)
-        out = out_chunks.reshape(-1, 128)[:total_rows]
+        out = jnp.zeros((n_chunks, 128, 128), jnp.float32)
+        for g, src, rb, k_max, onehot in per_group:
+            vals = _eval_blocks(g, src, rb, ext_arr)
+            vals = vals.reshape(n_chunks, k_max, 128)
+            out = out + jnp.einsum('qrk,qkw->qrw', onehot, vals,
+                                   precision=jax.lax.Precision.HIGHEST)
+        out = out.reshape(-1, 128)[:total_rows]
         return out.reshape(C, n_rows * 128)[:, :plan.n_samples]
 
     return run_stack
