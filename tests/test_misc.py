@@ -206,3 +206,19 @@ def test_reference_export_parity():
                      if n.strip().isidentifier())
     missing = sorted(n for n in names if not hasattr(w, n))
     assert not missing, missing
+
+
+def test_device_fault_classifier():
+    """Only runtime device faults may degrade to host synthesis; compile-
+    phase failures (Mosaic et al.) must surface (review finding r2)."""
+    from waveforms_tpu.engine import _is_device_fault
+
+    class XlaRuntimeError(Exception):
+        pass
+
+    assert _is_device_fault(XlaRuntimeError("Bad thing: device halted"))
+    assert not _is_device_fault(
+        XlaRuntimeError("Mosaic lowering failed: bad BlockSpec"))
+    assert not _is_device_fault(
+        XlaRuntimeError("INTERNAL: Compilation failure in MLIR pass"))
+    assert not _is_device_fault(ValueError("shape mismatch"))

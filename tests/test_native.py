@@ -220,3 +220,32 @@ def test_native_lowering_malformed_ir_falls_back():
     for pieces in bad_pieces:
         res = lower_channel_flat([pieces], grid, 0.0, 5e-10, 0)
         assert res is None, pieces
+
+
+def test_package_degrades_without_toolchain():
+    """pip install on a host without g++ must still work end-to-end:
+    available() goes False and engine='auto' lands on numpy (the wheel /
+    macOS / Windows story, reference workflow.yml parity)."""
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import numpy as np\n"
+        "from waveforms_tpu import native, gaussian\n"
+        "from waveforms_tpu.engine import synthesize\n"
+        "assert not native.available(), 'native must be disabled'\n"
+        "assert not native.lower_available()\n"
+        "assert 'WFTPU_DISABLE_NATIVE' in (native.build_error() or '')\n"
+        "out = synthesize([gaussian(1e-6) >> 1e-6], 0, 2e-6, 1e9,\n"
+        "                 engine='auto')\n"
+        "w = gaussian(1e-6) >> 1e-6\n"
+        "t = np.arange(0, 2e-6, 1e-9)\n"
+        "assert np.abs(np.asarray(out)[0] - w(t)).max() < 2e-6\n"
+        "print('degraded-ok')\n")
+    env = dict(os.environ, WFTPU_DISABLE_NATIVE='1')
+    env.pop('WFTPU_TEST_TPU', None)
+    r = subprocess.run([sys.executable, '-c', code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert 'degraded-ok' in r.stdout

@@ -103,3 +103,174 @@ def test_compiled_sequencer_play():
         oracle = w(t)
         scale = max(np.abs(oracle).max(), 1e-30)
         assert np.abs(got - oracle).max() / scale < 1e-5, k
+
+
+def _sparse_chans(n=4, seed=17):
+    from waveforms_tpu import cosPulse, mixing, zero
+    rng = np.random.default_rng(seed)
+    chans = []
+    for c in range(n):
+        x = zero()
+        for _ in range(3):
+            I, _ = mixing(0.5 * cosPulse(30e-9) >> rng.uniform(0, 14e-6),
+                          freq=-150e6 - 2e6 * c, DRAGScaling=1e-10)
+            x += I
+        chans.append(x)
+    return chans
+
+
+@requires_tpu
+def test_compiled_sparse_kernel_parity():
+    """Sparse worklist kernel ON SILICON equals the dense kernel and the
+    oracle (interpret-mode equality alone misses Mosaic-only failures)."""
+    _tpu_or_skip()
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
+        synthesize_device
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse
+
+    chans = _sparse_chans()
+    start, stop, fs = 0.0, 16.384e-6, 2e9
+    low = lower_schedule(chans, start, stop, fs)
+    dev = DeviceSchedule(low)
+    dense = np.asarray(synthesize_device(dev))
+    sparse = np.asarray(synthesize_sparse(dev, low))
+    np.testing.assert_array_equal(sparse, dense)
+    t = np.arange(start, stop, 1 / fs)
+    for c, w in enumerate(chans):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        assert np.abs(sparse[c] - oracle).max() / scale < 1e-5, c
+
+
+@requires_tpu
+def test_compiled_sparse_pair_and_int16():
+    """Sparse kernel's pair-mode and DAC-code outputs on hardware."""
+    _tpu_or_skip()
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse
+
+    chans = _sparse_chans(2, seed=23)
+    low = lower_schedule(chans, 0, 8.192e-6, 2e9)
+    dev = DeviceSchedule(low)
+    f32 = np.asarray(synthesize_sparse(dev, low))
+    codes = np.asarray(synthesize_sparse(dev, low, out_dtype=jnp.int16))
+    expected = np.clip(np.round(f32 * 32767.0), -32768, 32767)
+    assert np.abs(codes.astype(np.int64)
+                  - expected.astype(np.int64)).max() <= 1
+
+    lowc = lower_schedule(chans, 0, 8.192e-6, 2e9, part='complex')
+    devc = DeviceSchedule(lowc)
+    pair = np.asarray(synthesize_sparse(devc, lowc))
+    assert pair.dtype == np.complex64
+    assert np.abs(pair.real - f32).max() < 1e-5
+
+
+@requires_tpu
+def test_streaming_chunks_equal_single_shot():
+    """Chunked streaming with carried filter state on hardware."""
+    _tpu_or_skip()
+    from waveforms_tpu import gaussian
+    from waveforms_tpu.engine import synthesize
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.streaming import synthesize_stream
+
+    chans = [0.7 * (gaussian(3e-6) >> 4e-6)]
+    fs, stop = 2e9, 8.192e-6
+    whole = np.asarray(synthesize(chans, 0, stop, fs,
+                                  engine='pallas-dense'))
+    dev = DeviceSchedule(lower_schedule(chans, 0, stop, fs))
+    chunks = [np.asarray(c) for c in synthesize_stream(dev, chunk_rows=32)]
+    got = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(got, whole, atol=2e-6)
+
+
+@requires_tpu
+def test_bucketed_schedule_on_chip():
+    """Multi-bucket descriptor layout compiled on hardware."""
+    _tpu_or_skip()
+    from waveforms_tpu import cosPulse
+    from waveforms_tpu.core import WaveVStack
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule, \
+        synthesize_device
+
+    rng = np.random.default_rng(5)
+    stack = WaveVStack([(0.4 * cosPulse(40e-9) >> o)
+                        for o in rng.uniform(0, 14e-6, 48)])
+    low = lower_schedule([stack], 0, 16.384e-6, 2e9, bucket_samples=8192)
+    assert low.n_buckets > 1
+    out = np.asarray(synthesize_device(DeviceSchedule(low),
+                                       rows_per_tile=8))
+    t = np.arange(0, 16.384e-6, 1 / 2e9)
+    oracle = stack(t)
+    assert np.abs(out[0] - oracle).max() / np.abs(oracle).max() < 1e-5
+
+
+@requires_tpu
+def test_row0_windowed_synthesis():
+    """Time-windowed (row0-offset) launches concatenate to the full
+    result -- the mechanism both the 1 ms bench and time sharding use."""
+    _tpu_or_skip()
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule, _run_kernel
+
+    from waveforms_tpu.ops.pallas_synth import synthesize_device
+
+    chans = _sparse_chans(2, seed=31)
+    low = lower_schedule(chans, 0, 16.384e-6, 2e9)
+    dev = DeviceSchedule(low)
+    whole = np.asarray(synthesize_device(dev, rows_per_tile=8))
+    C, NB, S, T, F = dev.shape
+    half_rows = 128
+    kw = dict(S=S, T=T, F=F, R=8, n_rows=half_rows, tiles_per_bucket=16,
+              ops_present=dev.ops_present, interpret=False)
+    parts = []
+    for wdx in range(2):
+        row0 = jnp.full((1, 1, 1, 1), wdx * half_rows * 128, jnp.int32)
+        parts.append(np.asarray(_run_kernel(row0, *dev.tensors, None, None,
+                                            **kw)).reshape(C, -1))
+    got = np.concatenate(parts, axis=1)[:, :low.n_samples]
+    np.testing.assert_array_equal(got, whole)
+
+
+@requires_tpu
+def test_stack_path_on_chip():
+    """Pulse-instance batched path (einsum scatter) on hardware."""
+    _tpu_or_skip()
+    from waveforms_tpu import cosPulse
+    from waveforms_tpu.core import WaveVStack
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.stack_synth import build_stack_plan, \
+        synthesize_stack
+
+    rng = np.random.default_rng(41)
+    stack = WaveVStack([(0.5 * cosPulse(50e-9) >> o)
+                        for o in rng.uniform(0, 14e-6, 100)])
+    low = lower_schedule([stack], 0, 16.384e-6, 2e9)
+    plan = build_stack_plan(low)
+    assert plan is not None
+    out = np.asarray(synthesize_stack(low, plan))
+    t = np.arange(0, 16.384e-6, 1 / 2e9)
+    oracle = stack(t)
+    assert np.abs(out[0] - oracle).max() / np.abs(oracle).max() < 1e-5
+
+
+@requires_tpu
+def test_engine_auto_routing_on_chip():
+    """engine='pallas' routes sparse schedules to the worklist kernel and
+    produces oracle-level output on hardware."""
+    _tpu_or_skip()
+    from waveforms_tpu.engine import synthesize
+
+    chans = _sparse_chans(2, seed=47)
+    got = np.asarray(synthesize(chans, 0, 16.384e-6, 2e9,
+                                engine='pallas'))
+    want = synthesize(chans, 0, 16.384e-6, 2e9, engine='numpy')
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5

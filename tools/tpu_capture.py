@@ -444,6 +444,19 @@ def task_stack_row(name):
             "vs_reference_cpu": round(n / med / bench_suite.REF[name], 1)}
 
 
+def task_x64_probe():
+    """The 1e-9 tier ON CHIP: XLA x64 engine parity + rate (subprocess --
+    x64 is process-global)."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      'x64_probe.py')],
+        capture_output=True, text=True, timeout=280)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-200:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -484,6 +497,7 @@ def pending_tasks(state):
     # stack-heavy rows via the pulse-instance batched path
     for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
         tasks.append((f"r3_stack_{row}", lambda row=row: task_stack_row(row)))
+    tasks.append(("r3_xla_x64", task_x64_probe))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
