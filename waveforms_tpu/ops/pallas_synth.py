@@ -439,13 +439,31 @@ def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
                             seg[1] + amp2_ref[0, 0, 0, flat_t] * prod)
                 return seg + prod
 
-            mask = (idx >= lo) & (idx < hi)
             if pair:
                 sr, si = jax.lax.fori_loop(0, nt, term_body, (zeros, zeros))
-                return (acc[0] + jnp.where(mask, clip(sr), 0.0),
-                        acc[1] + jnp.where(mask, clip(si), 0.0))
-            seg = jax.lax.fori_loop(0, nt, term_body, zeros)
-            return acc + jnp.where(mask, clip(seg), 0.0)
+            else:
+                seg = jax.lax.fori_loop(0, nt, term_body, zeros)
+
+            # occupancy-1 fast path: a segment covering the whole tile
+            # with open clip rails needs no mask/clip -- saves ~4 vector
+            # ops per sample, which is material when the factor math
+            # itself is only ~10 (scalar branch, so silent cost is nil)
+            covers = ((lo <= base) & (hi >= base + tile)
+                      & (cmin == -jnp.inf) & (cmax == jnp.inf))
+
+            def plain(a):
+                if pair:
+                    return (a[0] + sr, a[1] + si)
+                return a + seg
+
+            def masked(a):
+                mask = (idx >= lo) & (idx < hi)
+                if pair:
+                    return (a[0] + jnp.where(mask, clip(sr), 0.0),
+                            a[1] + jnp.where(mask, clip(si), 0.0))
+                return a + jnp.where(mask, clip(seg), 0.0)
+
+            return jax.lax.cond(covers, plain, masked, acc)
 
         overlap = (hi > base) & (lo < base + tile) & (nt > 0)
         return jax.lax.cond(overlap, add_segment, lambda a: a, acc)
