@@ -1,6 +1,7 @@
 """Device execution layer: descriptor lowering, Pallas/XLA evaluators,
 IIR scans, FFT pipelines, streaming synthesis."""
 
+from .fft_sharded import fft_convolve_sharded
 from .iir import filter_zpk, lfilter, predistort_jax, sosfilt
 from .jax_eval import compile_waveform, evaluate, sample_waveform
 from .lowering import (LoweredSchedule, UnsupportedFactor, lower_schedule)
@@ -19,4 +20,5 @@ __all__ = [
     'synthesize_lowered', 'synthesize_stream', 'Sequencer',
     'SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
     'StackPlan', 'build_stack_plan', 'synthesize_stack',
+    'fft_convolve_sharded',
 ]
