@@ -162,3 +162,21 @@ def test_fuzz_sparse_vs_dense(seed):
                                          interpret=True))
     sparse = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
     np.testing.assert_array_equal(sparse, dense)
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_fuzz_stack_vs_oracle(seed):
+    """Random schedules through the pulse-instance batched path: narrow
+    instances batch, wide ones fall to the kernel residual, the sum must
+    match the float64 oracle."""
+    from waveforms_tpu.ops.stack_synth import build_stack_plan, \
+        synthesize_stack
+    rng = np.random.default_rng(5000 + seed)
+    chans = [random_channel(rng) for _ in range(2)]
+    low = lower_schedule(chans, 0, SPAN, FS)
+    plan = build_stack_plan(low)
+    if plan is None:
+        pytest.skip('no batchable instances this seed')
+    out = np.asarray(synthesize_stack(low, plan, interpret=True))
+    errs = oracle_and_errs(chans, out)
+    assert max(errs) < 5e-6, f"seed {seed}: per-channel rel errs {errs}"
