@@ -272,3 +272,24 @@ def test_checkpoint_load_renormalizes_legacy_layout():
     got = np.asarray(synthesize_device(DeviceSchedule(restored),
                                        rows_per_tile=8, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sparse_sharded_matches_unsharded():
+    """Worklist kernel over a ('channel','time') mesh: per-shard local
+    worklists must reproduce the single-device result exactly."""
+    import jax
+    from waveforms_tpu.parallel.mesh import channel_mesh
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    chans = _sparse_schedule(6, seed=8)
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS, bucket_samples=None)
+    assert low.n_buckets == 1
+    dev = DeviceSchedule(low)
+    want = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    got = np.asarray(synthesize_sparse_sharded(low, mesh, Rs=8,
+                                               interpret=True))
+    np.testing.assert_array_equal(got, want)

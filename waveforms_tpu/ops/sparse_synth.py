@@ -36,7 +36,7 @@ from .lowering import N_OPS, W_ARGS, LoweredSchedule, UnsupportedFactor
 from .pallas_synth import DeviceSchedule, _tile_walker, dac_scale_tensor
 
 __all__ = ['SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
-           'SPARSE_OCCUPANCY_THRESHOLD']
+           'synthesize_sparse_sharded', 'SPARSE_OCCUPANCY_THRESHOLD']
 
 DEFAULT_SUBTILE_ROWS = 32
 
@@ -365,3 +365,100 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
         re, im = out
         out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
     return out.reshape(C, -1)[:, :plan.window_samples]
+
+
+def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
+                              Rs: int = DEFAULT_SUBTILE_ROWS,
+                              interpret: bool = False) -> jax.Array:
+    """Sparse worklist synthesis over a ('channel', 'time') device mesh.
+
+    The global worklist partitions by (channel shard, time shard) -- each
+    device runs exactly its own live subtiles (padded to a common length
+    so the program is SPMD), over its channel block's descriptors, writing
+    its sample slice.  Silence on a shard costs that shard one local
+    background fill; no collectives are needed at all (basis evaluation is
+    pointwise in t).  Single-bucket, real-f32 schedules (the flagship
+    layout); see :func:`waveforms_tpu.parallel.mesh.synthesize_sharded`
+    for the dense/bucketed general path.
+    """
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import shard_schedule
+
+    C, NB, S, T, F = low.shape
+    if NB != 1:
+        raise UnsupportedFactor(
+            "sharded sparse synthesis supports single-bucket schedules")
+    if low.amp_im is not None:
+        raise UnsupportedFactor(
+            "sharded sparse synthesis supports real schedules")
+    nc, nt = mesh.shape['channel'], mesh.shape['time']
+    c_pad = -(-C // nc) * nc
+    cs = c_pad // nc
+    n_rows = -(-low.n_samples // 128)
+    n_tiles = -(-n_rows // Rs)
+    tiles_pad = -(-n_tiles // nt) * nt
+    tps = tiles_pad // nt                      # subtiles per time shard
+
+    plan = build_sparse_plan(low, Rs=Rs)
+    live = slice(0, plan.n_live)
+    wc = plan.work_c[live].astype(np.int64)
+    wt = plan.work_t[live].astype(np.int64)
+    ws0 = plan.work_s0[live]
+    ws1 = plan.work_s1[live]
+    ci = wc // cs
+    ti = wt // tps
+    counts = np.zeros((nc, nt), np.int64)
+    np.add.at(counts, (ci, ti), 1)
+    K = max(int(counts.max()), 1)
+    K = 1 << (K - 1).bit_length()
+    # padding entries target the scratch tile (local index tps) of local
+    # channel 0 with an empty segment range
+    lwc = np.zeros((nc, nt, K), np.int32)
+    lwt = np.zeros((nc, nt, K), np.int32)
+    lwo = np.full((nc, nt, K), tps, np.int32)
+    lws0 = np.zeros((nc, nt, K), np.int32)
+    lws1 = np.zeros((nc, nt, K), np.int32)
+    pos = np.zeros((nc, nt), np.int64)
+    for j in range(len(wc)):
+        a, b = ci[j], ti[j]
+        p = pos[a, b]
+        lwc[a, b, p] = wc[j] % cs
+        lwt[a, b, p] = wt[j]                   # ABSOLUTE subtile (global t)
+        lwo[a, b, p] = wt[j] - b * tps         # local output subtile
+        lws0[a, b, p] = ws0[j]
+        lws1[a, b, p] = ws1[j]
+        pos[a, b] += 1
+    spec3 = P('channel', 'time', None)
+
+    def put3(a):
+        return jax.device_put(a, NamedSharding(mesh, spec3))
+
+    work = [put3(a) for a in (lwc, np.zeros_like(lwc), lwt, lwo, lws0,
+                              lws1)]
+    tensors, _ = shard_schedule(low, mesh)
+    in_spec = P('channel', None, None, None)
+    local_samples = tps * Rs * 128
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec3,) * 6 + (in_spec,) * 10
+        + (P(None, None, None, None), in_spec),
+        out_specs=P('channel', 'time'),
+        check_vma=False)
+    def run(wcl, wbl, wtl, wol, ws0l, ws1l, seg_lo, seg_hi, nterm, nfac,
+            amp, op, pw, sh, q32, args, ext, clip):
+        out = _run_sparse(
+            wcl.reshape(K), wbl.reshape(K), wtl.reshape(K), wol.reshape(K),
+            ws0l.reshape(K), ws1l.reshape(K), seg_lo, seg_hi, nterm, nfac,
+            amp, op, pw, sh, q32, args, ext, clip,
+            S=S, T=T, F=F, Rs=Rs, n_tiles=tps, interpret=interpret)
+        return out.reshape(out.shape[0], -1)[:, :local_samples]
+
+    out = run(*work, tensors['seg_lo'], tensors['seg_hi'],
+              tensors['nterm'], tensors['nfac'], tensors['amp'],
+              tensors['op'], tensors['pw'], tensors['sh'], tensors['q32'],
+              tensors['args'], tensors['ext'], tensors['clip'])
+    return out[:C, :low.n_samples]
