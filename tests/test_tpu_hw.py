@@ -144,32 +144,6 @@ def test_compiled_sparse_kernel_parity():
 
 
 @requires_tpu
-def test_compiled_sparse_pair_and_int16():
-    """Sparse kernel's pair-mode and DAC-code outputs on hardware."""
-    _tpu_or_skip()
-    import jax.numpy as jnp
-
-    from waveforms_tpu.ops.lowering import lower_schedule
-    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
-    from waveforms_tpu.ops.sparse_synth import synthesize_sparse
-
-    chans = _sparse_chans(2, seed=23)
-    low = lower_schedule(chans, 0, 8.192e-6, 2e9)
-    dev = DeviceSchedule(low)
-    f32 = np.asarray(synthesize_sparse(dev, low))
-    codes = np.asarray(synthesize_sparse(dev, low, out_dtype=jnp.int16))
-    expected = np.clip(np.round(f32 * 32767.0), -32768, 32767)
-    assert np.abs(codes.astype(np.int64)
-                  - expected.astype(np.int64)).max() <= 1
-
-    lowc = lower_schedule(chans, 0, 8.192e-6, 2e9, part='complex')
-    devc = DeviceSchedule(lowc)
-    pair = np.asarray(synthesize_sparse(devc, lowc))
-    assert pair.dtype == np.complex64
-    assert np.abs(pair.real - f32).max() < 1e-5
-
-
-@requires_tpu
 def test_streaming_chunks_equal_single_shot():
     """Chunked streaming with carried filter state on hardware."""
     _tpu_or_skip()
@@ -274,3 +248,45 @@ def test_engine_auto_routing_on_chip():
                                 engine='pallas'))
     want = synthesize(chans, 0, 16.384e-6, 2e9, engine='numpy')
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+@requires_tpu
+def test_compiled_sparse_pair_and_int16():
+    """Sparse kernel's pair-mode and DAC-code outputs on hardware.
+
+    Runs LAST: complex64 transfers are UNIMPLEMENTED on the axon dev
+    tunnel, and one failed complex device_put poisons every subsequent
+    transfer in-process -- so complex support is probed in a SUBPROCESS
+    and the pair section skips cleanly where unsupported (real TPU
+    runtimes support complex64; this is a tunnel limitation).
+    """
+    _tpu_or_skip()
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse
+
+    chans = _sparse_chans(2, seed=23)
+    low = lower_schedule(chans, 0, 8.192e-6, 2e9)
+    dev = DeviceSchedule(low)
+    f32 = np.asarray(synthesize_sparse(dev, low))
+    codes = np.asarray(synthesize_sparse(dev, low, out_dtype=jnp.int16))
+    expected = np.clip(np.round(f32 * 32767.0), -32768, 32767)
+    assert np.abs(codes.astype(np.int64)
+                  - expected.astype(np.int64)).max() <= 1
+
+    import subprocess
+    import sys
+    probe = subprocess.run(
+        [sys.executable, '-c',
+         "import jax, jax.numpy as jnp, numpy as np;"
+         "jnp.asarray(np.ones(2, np.complex64)).block_until_ready()"],
+        capture_output=True, timeout=240)
+    if probe.returncode != 0:
+        pytest.skip('backend lacks complex64 transfers (axon tunnel)')
+    lowc = lower_schedule(chans, 0, 8.192e-6, 2e9, part='complex')
+    devc = DeviceSchedule(lowc)
+    pair = np.asarray(synthesize_sparse(devc, lowc))
+    assert pair.dtype == np.complex64
+    assert np.abs(pair.real - f32).max() < 1e-5
