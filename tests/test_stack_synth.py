@@ -118,3 +118,20 @@ def test_mixing_pulses_with_drag_correction():
     out = np.asarray(synthesize_stack(low, plan))
     t, want = _oracle([x], 0, 8.192e-6)
     assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_stack_imag_part():
+    """part='imag' lowers the imaginary amplitude plane; the batch path
+    must follow it like the kernels do."""
+    rng = np.random.default_rng(21)
+    wl = [((0.3 + 0.7j) * cosPulse(60e-9) >> o)
+          for o in rng.uniform(0, 7e-6, 40)]
+    ch = WaveVStack(wl)
+    low = lower_schedule([ch], 0, 8.192e-6, FS, part='imag')
+    plan = build_stack_plan(low)
+    assert plan is not None
+    out = np.asarray(synthesize_stack(low, plan))
+    t = np.arange(0, 8.192e-6, 1 / FS)
+    want = np.imag(np.asarray(ch.simplify()(t)))
+    assert np.abs(out[0] - want).max() / max(np.abs(want).max(), 1e-30) \
+        < 2e-6

@@ -1,2 +1,2 @@
 """Package version (kept importable without heavy dependencies)."""
-__version__ = "0.2.0"
+__version__ = "0.3.0"
