@@ -244,11 +244,18 @@ def main():
     headline_s = min(dense_s, sparse_s) if sparse_s else dense_s
     flagship_gsps = 128 * TOTAL_SAMPLES / headline_s / 1e9
     # the production entry point picks the same kernel: record that the
-    # public API's routing criterion selects the headline path
-    from waveforms_tpu.engine import _sparse_threshold
-    from waveforms_tpu.ops.sparse_synth import build_sparse_plan as _bsp
-    api_routes_sparse = bool(
-        _bsp(low).occupied_fraction < _sparse_threshold())
+    # public API's routing criterion selects the headline path (guarded:
+    # a plan failure must not kill the benchmark -- the sparse block
+    # above already degraded gracefully on the same condition)
+    api_routes_sparse = False
+    try:
+        from waveforms_tpu.engine import _sparse_threshold
+        from waveforms_tpu.ops.sparse_synth import build_sparse_plan \
+            as _bsp
+        api_routes_sparse = bool(
+            _bsp(low).occupied_fraction < _sparse_threshold())
+    except Exception:
+        pass
 
     # -- measured store roofline: jitted full-buffer fill, same shape ------
     @jax.jit
@@ -267,8 +274,11 @@ def main():
         mlow, mdev = _upload(build_mid_schedule(), 0.0, 524.288e-6)
         from waveforms_tpu.ops.sparse_synth import synthesize_sparse \
             as _ss
-        mplan = _bsp(mlow)
-        if mplan.occupied_fraction < _sparse_threshold():
+        from waveforms_tpu.ops.sparse_synth import build_sparse_plan \
+            as _bsp2
+        mplan = _bsp2(mlow)
+        from waveforms_tpu.engine import _sparse_threshold as _thr
+        if mplan.occupied_fraction < _thr():
             def mrun():
                 return _ss(mdev, plan=mplan)
             ev = 'jit__run_sparse'

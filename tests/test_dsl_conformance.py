@@ -151,3 +151,22 @@ def test_whitelist_rejects_module_attributes():
     from waveforms_tpu.dsl.parser import _resolve_function
     assert callable(_resolve_function('slepian'))
     assert wave_eval("drag_sin(100.0, 1e-2)") is not None
+
+
+def test_whitelist_D_and_mixing_resolve():
+    """Regression: the models/__init__ re-export of `mixing` shadows the
+    submodule, which used to make 'D' and 'mixing' (both in the reference
+    grammar whitelist) unresolvable from expressions."""
+    from waveforms_tpu import D, gaussian
+    from waveforms_tpu.dsl.parser import _resolve_function
+    from waveforms_tpu.models.mixing import mixing as mixing_fn
+
+    assert _resolve_function('mixing') is mixing_fn
+    d = wave_eval("D(gaussian(1e-07))")
+    t = np.linspace(-1e-7, 1e-7, 101)
+    np.testing.assert_allclose(np.asarray(d(t)),
+                               np.asarray(D(gaussian(1e-7))(t)), atol=1e-6)
+    # a top-level mixing() call returns a TUPLE; the reference's visitor
+    # fails on it identically (waveform_parser.py:286) -- parity
+    with pytest.raises(SyntaxError):
+        wave_eval("mixing(cosPulse(2e-08), freq=-2e8)")

@@ -222,3 +222,17 @@ def test_device_fault_classifier():
     assert not _is_device_fault(
         XlaRuntimeError("INTERNAL: Compilation failure in MLIR pass"))
     assert not _is_device_fault(ValueError("shape mismatch"))
+
+
+def test_device_fault_classifier_nested_same_type():
+    """A compile marker buried in a CAUSE of the same exception type must
+    still be found (the old name-based cycle guard stopped early)."""
+    from waveforms_tpu.engine import _is_device_fault
+
+    class XlaRuntimeError(Exception):
+        pass
+
+    inner = XlaRuntimeError("Mosaic compilation failure: bad BlockSpec")
+    outer = XlaRuntimeError("error executing computation")
+    outer.__cause__ = inner
+    assert not _is_device_fault(outer)

@@ -147,7 +147,6 @@ def test_sharded_fft_roundtrip_and_convolution():
     sample-axis FFT sharded over the mesh, all_to_all transposes)."""
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
-    from jax.experimental.shard_map import shard_map
     import functools
 
     from waveforms_tpu.ops.fft_sharded import (fft_convolve_sharded,
@@ -161,7 +160,7 @@ def test_sharded_fft_roundtrip_and_convolution():
     N = 8 * 8 * 64
     x = rng.standard_normal(N)
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=PS('time'),
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=PS('time'),
                        out_specs=PS('time'))
     def fwd_bwd(xl):
         X = fft_sharded(xl.astype(jnp.complex64), 'time')
@@ -173,7 +172,7 @@ def test_sharded_fft_roundtrip_and_convolution():
     np.testing.assert_allclose(back, x, atol=1e-4)
 
     # spectrum correctness: gather the strided shards and compare to np.fft
-    @functools.partial(shard_map, mesh=mesh, in_specs=PS('time'),
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=PS('time'),
                        out_specs=PS('time'))
     def fwd(xl):
         return fft_sharded(xl.astype(jnp.complex64), 'time')

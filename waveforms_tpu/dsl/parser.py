@@ -19,6 +19,7 @@ rejected, matching ``/root/reference/waveforms/waveform_parser.py``.
 
 from __future__ import annotations
 
+import importlib
 import re
 from ast import literal_eval
 from functools import lru_cache
@@ -26,9 +27,14 @@ from functools import lru_cache
 import numpy as np
 
 from .. import core
-from ..models import mixing as _mixing_mod
 from ..models import multy_drag as _multy_drag_mod
 from ..models import shapes as _shapes_mod
+
+# NB: `from ..models import mixing` would bind the re-exported mixing
+# FUNCTION (models/__init__.py shadows the submodule attribute), leaving
+# `D` and `mixing` unresolvable from expressions; import the module.
+_mixing_mod = importlib.import_module('.models.mixing',
+                                      __package__.rsplit('.', 1)[0])
 
 __all__ = ['wave_eval', 'parse_waveform_expression', 'WaveformParseError']
 

@@ -36,13 +36,13 @@ def _is_device_fault(exc: BaseException) -> bool:
     """
     seen = set()
     msgs = []
+    visited: set[int] = set()
     e: BaseException | None = exc
-    while e is not None:
+    while e is not None and id(e) not in visited:   # identity cycle guard
+        visited.add(id(e))
         seen.add(type(e).__name__)
         msgs.append(str(e))
         e = e.__cause__ or e.__context__
-        if type(e).__name__ in seen:   # cycle guard
-            break
     if not (seen & {'JaxRuntimeError', 'XlaRuntimeError',
                     'FailedPreconditionError', 'InternalError',
                     'ResourceExhaustedError'}):

@@ -53,7 +53,6 @@ def fft_sharded(xl: jax.Array, axis_name: str) -> jax.Array:
     """
     P = jax.lax.axis_size(axis_name)
     L = xl.shape[-1]
-    r = jax.lax.axis_index(axis_name)
     cdt = xl.dtype
     # transpose: shard p <- column block [p*L/P, (p+1)*L/P) of ALL rows
     blocks = xl.reshape(P, L // P)
@@ -72,7 +71,6 @@ def fft_sharded(xl: jax.Array, axis_name: str) -> jax.Array:
     back = jax.lax.all_to_all(C, axis_name, split_axis=0, concat_axis=0,
                               tiled=False)                   # (P, L/P)
     row = back.reshape(L)
-    del r
     return jnp.fft.fft(row)                                  # X[p + P q]
 
 
@@ -109,13 +107,17 @@ def fft_convolve_sharded(sig: jax.Array, ker: np.ndarray, mesh,
     never crosses shards.  Returns the (N,) convolution, block-sharded.
     """
     from jax.sharding import NamedSharding, PartitionSpec as PS
-    from jax.experimental.shard_map import shard_map
 
     P = mesh.shape[axis]
     N = sig.shape[-1]
     if N % (P * P):
         raise ValueError(f"N ({N}) must be a multiple of P^2 ({P * P})")
-    Kf = np.fft.fft(np.asarray(ker, np.complex128), n=N)
+    ker = np.asarray(ker, np.complex128)
+    if ker.shape[-1] > N:
+        raise ValueError(
+            f"kernel ({ker.shape[-1]} taps) longer than the signal ({N}) "
+            "-- np.fft.fft would silently truncate it")
+    Kf = np.fft.fft(ker, n=N)
     # strided distribution: shard p needs Kf[p::P]; laying the spectrum
     # out as (P, N/P) row-major with row p = Kf[p::P] makes a plain
     # block-shard of the flattened array deliver exactly that
@@ -123,7 +125,7 @@ def fft_convolve_sharded(sig: jax.Array, ker: np.ndarray, mesh,
         Kf.reshape(N // P, P).T.reshape(N), jnp.complex64)
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh,
         in_specs=(PS(axis), PS(axis)), out_specs=PS(axis))
     def conv(xl, kl):
         X = fft_sharded(xl.astype(jnp.complex64), axis)

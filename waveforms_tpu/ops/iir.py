@@ -130,15 +130,29 @@ def filter_zpk(z, p, k, x: jax.Array) -> jax.Array:
     """
     z = np.atleast_1d(np.asarray(z, complex))
     p = np.atleast_1d(np.asarray(p, complex))
+    if abs(np.imag(k)) > 1e-12 * max(1.0, abs(k)):
+        raise ValueError(f"filter_zpk gain must be real, got {k!r}")
     g = float(np.real(k))
 
     def split(roots):
-        real, cplx = [], []
+        real, cplx, neg = [], [], []
         for r in roots:
             if abs(r.imag) <= 1e-12 * max(1.0, abs(r)):
                 real.append(float(r.real))
             elif r.imag > 0:
                 cplx.append(complex(r))
+            else:
+                neg.append(complex(np.conj(r)))
+        # a real transfer function needs conjugate symmetry; silently
+        # dropping an unpaired root would yield a wrong filter
+        key = lambda c: (c.real, c.imag)                     # noqa: E731
+        pos_s, neg_s = sorted(cplx, key=key), sorted(neg, key=key)
+        if len(pos_s) != len(neg_s) or any(
+                abs(a - b) > 1e-9 * max(1.0, abs(a))
+                for a, b in zip(pos_s, neg_s)):
+            raise ValueError(
+                "filter_zpk requires conjugate-symmetric roots (real "
+                f"transfer function); got {list(roots)}")
         return real, cplx
 
     zr, zc = split(z)
