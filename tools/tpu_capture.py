@@ -498,6 +498,11 @@ def pending_tasks(state):
     for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
         tasks.append((f"r3_stack_{row}", lambda row=row: task_stack_row(row)))
     tasks.append(("r3_xla_x64", task_x64_probe))
+    # final round-3 confirmations after the tile-covering fast path
+    tasks.append(("r3final_sparse_Rs32", lambda: task_sparse(32)))
+    tasks.append(("r3final_suite_flux_iir_1M",
+                  lambda: task_suite_row('flux_iir_1M')))
+    tasks.append(("r3final_parity_small", task_parity_small))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
