@@ -503,6 +503,10 @@ def pending_tasks(state):
     tasks.append(("r3final_suite_flux_iir_1M",
                   lambda: task_suite_row('flux_iir_1M')))
     tasks.append(("r3final_parity_small", task_parity_small))
+    # dense-stratum tile-height sweep (the flagship sweep optimized the
+    # sparse schedule; occupancy-1 work may prefer a different R)
+    for R in (128, 512):
+        tasks.append((f"r3x_dense_R{R}", lambda R=R: task_dense(R, None)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
