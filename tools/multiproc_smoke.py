@@ -80,6 +80,30 @@ def worker(process_id: int, port: int) -> None:
     iq_host = np.asarray(
         jax.experimental.multihost_utils.process_allgather(iq, tiled=True))
 
+    # sparse worklist kernel over the same 2-process mesh (per-shard
+    # local worklists; the global arrays span processes)
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse_sharded
+    sig_sp = synthesize_sparse_sharded(low, mesh, Rs=8, interpret=True)
+    sp_err = float(jnp.abs(sig_sp - sig).max())
+    assert sp_err < 2e-6, f"sparse-sharded mismatch {sp_err}"
+
+    # distributed four-step FFT with all_to_all crossing processes
+    from jax.sharding import Mesh
+    from waveforms_tpu.ops.fft_sharded import fft_convolve_sharded
+    fmesh = Mesh(np.array(jax.devices()), ('time',))
+    n_fft = (N_PROC * LOCAL_DEVICES) ** 2 * 32
+    ker = np.exp(-0.5 * np.linspace(-3, 3, 21) ** 2)
+    ker /= ker.sum()
+    x_long = np.sin(np.arange(n_fft) * 0.01)
+    conv = fft_convolve_sharded(jnp.asarray(x_long, jnp.float32), ker,
+                                fmesh)
+    conv_host = np.asarray(
+        jax.experimental.multihost_utils.process_allgather(conv,
+                                                           tiled=True))
+    conv_ref = np.fft.ifft(np.fft.fft(x_long)
+                           * np.fft.fft(ker, n=n_fft)).real
+    assert np.abs(conv_host - conv_ref).max() < 2e-3
+
     t_glob = np.arange(start, stop, 1 / fs)
     oracle = np.stack([w(t_glob) for w in chans])
     assert abs(got_mean - oracle.mean()) < 1e-6, (got_mean, oracle.mean())
