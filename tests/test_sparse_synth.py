@@ -293,3 +293,21 @@ def test_sparse_sharded_matches_unsharded():
     got = np.asarray(synthesize_sparse_sharded(low, mesh, Rs=8,
                                                interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_synthesize_on_mesh_routes_sparse():
+    import jax
+    from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    chans = _sparse_schedule(6, seed=12)
+    stop = 8.192e-6
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    got = np.asarray(synthesize_on_mesh(chans, 0, stop, FS, mesh,
+                                        interpret=True))
+    t = np.arange(0, stop, 1 / FS)
+    for c, w in enumerate(chans):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        assert np.abs(got[c] - oracle).max() / scale < 2e-6, c

@@ -203,7 +203,25 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
                        part: str = 'real', rows_per_tile: int | None = None,
                        interpret: bool = False,
                        out_dtype=jnp.float32) -> jax.Array:
-    """Lower + shard + synthesize in one call."""
+    """Lower + shard + synthesize in one call.
+
+    Mirrors the single-chip engine's routing: pulse-sparse single-bucket
+    f32 schedules run the sharded sparse worklist kernel; everything else
+    the dense grid.
+    """
     low = lower_schedule(channels, start, stop, sample_rate, part=part)
+    if (part == 'real' and low.n_buckets == 1
+            and out_dtype == jnp.float32 and rows_per_tile is None):
+        from ..engine import _sparse_threshold
+        from ..ops.lowering import UnsupportedFactor
+        from ..ops.sparse_synth import (build_sparse_plan,
+                                        synthesize_sparse_sharded)
+        try:
+            if (build_sparse_plan(low).occupied_fraction
+                    < _sparse_threshold()):
+                return synthesize_sparse_sharded(low, mesh,
+                                                 interpret=interpret)
+        except UnsupportedFactor:
+            pass
     return synthesize_sharded(low, mesh, rows_per_tile=rows_per_tile,
                               interpret=interpret, out_dtype=out_dtype)
