@@ -334,17 +334,15 @@ def _build_runner(plan: StackPlan, low: LoweredSchedule):
         for g, src, rb, k_max, onehot in per_group:
             vals = _eval_blocks(g, src, rb, ext_arr)
             vals = vals.reshape(n_chunks, k_max, 128)
-            # mixed bf16 x f32 matmul: the one-hot is EXACT in bf16 (its
-            # entries are 0/1), so the product keeps full f32 accuracy at
-            # half the MXU passes of a HIGHEST-precision f32 x f32 dot.
-            # (A bf16x3 HIGH einsum of two f32 operands measured 7.8e-6
-            # on chip -- over the 1e-6 contract -- because BOTH operands
-            # get truncated; making only the exact operand bf16 avoids
-            # that entirely.)
-            out = out + jax.lax.dot_general(
-                onehot.astype(jnp.bfloat16), vals,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+            # HIGHEST-precision f32 einsum.  Two cheaper variants were
+            # MEASURED WRONG on silicon and reverted: a HIGH (bf16x3)
+            # einsum hit 7.8e-6 (both operands truncated), and a mixed
+            # bf16-onehot x f32 dot -- exact in interpret mode -- hit
+            # 8.8e-4 on the real MXU (the f32 operand is downcast to a
+            # single bf16 pass).  Only the oracle-anchored on-chip parity
+            # task catches these; interpret-mode equality does not.
+            out = out + jnp.einsum('qrk,qkw->qrw', onehot, vals,
+                                   precision=jax.lax.Precision.HIGHEST)
         out = out.reshape(-1, 128)[:total_rows]
         return out.reshape(C, n_rows * 128)[:, :plan.n_samples]
 
