@@ -8,7 +8,8 @@ from .lowering import (LoweredSchedule, UnsupportedFactor, lower_schedule)
 from .pallas_synth import (DeviceSchedule, synthesize, synthesize_device,
                            synthesize_lowered)
 from .sequencer import Sequencer
-from .sparse_synth import SparsePlan, build_sparse_plan, synthesize_sparse
+from .sparse_synth import (SparsePlan, build_sparse_plan,
+                           synthesize_sparse, synthesize_sparse_sharded)
 from .stack_synth import StackPlan, build_stack_plan, synthesize_stack
 from .streaming import synthesize_stream
 
@@ -19,6 +20,7 @@ __all__ = [
     'DeviceSchedule', 'synthesize', 'synthesize_device',
     'synthesize_lowered', 'synthesize_stream', 'Sequencer',
     'SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
+    'synthesize_sparse_sharded',
     'StackPlan', 'build_stack_plan', 'synthesize_stack',
     'fft_convolve_sharded',
 ]
