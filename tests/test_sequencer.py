@@ -158,3 +158,37 @@ def test_sequencer_int16_codes():
                                   out_dtype=jnp.int16))
         assert got.dtype == np.int16
         np.testing.assert_array_equal(got, want)
+
+
+def test_play_sparse_matches_play_and_traced_index():
+    """Sparse sequence play: same output as the dense play, and usable
+    with a traced index inside jit (one compilation per table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu import cosPulse, gaussian
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+
+    fs, span = 2e9, 4.096e-6
+    lows = [lower_schedule([gaussian(200e-9) >> 1e-6,
+                            0.5 * cosPulse(100e-9) >> 3e-6], 0, span, fs),
+            lower_schedule([cosPulse(160e-9) >> 2e-6,
+                            0.3 * gaussian(150e-9) >> 0.5e-6], 0, span, fs)]
+    seq = Sequencer(lows)
+    for k in range(2):
+        dense = np.asarray(seq.play(k, rows_per_tile=8, interpret=True))
+        sparse = np.asarray(seq.play_sparse(k, Rs=8, interpret=True))
+        np.testing.assert_array_equal(sparse, dense)
+
+    @jax.jit
+    def total(ks):
+        def body(i, acc):
+            return acc + seq.play_sparse(ks[i], Rs=8, interpret=True)
+        return jax.lax.fori_loop(0, ks.shape[0], body,
+                                 jnp.zeros((2, seq.n_samples)))
+
+    got = np.asarray(total(jnp.asarray([0, 1, 0])))
+    want = (2 * np.asarray(seq.play_sparse(0, Rs=8, interpret=True))
+            + np.asarray(seq.play_sparse(1, Rs=8, interpret=True)))
+    np.testing.assert_allclose(got, want, atol=1e-6)

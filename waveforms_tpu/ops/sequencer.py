@@ -47,6 +47,8 @@ class Sequencer:
 
         if not schedules:
             raise ValueError("empty sequence table")
+        self._schedules = list(schedules)   # host copies for sparse plans
+        self._sparse_work = None
         first = schedules[0]
         for low in schedules:
             if not low.pallas_ok:
@@ -186,3 +188,73 @@ class Sequencer:
             re, im = out
             out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
         return out.reshape(C, n_rows * 128)[:, :self.n_samples]
+
+
+def _sequencer_sparse_table(seq: 'Sequencer', Rs: int):
+    """Stacked per-schedule sparse worklists, padded to a common length.
+
+    One (n_schedules, Kw) array per worklist field; padding entries point
+    at each plan's scratch tile with an empty segment range, so a padded
+    slot is a no-op exactly like single-schedule padding.
+    """
+    import jax.numpy as jnp
+
+    from .sparse_synth import build_sparse_plan
+
+    plans = [build_sparse_plan(low, Rs=Rs) for low in seq._schedules]
+    n_tiles = plans[0].n_tiles
+    for p in plans:
+        if p.n_tiles != n_tiles or p.Rs != Rs:
+            raise ValueError("sparse sequence table requires matching "
+                             "sample counts")
+    Kw = max(p.work_c.shape[0] for p in plans)
+    Kw = 1 << (Kw - 1).bit_length()
+
+    def pad(p, name, fill):
+        a = getattr(p, name)
+        return np.pad(a, (0, Kw - a.shape[0]), constant_values=fill)
+
+    fields = {}
+    for name, fill in (('work_c', 0), ('work_b', 0), ('work_t', n_tiles),
+                       ('work_o', n_tiles), ('work_s0', 0), ('work_s1', 0)):
+        fields[name] = jnp.asarray(
+            np.stack([pad(p, name, fill) for p in plans]))
+    return fields, n_tiles
+
+
+def _play_sparse(seq: 'Sequencer', k, Rs: int = 32,
+                 interpret: bool = False):
+    """Sparse-worklist analog of Sequencer.play: schedule ``k`` (int or
+    traced) runs the live-subtile kernel; the worklist table gathers by
+    ``k`` inside jit, so the kernel compiles once for the whole table.
+
+    Real single-bucket tables only (the flagship layout).
+    """
+    import jax.numpy as jnp
+
+    from .sparse_synth import _run_sparse
+
+    if seq.pair:
+        raise UnsupportedFactor("sparse sequence play is real-only")
+    C, NB, Sb, T, F = seq.shape
+    if NB != 1:
+        raise UnsupportedFactor("sparse sequence play is single-bucket")
+    if seq._sparse_work is None or seq._sparse_work[2] != Rs:
+        fields, n_tiles = _sequencer_sparse_table(seq, Rs)
+        seq._sparse_work = (fields, n_tiles, Rs)
+    fields, n_tiles, _ = seq._sparse_work
+
+    # hmax (tensors[2]) is the dense prologue's bisect key; sparse plans
+    # already encode the ranges
+    sel = [jnp.take(t, k, axis=0, mode='clip')
+           for t in seq.tensors[:2] + seq.tensors[3:]]
+    work = [jnp.take(fields[n], k, axis=0, mode='clip')
+            for n in ('work_c', 'work_b', 'work_t', 'work_o',
+                      'work_s0', 'work_s1')]
+    out = _run_sparse(*work, *sel, None, None,
+                      S=Sb, T=T, F=F, Rs=Rs, n_tiles=n_tiles,
+                      ops_present=seq.ops_present, interpret=interpret)
+    return out.reshape(C, -1)[:, :seq.n_samples]
+
+
+Sequencer.play_sparse = _play_sparse
