@@ -128,9 +128,9 @@ def _kernel_runner(chans, start, stop, R, dimsem=None, out_dtype=None,
 # ---------------------------------------------------------------------------
 # tasks -- each returns a JSON-serializable result dict
 
-def _sparse_chans(n=128):
+def _sparse_chans(n=128, seed=0):
     from bench import build_schedule
-    return build_schedule(n_channels=n)
+    return build_schedule(n_channels=n, seed=seed)
 
 
 def _dense_chans(duration):
@@ -444,6 +444,48 @@ def task_stack_row(name):
             "vs_reference_cpu": round(n / med / bench_suite.REF[name], 1)}
 
 
+def task_seq_sparse():
+    """Sequencer shot-loop on silicon: sparse vs dense play of the same
+    128-channel table (parity readback on a small table first)."""
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+    from waveforms_tpu.utils.profiling import measure_device
+
+    # parity on a small table
+    small = [lower_schedule(_sparse_chans(4), 0.0, 8.192e-6, FS),
+             lower_schedule(_sparse_chans(4, seed=23), 0.0, 8.192e-6, FS)]
+    seq_s = Sequencer(small)
+    worst = 0.0
+    for k in range(2):
+        d = np.asarray(seq_s.play(k, rows_per_tile=8))
+        s = np.asarray(seq_s.play_sparse(k, Rs=8))
+        worst = max(worst, float(np.abs(d - s).max()))
+
+    # timing on the flagship-shaped table (one 524 us window)
+    lows = [lower_schedule(_sparse_chans(), 0.0, 524.288e-6, FS)
+            for _ in range(2)]
+    seq = Sequencer(lows)
+
+    def dense_run():
+        return seq.play(0)
+
+    def sparse_run():
+        return seq.play_sparse(0)
+
+    jax.block_until_ready(dense_run())
+    t_dense = profile_median(dense_run, 'jit__run_kernel')
+    jax.block_until_ready(sparse_run())
+    t_sparse = profile_median(sparse_run, 'jit__run_sparse')
+    n = 128 * seq.n_samples
+    return {"dense_ms": round(t_dense * 1e3, 3),
+            "sparse_ms": round(t_sparse * 1e3, 3),
+            "dense_gsps": round(n / t_dense / 1e9, 1),
+            "sparse_gsps": round(n / t_sparse / 1e9, 1),
+            "max_abs_diff": worst, "parity_ok": bool(worst < 1e-5)}
+
+
 def task_x64_probe():
     """The 1e-9 tier ON CHIP: XLA x64 engine parity + rate (subprocess --
     x64 is process-global)."""
@@ -507,6 +549,7 @@ def pending_tasks(state):
     # sparse schedule; occupancy-1 work may prefer a different R)
     for R in (128, 512):
         tasks.append((f"r3x_dense_R{R}", lambda R=R: task_dense(R, None)))
+    tasks.append(("r3_seq_sparse_play", task_seq_sparse))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
