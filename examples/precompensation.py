@@ -23,16 +23,9 @@ import numpy as np
 
 import jax
 
-# Slow poles (tau up to 30 us at 2 GS/s) carry internal gains of ~1/(1-p)
-# ~ 6e4; the filtering tier runs in f64 (x64 works on TPU too -- the 1e-9
-# tier, docs/PRECISION.md).  Synthesis itself stays on the f32 kernel.
-jax.config.update('jax_enable_x64', True)
-
-import jax.numpy as jnp  # noqa: E402
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-from waveforms_tpu import square, synthesize  # noqa: E402
+from waveforms_tpu import square, synthesize
 from waveforms_tpu.distortion import exp_decay_filter
 from waveforms_tpu.ops.iir import filter_zpk
 
@@ -46,15 +39,23 @@ def main():
     fwd = exp_decay_filter(amps, taus, fs, output='zpk')
     inv = exp_decay_filter(amps, taus, fs, inv=True, output='zpk')
 
-    # a 100 us flux pulse, synthesized on device
-    sig = synthesize([0.5 * (square(60e-6, edge=50e-9) >> 50e-6)],
-                     0, 100e-6, fs)[0]
-    sig = jnp.asarray(np.asarray(sig), jnp.float64)
+    # a 100 us flux pulse, synthesized on device (f32 kernel path)
+    sig_np = np.asarray(synthesize(
+        [0.5 * (square(60e-6, edge=50e-9) >> 50e-6)], 0, 100e-6, fs)[0])
+
+    # Slow poles (tau up to 30 us at 2 GS/s) carry internal gains of
+    # ~1/(1-p) ~ 6e4, so the FILTERING tier runs in f64 -- the 1e-9 tier
+    # works on TPU too (docs/PRECISION.md).  The x64 flag flips only
+    # AFTER synthesis: a process-global x64 during Pallas kernel tracing
+    # breaks dtype promotion inside the kernel.
+    jax.config.update('jax_enable_x64', True)
+    import jax.numpy as jnp
+    sig = jnp.asarray(sig_np, jnp.float64)
 
     pre = filter_zpk(*inv, sig)                    # what the AWG plays
     at_qubit = filter_zpk(*fwd, pre)               # what the line delivers
 
-    err = np.abs(np.asarray(at_qubit) - np.asarray(sig))
+    err = np.abs(np.asarray(at_qubit) - sig_np)
     mid = slice(10_000, 190_000)
     print(f"samples: {sig.shape[0]}")
     print(f"max |precompensated - ideal| mid-pulse: {err[mid].max():.2e}")

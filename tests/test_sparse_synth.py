@@ -295,17 +295,30 @@ def test_sparse_sharded_matches_unsharded():
     np.testing.assert_array_equal(got, want)
 
 
-def test_synthesize_on_mesh_routes_sparse():
+def test_synthesize_on_mesh_routes_sparse(monkeypatch):
     import jax
+    import waveforms_tpu.parallel.mesh as mesh_mod
+    from waveforms_tpu.ops import sparse_synth
     from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
 
     if len(jax.devices()) < 8:
         pytest.skip('needs 8 virtual devices')
+    # a LONG quiet span makes occupied_fraction genuinely sparse (< 0.2)
     chans = _sparse_schedule(6, seed=12)
-    stop = 8.192e-6
+    stop = 65.536e-6
     mesh = channel_mesh(n_channel=4, n_time=2)
+
+    calls = []
+    orig = sparse_synth.synthesize_sparse_sharded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sparse_synth, 'synthesize_sparse_sharded', spy)
     got = np.asarray(synthesize_on_mesh(chans, 0, stop, FS, mesh,
                                         interpret=True))
+    assert calls, "expected the sparse worklist route to be taken"
     t = np.arange(0, stop, 1 / FS)
     for c, w in enumerate(chans):
         oracle = w(t)

@@ -47,7 +47,15 @@ class Sequencer:
 
         if not schedules:
             raise ValueError("empty sequence table")
-        self._schedules = list(schedules)   # host copies for sparse plans
+        # slim host snapshots for lazily building sparse worklists
+        # (seg bounds + counts only; the big descriptor arrays live solely
+        # in the stacked device tensors)
+        from types import SimpleNamespace
+        self._plan_views = [SimpleNamespace(
+            shape=low.shape, n_samples=low.n_samples,
+            bucket_samples=low.bucket_samples,
+            seg_lo=np.array(low.seg_lo), seg_hi=np.array(low.seg_hi),
+            nterm=np.array(low.nterm)) for low in schedules]
         self._sparse_work = None
         first = schedules[0]
         for low in schedules:
@@ -189,72 +197,64 @@ class Sequencer:
             out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
         return out.reshape(C, n_rows * 128)[:, :self.n_samples]
 
+    def _sparse_table(self, Rs: int):
+        """Stacked per-schedule sparse worklists, padded to one length.
 
-def _sequencer_sparse_table(seq: 'Sequencer', Rs: int):
-    """Stacked per-schedule sparse worklists, padded to a common length.
+        Padding entries point at each plan's scratch tile with an empty
+        segment range, so a padded slot is a no-op exactly like
+        single-schedule worklist padding."""
+        import jax.numpy as jnp
 
-    One (n_schedules, Kw) array per worklist field; padding entries point
-    at each plan's scratch tile with an empty segment range, so a padded
-    slot is a no-op exactly like single-schedule padding.
-    """
-    import jax.numpy as jnp
+        from .sparse_synth import build_sparse_plan, next_pow2
 
-    from .sparse_synth import build_sparse_plan
+        plans = [build_sparse_plan(v, Rs=Rs) for v in self._plan_views]
+        n_tiles = plans[0].n_tiles
+        Kw = next_pow2(max(p.work_c.shape[0] for p in plans))
 
-    plans = [build_sparse_plan(low, Rs=Rs) for low in seq._schedules]
-    n_tiles = plans[0].n_tiles
-    for p in plans:
-        if p.n_tiles != n_tiles or p.Rs != Rs:
-            raise ValueError("sparse sequence table requires matching "
-                             "sample counts")
-    Kw = max(p.work_c.shape[0] for p in plans)
-    Kw = 1 << (Kw - 1).bit_length()
+        def pad(p, name, fill):
+            a = getattr(p, name)
+            return np.pad(a, (0, Kw - a.shape[0]), constant_values=fill)
 
-    def pad(p, name, fill):
-        a = getattr(p, name)
-        return np.pad(a, (0, Kw - a.shape[0]), constant_values=fill)
+        fields = {}
+        for name, fill in (('work_c', 0), ('work_b', 0),
+                           ('work_t', n_tiles), ('work_o', n_tiles),
+                           ('work_s0', 0), ('work_s1', 0)):
+            fields[name] = jnp.asarray(
+                np.stack([pad(p, name, fill) for p in plans]))
+        return fields, n_tiles
 
-    fields = {}
-    for name, fill in (('work_c', 0), ('work_b', 0), ('work_t', n_tiles),
-                       ('work_o', n_tiles), ('work_s0', 0), ('work_s1', 0)):
-        fields[name] = jnp.asarray(
-            np.stack([pad(p, name, fill) for p in plans]))
-    return fields, n_tiles
+    def play_sparse(self, k, Rs: int = 32, interpret: bool = False):
+        """Sparse-worklist analog of play(): schedule ``k`` (int or
+        traced) runs the live-subtile kernel; the worklist table gathers
+        by ``k`` inside jit, so the kernel compiles once for the whole
+        table.  Real single-bucket tables only (the flagship layout).
+        Measured on v5e: 132.8 GS/s vs 67.0 for play() on the flagship
+        table, bit-identical output (benchmarks/tpu_state.json
+        r3_seq_sparse_play)."""
+        import jax.numpy as jnp
 
+        from .sparse_synth import _run_sparse
 
-def _play_sparse(seq: 'Sequencer', k, Rs: int = 32,
-                 interpret: bool = False):
-    """Sparse-worklist analog of Sequencer.play: schedule ``k`` (int or
-    traced) runs the live-subtile kernel; the worklist table gathers by
-    ``k`` inside jit, so the kernel compiles once for the whole table.
+        if self.pair:
+            raise UnsupportedFactor("sparse sequence play is real-only")
+        C, NB, Sb, T, F = self.shape
+        if NB != 1:
+            raise UnsupportedFactor(
+                "sparse sequence play is single-bucket")
+        if self._sparse_work is None or self._sparse_work[2] != Rs:
+            fields, n_tiles = self._sparse_table(Rs)
+            self._sparse_work = (fields, n_tiles, Rs)
+        fields, n_tiles, _ = self._sparse_work
 
-    Real single-bucket tables only (the flagship layout).
-    """
-    import jax.numpy as jnp
-
-    from .sparse_synth import _run_sparse
-
-    if seq.pair:
-        raise UnsupportedFactor("sparse sequence play is real-only")
-    C, NB, Sb, T, F = seq.shape
-    if NB != 1:
-        raise UnsupportedFactor("sparse sequence play is single-bucket")
-    if seq._sparse_work is None or seq._sparse_work[2] != Rs:
-        fields, n_tiles = _sequencer_sparse_table(seq, Rs)
-        seq._sparse_work = (fields, n_tiles, Rs)
-    fields, n_tiles, _ = seq._sparse_work
-
-    # hmax (tensors[2]) is the dense prologue's bisect key; sparse plans
-    # already encode the ranges
-    sel = [jnp.take(t, k, axis=0, mode='clip')
-           for t in seq.tensors[:2] + seq.tensors[3:]]
-    work = [jnp.take(fields[n], k, axis=0, mode='clip')
-            for n in ('work_c', 'work_b', 'work_t', 'work_o',
-                      'work_s0', 'work_s1')]
-    out = _run_sparse(*work, *sel, None, None,
-                      S=Sb, T=T, F=F, Rs=Rs, n_tiles=n_tiles,
-                      ops_present=seq.ops_present, interpret=interpret)
-    return out.reshape(C, -1)[:, :seq.n_samples]
-
-
-Sequencer.play_sparse = _play_sparse
+        # hmax (tensors[2]) is the dense prologue's bisect key; sparse
+        # plans already encode the per-subtile ranges
+        sel = [jnp.take(t, k, axis=0, mode='clip')
+               for t in self.tensors[:2] + self.tensors[3:]]
+        work = [jnp.take(fields[n], k, axis=0, mode='clip')
+                for n in ('work_c', 'work_b', 'work_t', 'work_o',
+                          'work_s0', 'work_s1')]
+        out = _run_sparse(*work, *sel, None, None,
+                          S=Sb, T=T, F=F, Rs=Rs, n_tiles=n_tiles,
+                          ops_present=self.ops_present,
+                          interpret=interpret)
+        return out.reshape(C, -1)[:, :self.n_samples]

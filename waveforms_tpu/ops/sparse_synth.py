@@ -40,6 +40,11 @@ __all__ = ['SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
 
 DEFAULT_SUBTILE_ROWS = 32
 
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= max(n, 1) (kernel-cache-stable lengths)."""
+    return 1 << (max(n, 1) - 1).bit_length()
+
 # Route engine='auto' here below this live-subtile fraction.  Breakeven
 # model from v5e device events (benchmarks/tpu_state.json): the worklist
 # pays one background fill (~0.8 ms/GB at the 656 GB/s store roofline)
@@ -140,9 +145,7 @@ def build_sparse_plan(low: LoweredSchedule,
 
     # pad to a power of two (kernel-cache stability); padding entries do
     # zero segments into the scratch tile at t == n_tiles of channel 0
-    K = 1
-    while K < max(n_live, 1):
-        K *= 2
+    K = next_pow2(n_live)
     pad = K - n_live
     wc = np.concatenate([wc, np.zeros(pad, np.int64)])
     wb = np.concatenate([wb, np.zeros(pad, np.int64)])
@@ -369,7 +372,8 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
 
 def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
                               Rs: int = DEFAULT_SUBTILE_ROWS,
-                              interpret: bool = False) -> jax.Array:
+                              interpret: bool = False,
+                              plan: SparsePlan | None = None) -> jax.Array:
     """Sparse worklist synthesis over a ('channel', 'time') device mesh.
 
     The global worklist partitions by (channel shard, time shard) -- each
@@ -402,7 +406,10 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     tiles_pad = -(-n_tiles // nt) * nt
     tps = tiles_pad // nt                      # subtiles per time shard
 
-    plan = build_sparse_plan(low, Rs=Rs)
+    if plan is None:
+        plan = build_sparse_plan(low, Rs=Rs)
+    elif plan.Rs != Rs:
+        raise ValueError(f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
     live = slice(0, plan.n_live)
     wc = plan.work_c[live].astype(np.int64)
     wt = plan.work_t[live].astype(np.int64)
@@ -412,8 +419,7 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     ti = wt // tps
     counts = np.zeros((nc, nt), np.int64)
     np.add.at(counts, (ci, ti), 1)
-    K = max(int(counts.max()), 1)
-    K = 1 << (K - 1).bit_length()
+    K = next_pow2(int(counts.max()))
     # padding entries target the scratch tile (local index tps) of local
     # channel 0 with an empty segment range
     lwc = np.zeros((nc, nt, K), np.int32)

@@ -310,9 +310,9 @@ def _build_runner(plan: StackPlan, low: LoweredSchedule):
         grow = g.chan[m_idx] * n_rows + rowblk         # global row
         chunk = grow // 128
         lr = grow % 128
+        from .sparse_synth import next_pow2
         counts = np.bincount(chunk, minlength=n_chunks)
-        k_max = max(int(counts.max()), 1)
-        k_max = 1 << (k_max - 1).bit_length()
+        k_max = next_pow2(int(counts.max()))
         src = np.full((n_chunks, k_max), -1, np.int64)
         rb = np.zeros((n_chunks, k_max), np.int64)
         lrt = np.full((n_chunks, k_max), 128, np.int64)

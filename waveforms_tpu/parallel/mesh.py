@@ -217,9 +217,9 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
         from ..ops.sparse_synth import (build_sparse_plan,
                                         synthesize_sparse_sharded)
         try:
-            if (build_sparse_plan(low).occupied_fraction
-                    < _sparse_threshold()):
-                return synthesize_sparse_sharded(low, mesh,
+            plan = build_sparse_plan(low)
+            if plan.occupied_fraction < _sparse_threshold():
+                return synthesize_sparse_sharded(low, mesh, plan=plan,
                                                  interpret=interpret)
         except UnsupportedFactor:
             pass
