@@ -324,3 +324,18 @@ def test_synthesize_on_mesh_routes_sparse(monkeypatch):
         oracle = w(t)
         scale = max(np.abs(oracle).max(), 1e-30)
         assert np.abs(got[c] - oracle).max() / scale < 2e-6, c
+
+
+def test_engine_complex_part_routes_sparse():
+    """engine='pallas' with part='complex' runs the pair-mode worklist
+    kernel on sparse schedules and matches the numpy engine."""
+    from waveforms_tpu.engine import synthesize
+
+    chans = [(0.4 + 0.6j) * ch for ch in _sparse_schedule(2, seed=6)]
+    stop = 8.192e-6
+    got = np.asarray(synthesize(chans, 0, stop, FS, engine='pallas-sparse',
+                                part='complex'))
+    want = synthesize(chans, 0, stop, FS, engine='numpy', part='complex')
+    assert got.dtype == np.complex64
+    scale = max(np.abs(want).max(), 1e-30)
+    assert np.abs(got - want).max() / scale < 2e-6
