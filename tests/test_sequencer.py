@@ -192,3 +192,23 @@ def test_play_sparse_matches_play_and_traced_index():
     want = (2 * np.asarray(seq.play_sparse(0, Rs=8, interpret=True))
             + np.asarray(seq.play_sparse(1, Rs=8, interpret=True)))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_play_sparse_rejects_unsupported_tables():
+    import pytest as _pytest
+
+    from waveforms_tpu import cosPulse, gaussian
+    from waveforms_tpu.ops.lowering import UnsupportedFactor, lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+
+    fs, span = 2e9, 4.096e-6
+    bucketed = Sequencer([lower_schedule([gaussian(200e-9) >> 1e-6], 0,
+                                         span, fs, bucket_samples=2048)])
+    with _pytest.raises(UnsupportedFactor, match="single-bucket"):
+        bucketed.play_sparse(0, interpret=True)
+
+    pair = Sequencer([lower_schedule([(0.5 + 0.5j) * cosPulse(100e-9)
+                                      >> 1e-6], 0, span, fs,
+                                     part='complex')])
+    with _pytest.raises(UnsupportedFactor, match="real-only"):
+        pair.play_sparse(0, interpret=True)
