@@ -48,27 +48,36 @@ def _is_device_fault(exc: BaseException) -> bool:
                     'ResourceExhaustedError'}):
         return False
     text = ' '.join(msgs).lower()
+    # markers must be SPECIFIC to the compile phase: broad words like
+    # 'unsupported' also appear in genuine runtime transfer faults, which
+    # must keep their host fallback (review finding r3)
     compile_markers = ('mosaic', 'compilation failure', 'compile failed',
-                       'lowering failed', 'unsupported', 'verification')
+                       'lowering failed')
     return not any(m in text for m in compile_markers)
 
 
-def _sparse_threshold():
+def _env_float(name: str, default_factory):
+    """Env-var override with a visible failure mode for malformed values."""
     import os
-    try:
-        return float(os.environ.get('WFTPU_SPARSE_THRESHOLD', ''))
-    except ValueError:
-        from .ops.sparse_synth import SPARSE_OCCUPANCY_THRESHOLD
-        return SPARSE_OCCUPANCY_THRESHOLD
+    raw = os.environ.get(name, '')
+    if raw:
+        try:
+            return float(raw)
+        except ValueError:
+            import warnings
+            warnings.warn(f"ignoring unparseable {name}={raw!r}")
+    return default_factory()
+
+
+def _sparse_threshold():
+    from .ops.sparse_synth import SPARSE_OCCUPANCY_THRESHOLD
+    return _env_float('WFTPU_SPARSE_THRESHOLD',
+                      lambda: SPARSE_OCCUPANCY_THRESHOLD)
 
 
 def _stack_advantage():
-    import os
-    try:
-        return float(os.environ.get('WFTPU_STACK_ADVANTAGE', ''))
-    except ValueError:
-        from .ops.stack_synth import DEFAULT_ADVANTAGE
-        return DEFAULT_ADVANTAGE
+    from .ops.stack_synth import DEFAULT_ADVANTAGE
+    return _env_float('WFTPU_STACK_ADVANTAGE', lambda: DEFAULT_ADVANTAGE)
 
 
 def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
@@ -83,10 +92,29 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
     # computed once and scaled by both amplitude planes (pair mode)
     low = lower_schedule(channels, start, stop, sample_rate, part=part,
                          bucket_samples=bucket_samples)
+
+    # Routing order matters (measured, round 3): the SPARSE worklist
+    # kernel wins whenever subtile occupancy is low -- at the flagship's
+    # 0.02% it runs at 85% of the store roofline, which the stack path's
+    # extra full-output passes (zeros + per-group einsum-add) can never
+    # beat.  The stack path takes over when occupancy is HIGH but the
+    # pulses are narrow (a 1000-pulse train fills every subtile yet each
+    # pulse covers ~2% of one: vstack occupancy ~1.0, advantage ~18), and
+    # when the kernels cannot lower the schedule at all (SMEM budget).
+    sparse_plan = None
+    if low.pallas_ok and force in (None, 'sparse'):
+        try:
+            sparse_plan = build_sparse_plan(low)
+        except UnsupportedFactor:
+            if force == 'sparse':
+                raise
+    if sparse_plan is not None and (
+            force == 'sparse'
+            or sparse_plan.occupied_fraction < _sparse_threshold()):
+        return synthesize_sparse(DeviceSchedule(low), plan=sparse_plan,
+                                 interpret=interpret)
+
     if force in (None, 'stack'):
-        # many-short-pulse schedules (WaveVStack trains, overlap stacks)
-        # run the instance-batched path: per-tile segment walks degenerate
-        # there, and it sidesteps the kernels' SMEM descriptor budget
         from .ops.stack_synth import build_stack_plan, synthesize_stack
         plan = build_stack_plan(low)
         if plan is not None and (
@@ -98,21 +126,7 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
         if force == 'stack':
             raise UnsupportedFactor(
                 "schedule has no batchable pulse instances")
-    dev = DeviceSchedule(low)
-    if force != 'dense':
-        # pulse-sparse schedules route to the worklist kernel: only live
-        # subtiles run; silence costs one roofline background fill
-        # (measured 3.3x on the 0.02%-occupancy flagship, tpu_state.json)
-        try:
-            plan = build_sparse_plan(low)
-            if force == 'sparse' or (plan.occupied_fraction
-                                     < _sparse_threshold()):
-                return synthesize_sparse(dev, plan=plan,
-                                         interpret=interpret)
-        except UnsupportedFactor:
-            if force == 'sparse':
-                raise
-    return synthesize_device(dev, interpret=interpret)
+    return synthesize_device(DeviceSchedule(low), interpret=interpret)
 
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,

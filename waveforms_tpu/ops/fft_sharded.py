@@ -118,17 +118,20 @@ def fft_convolve_sharded(sig: jax.Array, ker: np.ndarray, mesh,
             f"kernel ({ker.shape[-1]} taps) longer than the signal ({N}) "
             "-- np.fft.fft would silently truncate it")
     Kf = np.fft.fft(ker, n=N)
+    # precision follows the caller's dtype: f64/c128 signals (the x64
+    # tier) keep full double precision through the transform
+    cdt = (jnp.complex128 if sig.dtype in (jnp.float64, jnp.complex128)
+           else jnp.complex64)
     # strided distribution: shard p needs Kf[p::P]; laying the spectrum
     # out as (P, N/P) row-major with row p = Kf[p::P] makes a plain
     # block-shard of the flattened array deliver exactly that
-    Kf_strided = jnp.asarray(
-        Kf.reshape(N // P, P).T.reshape(N), jnp.complex64)
+    Kf_strided = jnp.asarray(Kf.reshape(N // P, P).T.reshape(N), cdt)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(PS(axis), PS(axis)), out_specs=PS(axis))
     def conv(xl, kl):
-        X = fft_sharded(xl.astype(jnp.complex64), axis)
+        X = fft_sharded(xl.astype(cdt), axis)
         return ifft_sharded(X * kl, axis)
 
     out = conv(jax.device_put(sig, NamedSharding(mesh, PS(axis))),

@@ -69,6 +69,25 @@ def dac_scale_tensor(out_dtype, dac_scale, n_channels):
     return scale.reshape(n_channels, 1, 1, 1)
 
 
+def validate_out_mode(out_dtype, amp_im, n_channels, dac_scale):
+    """One shared output-mode gate for every synthesis entry point.
+
+    Returns the (C, 1, 1, 1) DAC scale tensor for int16 output, None for
+    float outputs; raises on unsupported dtype / pair-mode combinations.
+    """
+    scale = dac_scale_tensor(out_dtype, dac_scale, n_channels)
+    if scale is not None:
+        if amp_im is not None:
+            raise ValueError("pair-mode (complex) synthesis requires f32")
+    elif amp_im is not None and out_dtype != jnp.float32:
+        raise ValueError("pair-mode (complex) synthesis requires f32 output")
+    elif jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16),
+                                      jnp.dtype(jnp.float16)):
+        raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
+    return scale
+
+
 def default_rows_per_tile(n_samples, bucket_samples=0, n_buckets=1,
                           divides=0):
     """Largest power-of-two tile height <= the tuned optimum that satisfies
@@ -694,16 +713,7 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int | None = None,
     require f32.
     """
     C, NB, S, T, F = dev.shape
-    scale = dac_scale_tensor(out_dtype, dac_scale, C)
-    if scale is not None:
-        if dev.amp_im is not None:
-            raise ValueError("pair-mode (complex) synthesis requires f32")
-    elif dev.amp_im is not None and out_dtype != jnp.float32:
-        raise ValueError("pair-mode (complex) synthesis requires f32 output")
-    elif jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),
-                                      jnp.dtype(jnp.bfloat16),
-                                      jnp.dtype(jnp.float16)):
-        raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
+    scale = validate_out_mode(out_dtype, dev.amp_im, C, dac_scale)
     if rows_per_tile is None:
         rows_per_tile = default_rows_per_tile(dev.n_samples,
                                               dev.bucket_samples, NB)

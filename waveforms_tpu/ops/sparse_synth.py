@@ -33,7 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lowering import N_OPS, W_ARGS, LoweredSchedule, UnsupportedFactor
-from .pallas_synth import DeviceSchedule, _tile_walker, dac_scale_tensor
+from .pallas_synth import (DeviceSchedule, _tile_walker,
+                           validate_out_mode)
 
 __all__ = ['SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
            'synthesize_sparse_sharded', 'SPARSE_OCCUPANCY_THRESHOLD']
@@ -338,16 +339,7 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
     pair-mode complex64 when the schedule carries two amplitude planes.
     """
     C, NB, S, T, F = dev.shape
-    scale = dac_scale_tensor(out_dtype, dac_scale, C)
-    if scale is not None:
-        if dev.amp_im is not None:
-            raise ValueError("pair-mode (complex) synthesis requires f32")
-    elif dev.amp_im is not None and out_dtype != jnp.float32:
-        raise ValueError("pair-mode (complex) synthesis requires f32 output")
-    elif jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),
-                                      jnp.dtype(jnp.bfloat16),
-                                      jnp.dtype(jnp.float16)):
-        raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
+    scale = validate_out_mode(out_dtype, dev.amp_im, C, dac_scale)
     if plan is None:
         if low is None:
             raise ValueError("synthesize_sparse needs `low` or `plan`")
