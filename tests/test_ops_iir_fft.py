@@ -190,3 +190,26 @@ def test_sharded_fft_roundtrip_and_convolution():
                                           ker, mesh))
     want = np.fft.ifft(np.fft.fft(x) * np.fft.fft(ker, n=N)).real
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_sharded_fft_convolution_f64_precision():
+    """f64 signals keep double precision through the distributed FFT
+    (the x64 tier; complex64 would cap deconvolution at ~1e-3)."""
+    import functools
+    import jax
+    from jax.sharding import Mesh
+
+    from waveforms_tpu.ops.fft_sharded import fft_convolve_sharded
+
+    devs = np.array(jax.devices()[:8])
+    if len(devs) < 8:
+        pytest.skip('needs 8 virtual devices')
+    mesh = Mesh(devs, ('time',))
+    rng = np.random.default_rng(7)
+    N = 8 * 8 * 32
+    x = rng.standard_normal(N)
+    ker = rng.standard_normal(17)
+    got = np.asarray(fft_convolve_sharded(jnp.asarray(x, jnp.float64),
+                                          ker, mesh))
+    want = np.fft.ifft(np.fft.fft(x) * np.fft.fft(ker, n=N)).real
+    assert np.abs(got - want).max() < 1e-10
