@@ -444,6 +444,35 @@ def task_stack_row(name):
             "vs_reference_cpu": round(n / med / bench_suite.REF[name], 1)}
 
 
+def task_mid_sparse(Rs):
+    """~1%-occupancy stratum (bench.build_mid_schedule): worklist-kernel
+    subtile-height sweep."""
+    import jax
+
+    from bench import build_mid_schedule
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import build_sparse_plan, \
+        synthesize_sparse
+    from waveforms_tpu.utils.profiling import measure_device
+
+    chans = build_mid_schedule()
+    low = lower_schedule(chans, 0.0, 524.288e-6, FS)
+    dev = DeviceSchedule(low)
+    plan = build_sparse_plan(low, Rs=Rs)
+    jax.block_until_ready(dev.tensors)
+
+    def run():
+        return synthesize_sparse(dev, plan=plan)
+
+    run().block_until_ready()
+    med = measure_device(run, 'jit__run_sparse')
+    n = len(chans) * low.n_samples
+    return {"Rs": Rs, "device_ms": round(med * 1e3, 3),
+            "gsps": round(n / med / 1e9, 1), "n_live": plan.n_live,
+            "occupied": round(plan.occupied_fraction, 4)}
+
+
 def task_seq_sparse():
     """Sequencer shot-loop on silicon: sparse vs dense play of the same
     128-channel table (parity readback on a small table first)."""
@@ -550,6 +579,9 @@ def pending_tasks(state):
     for R in (128, 512):
         tasks.append((f"r3x_dense_R{R}", lambda R=R: task_dense(R, None)))
     tasks.append(("r3_seq_sparse_play", task_seq_sparse))
+    # mid-occupancy (~1%) stratum: Rs sweep for the worklist kernel
+    for Rs in (16, 32, 64):
+        tasks.append((f"r3m_mid_Rs{Rs}", lambda Rs=Rs: task_mid_sparse(Rs)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
