@@ -339,3 +339,24 @@ def test_engine_complex_part_routes_sparse():
     assert got.dtype == np.complex64
     scale = max(np.abs(want).max(), 1e-30)
     assert np.abs(got - want).max() / scale < 2e-6
+
+
+def test_sparse_sharded_int16_codes():
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse_sharded
+    from waveforms_tpu.parallel.mesh import channel_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    chans = _sparse_schedule(6, seed=15)
+    low = lower_schedule(chans, 0, 8.192e-6, FS, bucket_samples=None)
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    f32 = np.asarray(synthesize_sparse_sharded(low, mesh, Rs=8,
+                                               interpret=True))
+    codes = np.asarray(synthesize_sparse_sharded(low, mesh, Rs=8,
+                                                 interpret=True,
+                                                 out_dtype=jnp.int16))
+    expected = np.clip(np.round(f32 * 32767.0), -32768, 32767)
+    np.testing.assert_array_equal(codes, expected.astype(np.int16))

@@ -365,7 +365,9 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
 def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
                               Rs: int = DEFAULT_SUBTILE_ROWS,
                               interpret: bool = False,
-                              plan: SparsePlan | None = None) -> jax.Array:
+                              plan: SparsePlan | None = None,
+                              out_dtype=jnp.float32,
+                              dac_scale=32767.0) -> jax.Array:
     """Sparse worklist synthesis over a ('channel', 'time') device mesh.
 
     The global worklist partitions by (channel shard, time shard) -- each
@@ -390,6 +392,7 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     if low.amp_im is not None:
         raise UnsupportedFactor(
             "sharded sparse synthesis supports real schedules")
+    scale = validate_out_mode(out_dtype, None, C, dac_scale)
     nc, nt = mesh.shape['channel'], mesh.shape['time']
     c_pad = -(-C // nc) * nc
     cs = c_pad // nc
@@ -438,25 +441,36 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
                               lws1)]
     tensors, _ = shard_schedule(low, mesh)
     in_spec = P('channel', None, None, None)
+    chan_spec = P('channel', None, None, None)
     local_samples = tps * Rs * 128
+    dac = scale is not None
+    scale_t = None
+    if dac:
+        from ..parallel.mesh import _pad_channels
+        scale_t = jax.device_put(_pad_channels(np.asarray(scale), c_pad),
+                                 NamedSharding(mesh, chan_spec))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(spec3,) * 6 + (in_spec,) * 10
-        + (P(None, None, None, None), in_spec),
+        + (P(None, None, None, None), in_spec)
+        + ((chan_spec,) if dac else ()),
         out_specs=P('channel', 'time'),
         check_vma=False)
     def run(wcl, wbl, wtl, wol, ws0l, ws1l, seg_lo, seg_hi, nterm, nfac,
-            amp, op, pw, sh, q32, args, ext, clip):
+            amp, op, pw, sh, q32, args, ext, clip, *rest):
         out = _run_sparse(
             wcl.reshape(K), wbl.reshape(K), wtl.reshape(K), wol.reshape(K),
             ws0l.reshape(K), ws1l.reshape(K), seg_lo, seg_hi, nterm, nfac,
-            amp, op, pw, sh, q32, args, ext, clip,
-            S=S, T=T, F=F, Rs=Rs, n_tiles=tps, interpret=interpret)
+            amp, op, pw, sh, q32, args, ext, clip, None,
+            rest[0] if dac else None,
+            S=S, T=T, F=F, Rs=Rs, n_tiles=tps, interpret=interpret,
+            out_dtype=out_dtype)
         return out.reshape(out.shape[0], -1)[:, :local_samples]
 
     out = run(*work, tensors['seg_lo'], tensors['seg_hi'],
               tensors['nterm'], tensors['nfac'], tensors['amp'],
               tensors['op'], tensors['pw'], tensors['sh'], tensors['q32'],
-              tensors['args'], tensors['ext'], tensors['clip'])
+              tensors['args'], tensors['ext'], tensors['clip'],
+              *((scale_t,) if dac else ()))
     return out[:C, :low.n_samples]
