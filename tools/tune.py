@@ -84,6 +84,41 @@ def main():
         print(json.dumps({"best_R": best[1], "best_dimsem": best[2],
                           "best_gsps": round(best[0], 1)}))
 
+    # sparse worklist kernel: subtile-height sweep on the same schedule
+    if NB == 1 and dev.amp_im is None:
+        from waveforms_tpu.ops.sparse_synth import (build_sparse_plan,
+                                                    synthesize_sparse)
+        sres = []
+        for Rs in ((8,) if interpret else (16, 32, 64)):
+            plan = build_sparse_plan(low, Rs=Rs)
+
+            def srun():
+                return synthesize_sparse(dev, plan=plan,
+                                         interpret=interpret)
+
+            try:
+                srun().block_until_ready()
+                if interpret:
+                    t0 = time.perf_counter()
+                    srun().block_until_ready()
+                    dt = time.perf_counter() - t0
+                else:
+                    dt = measure_device(srun, 'jit__run_sparse', reps=3)
+            except Exception as exc:
+                print(json.dumps({"Rs": Rs, "error": repr(exc)[:100]}))
+                continue
+            gsps = n_total / dt / 1e9
+            sres.append((gsps, Rs))
+            print(json.dumps({
+                "Rs": Rs, "device_ms": round(dt * 1e3, 3),
+                "gsps": round(gsps, 1), "n_live": plan.n_live,
+                **({"note": "interpret_mode_non_tpu"} if interpret else {}),
+            }))
+        if sres:
+            best = max(sres)
+            print(json.dumps({"best_sparse_Rs": best[1],
+                              "best_sparse_gsps": round(best[0], 1)}))
+
 
 if __name__ == '__main__':
     main()
