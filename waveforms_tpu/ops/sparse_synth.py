@@ -51,7 +51,7 @@ def next_pow2(n: int) -> int:
 # pays one background fill (~0.8 ms/GB at the 656 GB/s store roofline)
 # plus ~0.5 us fixed cost per live subtile, while the dense grid pays the
 # per-tile cost on EVERY tile; at the flagship's 0.02% occupancy that is
-# 3.3x (36.4 -> 121.8 GS/s), converging at roughly 1/5 of tiles live.
+# 2x (65 -> 133 GS/s post-poly-trig), converging at ~1/5 of tiles live.
 SPARSE_OCCUPANCY_THRESHOLD = 0.2
 
 
