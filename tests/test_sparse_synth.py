@@ -360,3 +360,51 @@ def test_sparse_sharded_int16_codes():
                                                  out_dtype=jnp.int16))
     expected = np.clip(np.round(f32 * 32767.0), -32768, 32767)
     np.testing.assert_array_equal(codes, expected.astype(np.int16))
+
+
+def test_engine_routing_precedence_per_workload_class():
+    """The measured routing order (review finding r3): sparse worklist
+    first whenever subtile occupancy is low; the stack path only for
+    high-occupancy narrow-pulse schedules or un-lowerable ones; dense
+    otherwise.  A regression here silently moves the flagship off its
+    133 GS/s path."""
+    from waveforms_tpu import chirp, drag, gaussian
+    from waveforms_tpu.engine import _sparse_threshold, _stack_advantage
+    from waveforms_tpu.ops.stack_synth import build_stack_plan
+
+    def route(chans, start, stop, fs, bucket='auto'):
+        low = lower_schedule(chans, start, stop, fs,
+                             bucket_samples=bucket)
+        sp = None
+        if low.pallas_ok:
+            try:
+                sp = build_sparse_plan(low)
+            except Exception:
+                sp = None
+        if sp is not None and sp.occupied_fraction < _sparse_threshold():
+            return 'sparse'
+        st = build_stack_plan(low)
+        if st is not None and (
+                (st.n_narrow >= 64
+                 and st.advantage >= _stack_advantage())
+                or (not low.pallas_ok and st.wide is None)):
+            return 'stack'
+        return 'dense'
+
+    # flagship-class: many channels, pulse-sparse -> worklist kernel
+    assert route(_sparse_schedule(8), 0, 32.768e-6, FS) == 'sparse'
+    # vstack-class: one channel FULL of short pulses -> instance batch
+    rng = np.random.default_rng(1)
+    stack = WaveVStack([(0.5 * cosPulse(50e-9) >> o)
+                        for o in rng.uniform(0, 99e-6, 400)])
+    assert route([stack], 0, 100e-6, FS) == 'stack'
+    # overlap-class: merged DRAGs beyond the SMEM budget -> instance batch
+    ch = zero()
+    for _ in range(100):
+        ch += drag(100e6, 300e-9, plateau=200e-9, delta=2e6,
+                   block_freq=None, phase=rng.uniform(0, 6),
+                   t0=0.0) >> rng.uniform(0, 0.6e-6)
+    assert route([ch], 0, 1.1e-6, FS) == 'stack'
+    # dense-class: occupancy 1.0 wide envelope -> dense grid
+    assert route([gaussian(3e-3) * chirp(1e6, 500e6, 1e-3, 0.0, 'linear')],
+                 0, 64e-6, FS) == 'dense'
