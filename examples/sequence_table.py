@@ -65,6 +65,14 @@ def main():
     print("per-schedule IQ consistent across the randomized order")
     print("example |IQ| per shot:", np.round(mags[:8], 4))
 
+    # -- sparse play: gate trains are pulse-sparse, so the worklist kernel
+    # plays the same table ~2x faster on chip (132.8 vs 67.0 GS/s
+    # measured; benchmarks/tpu_state.json r3_seq_sparse_play) -------------
+    dense0 = np.asarray(seq.play(0, rows_per_tile=8, interpret=interpret))
+    sparse0 = np.asarray(seq.play_sparse(0, Rs=8, interpret=interpret))
+    assert np.array_equal(dense0, sparse0), "sparse play must be bit-equal"
+    print("play_sparse(0) bit-equal to play(0)")
+
 
 if __name__ == '__main__':
     main()
