@@ -95,3 +95,27 @@ def test_constructor_engine_matrix(name, build, engine):
     tol = 1e-9 if engine == 'xla' else 5e-6
     err = np.abs(out[:len(t)] - oracle).max() / scale
     assert err < tol, f"{name} x {engine}: rel err {err}"
+
+
+@pytest.mark.parametrize('name,build', [c for c in CASES
+                                        if c[0] in ('cosPulse', 'gaussian',
+                                                    'drag', 'mixing_I',
+                                                    'chirp_linear')],
+                         ids=lambda c: c if isinstance(c, str) else '')
+def test_constructor_stack_engine(name, build):
+    """The pulse-instance batch path through the forced engine, for the
+    constructor classes it routes (narrow bounded pulses)."""
+    w = build()
+    t = np.arange(0, SPAN, 1 / FS)
+    oracle = np.asarray(w(t), float)
+    scale = max(np.abs(oracle).max(), 1e-30)
+    try:
+        out = np.asarray(synthesize([w], 0, SPAN, FS,
+                                    engine='pallas-stack'))[0]
+    except Exception as exc:
+        from waveforms_tpu.ops.lowering import UnsupportedFactor
+        if isinstance(exc, UnsupportedFactor):
+            pytest.skip(f'{name}: {exc}')
+        raise
+    err = np.abs(out[:len(t)] - oracle).max() / scale
+    assert err < 5e-6, f"{name} x stack: rel err {err}"
