@@ -2,10 +2,14 @@
 
 Control waveforms are described by a lazy, hashable symbolic IR (piecewise
 sums of products of analytic basis functions, closed under
-``+ - * / ** >> << | &`` and exact differentiation) and synthesized either
-by the numpy oracle (host, float64, bit-parity with the reference library
-feihoo87/waveforms) or by fused XLA/Pallas kernels on TPU
-(:mod:`waveforms_tpu.ops`), batching hundreds of channels into one
+``+ - * / ** >> << | &`` and exact differentiation) and synthesized by
+interchangeable engines over the same IR: the numpy oracle (host,
+float64, bit-parity with the reference library feihoo87/waveforms), a
+trace-specialized XLA program (the 1e-9 tier, CPU and TPU), a C++ host
+engine, and three TPU Pallas/XLA production paths -- a dense descriptor-
+interpreter grid, a sparse live-subtile worklist, and a pulse-instance
+batched scatter -- auto-selected by schedule shape
+(:mod:`waveforms_tpu.engine`), batching hundreds of channels into one
 ``(channels, samples)`` launch and sharding over device meshes
 (:mod:`waveforms_tpu.parallel`).
 
