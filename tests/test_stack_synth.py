@@ -135,3 +135,62 @@ def test_stack_imag_part():
     want = np.imag(np.asarray(ch.simplify()(t)))
     assert np.abs(out[0] - want).max() / max(np.abs(want).max(), 1e-30) \
         < 2e-6
+
+
+def test_kernel_runner_selected_and_matches_xla_runner():
+    """The single-kernel runner (round 4) must engage for plain vstack
+    plans and agree with the XLA op-chain runner to float tolerance."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               _build_runner)
+    rng = np.random.default_rng(31)
+    wl = [(0.5 * cosPulse(50e-9) >> o) for o in rng.uniform(0, 7e-6, 120)]
+    low = lower_schedule([WaveVStack(wl)], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    kr = _build_kernel_runner(plan, low, True)
+    assert kr is not None, "vstack plan should take the kernel runner"
+    a = np.asarray(kr())
+    b = np.asarray(_build_runner(plan, low)())
+    assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-30) < 1e-6
+
+
+def test_kernel_runner_ext_path_multy_drag():
+    """drag_sin instances read the ext side-buffer; the kernel runner
+    pregathers those rows on the host and must match the oracle."""
+    from waveforms_tpu.models.multy_drag import drag_sin
+    from waveforms_tpu.ops.stack_synth import _build_kernel_runner
+    rng = np.random.default_rng(33)
+    p = drag_sin(5e9, 20e-9, plateau=10e-9, delta=1e6)
+    x = zero()
+    for _ in range(15):
+        x += p >> rng.uniform(0, 7e-6)
+    low = lower_schedule([x], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    assert plan is not None
+    assert _build_kernel_runner(plan, low, True) is not None
+    out = np.asarray(synthesize_stack(low, plan))
+    t, want = _oracle([x], 0, 8.192e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_kernel_runner_group_cap_falls_back():
+    """Plans beyond KERNEL_MAX_GROUPS use the XLA runner (still correct)."""
+    from waveforms_tpu.ops import stack_synth as st
+    rng = np.random.default_rng(35)
+    x = zero()
+    # many distinct factor structures: gaussian powers 1..N via products
+    for p in range(1, 12):
+        x += (0.1 * gaussian(40e-9) ** p) >> rng.uniform(0, 7e-6)
+    low = lower_schedule([x], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    if plan is None:
+        return
+    old = st.KERNEL_MAX_GROUPS
+    st.KERNEL_MAX_GROUPS = 1
+    try:
+        if len(plan.groups) > 1:
+            assert st._build_kernel_runner(plan, low, True) is None
+        out = np.asarray(synthesize_stack(low, plan))
+    finally:
+        st.KERNEL_MAX_GROUPS = old
+    t, want = _oracle([x], 0, 8.192e-6)
+    assert np.abs(out - want).max() / max(np.abs(want).max(), 1e-30) < 2e-6

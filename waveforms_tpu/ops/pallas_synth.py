@@ -48,6 +48,15 @@ _EXP_CLAMP = np.float32(80.0)
 # overhead dominates below ~128 KB output tiles.
 TUNED_ROWS_PER_TILE = 256
 
+# Sub-block height for the fine-skip walk (see _synth_kernel): inside a
+# live (R, 128) tile, segments are re-bisected at this granularity so a
+# tile that is 5% occupied evaluates ~5% of its samples instead of 100%.
+# The dense grid stays static (pipelined stores) -- this is what makes the
+# dense kernel the mid-occupancy (1-20% live) engine; the sparse worklist
+# kernel's dynamic grid serializes at ~1 us per step (measured r3/r4) and
+# only wins when almost everything is silent.
+FINE_ROWS = 32
+
 
 def dac_scale_tensor(out_dtype, dac_scale, n_channels):
     """Validated (C, 1, 1, 1) DAC scale for integer output, else None.
@@ -492,9 +501,9 @@ def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
 
 
 def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
-                  nterm_ref,
+                  s0f_ref, s1f_ref, fine_ref, nterm_ref,
                   nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
-                  args_ref, ext_ref, clip_ref, *rest, S, T, F, R, G,
+                  args_ref, ext_ref, clip_ref, *rest, S, T, F, R, G, NF,
                   ops_present, pair=False, dac=False):
     # pair mode fuses a complex synthesis into one pass: the factor
     # product (all the transcendental work) is computed once per term and
@@ -515,10 +524,10 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     idx = base + rows * 128 + cols
 
-    segment_at, acc0 = _tile_walker(
-        idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
-        amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
-        clip_ref, amp2_ref, T=T, F=F, ops_present=ops_present, pair=pair)
+    walker_args = (seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
+                   amp_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
+                   ext_ref, clip_ref, amp2_ref)
+    walker_kw = dict(T=T, F=F, ops_present=ops_present, pair=pair)
 
     # The host-side prologue in _run_kernel precomputes, per tile, the
     # index range [s0, s1) of segments that can overlap it (each bucket's
@@ -529,7 +538,49 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
     g = pl.program_id(1) % G
     s0 = s0_ref[0, 0, 0, g]
     s1 = s1_ref[0, 0, 0, g]
-    acc = jax.lax.fori_loop(s0, s1, segment_at, acc0)
+
+    def full_walk(_):
+        segment_at, acc0 = _tile_walker(idx, base, tile, R, *walker_args,
+                                        **walker_kw)
+        return jax.lax.fori_loop(s0, s1, segment_at, acc0)
+
+    if NF <= 1:
+        acc = full_walk(0)
+    else:
+        # Fine-skip walk: the prologue also bisected every (R/NF)-row
+        # sub-block; when the summed fine work is smaller than walking
+        # the whole tile (a tile that is live only in a few strips), the
+        # kernel walks sub-blocks instead, and strips with an empty
+        # [s0f, s1f) cost one zero-trip loop.  The choice is a host
+        # decision per tile (fine_ref), so occupancy-1 schedules keep the
+        # single-walk fast path bit-for-bit.
+        Rf = R // NF
+
+        def fine_walk(_):
+            rows_f = jax.lax.broadcasted_iota(jnp.int32, (Rf, 128), 0)
+            cols_f = jax.lax.broadcasted_iota(jnp.int32, (Rf, 128), 1)
+
+            def sub(j, acc):
+                sub_base = base + j * (Rf * 128)
+                idx_f = sub_base + rows_f * 128 + cols_f
+                seg_at, a0 = _tile_walker(idx_f, sub_base, Rf * 128, Rf,
+                                          *walker_args, **walker_kw)
+                a = jax.lax.fori_loop(s0f_ref[0, 0, 0, g * NF + j],
+                                      s1f_ref[0, 0, 0, g * NF + j],
+                                      seg_at, a0)
+                if pair:
+                    return (jax.lax.dynamic_update_slice(
+                                acc[0], a[0], (j * Rf, 0)),
+                            jax.lax.dynamic_update_slice(
+                                acc[1], a[1], (j * Rf, 0)))
+                return jax.lax.dynamic_update_slice(acc, a, (j * Rf, 0))
+
+            zeros_tile = jnp.zeros((R, 128), jnp.float32)
+            acc0 = (zeros_tile, zeros_tile) if pair else zeros_tile
+            return jax.lax.fori_loop(0, NF, sub, acc0)
+
+        acc = jax.lax.cond(fine_ref[0, 0, 0, g] != 0, fine_walk, full_walk,
+                           0)
     # accumulation stays f32; the store may narrow (bf16/int16 halve the
     # write bandwidth and buffer footprint)
     if pair:
@@ -546,12 +597,14 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
 @functools.partial(jax.jit,
                    static_argnames=('S', 'T', 'F', 'R', 'n_rows',
                                     'tiles_per_bucket', 'ops_present',
-                                    'interpret', 'dimsem', 'out_dtype'))
+                                    'interpret', 'dimsem', 'out_dtype',
+                                    'fine'))
 def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
                 sh, q32, args, ext, clip, amp_im=None, scale=None, *, S, T,
                 F, R, n_rows, tiles_per_bucket,
                 ops_present=tuple(range(N_OPS)),
-                interpret=False, dimsem=None, out_dtype=jnp.float32):
+                interpret=False, dimsem=None, out_dtype=jnp.float32,
+                fine=True):
     C = seg_lo.shape[0]
     E = ext.shape[-1]
     grid = (C, n_rows // R)
@@ -574,17 +627,38 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
         # bucket_samples-derived G smaller than the launch's tile count
         G = max(n_rows // R, 1)
     tile_sz = R * 128
-    bases = (row0.reshape(()) +
-             jnp.arange(NB * G, dtype=jnp.int32) * tile_sz).reshape(NB, G)
+    # fine-skip granularity: bisect at FINE_ROWS-row sub-blocks too, so
+    # live tiles with silent strips walk only their live strips.  The fine
+    # range arrays ride SMEM (2 x G x NF i32 per grid step); cap their
+    # footprint so monster single-bucket launches never crowd the
+    # descriptor block out of scalar memory (lowering.PALLAS_SMEM_BUDGET).
+    NF = R // FINE_ROWS if (fine and R > FINE_ROWS) else 1
+    if 8 * G * NF > 128 * 1024:
+        NF = 1
+    fine_sz = tile_sz // NF
+    bases = (row0.reshape(()) + jnp.arange(NB * G * NF, dtype=jnp.int32)
+             * fine_sz).reshape(NB, G * NF)
 
     def ranges(hmax_row, lo_row, base_row):
         s0 = jnp.searchsorted(hmax_row, base_row, side='right')
-        s1 = jnp.searchsorted(lo_row, base_row + tile_sz, side='left')
+        s1 = jnp.searchsorted(lo_row, base_row + fine_sz, side='left')
         return s0.astype(jnp.int32), s1.astype(jnp.int32)
 
     per_bucket = jax.vmap(ranges, in_axes=(0, 0, 0))
-    s0t, s1t = jax.vmap(per_bucket, in_axes=(0, 0, None))(
+    s0f, s1f = jax.vmap(per_bucket, in_axes=(0, 0, None))(
         seg_hmax.reshape(C, NB, S), seg_lo.reshape(C, NB, S), bases)
+    # the coarse tile range is the hull of its sub-block ranges (the fine
+    # bisect at the tile's first/last sub-block boundary IS the coarse one)
+    s0t = s0f.reshape(C, NB, G, NF)[..., 0]
+    s1t = s1f.reshape(C, NB, G, NF)[..., NF - 1]
+    # host decision per tile: fine pays off when the summed sub-block walk
+    # touches fewer samples than one full-tile walk (strict <: ties keep
+    # the full walk, so occupancy-1 tiles are untouched)
+    work_f = jnp.maximum(s1f - s0f, 0).reshape(C, NB, G, NF).sum(-1)
+    work_c = jnp.maximum(s1t - s0t, 0) * NF
+    finet = (work_f < work_c).astype(jnp.int32).reshape(C, NB, 1, G)
+    s0f = s0f.reshape(C, NB, 1, G * NF)
+    s1f = s1f.reshape(C, NB, 1, G * NF)
     s0t = s0t.reshape(C, NB, 1, G)
     s1t = s1t.reshape(C, NB, 1, G)
 
@@ -600,7 +674,8 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
                             memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_synth_kernel, S=S, T=T, F=F, R=R, G=G,
-                               ops_present=ops_present, pair=pair, dac=dac)
+                               NF=NF, ops_present=ops_present, pair=pair,
+                               dac=dac)
     out_spec = pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((C, n_rows, 128), out_dtype)
@@ -611,6 +686,8 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
             smem(1, bcast=True),                         # row0 (shard offset)
             smem(S), smem(S),                            # seg_lo, seg_hi
             smem(G), smem(G),                            # per-tile s0, s1
+            smem(G * NF), smem(G * NF),                  # fine s0, s1
+            smem(G),                                     # fine/full flag
             smem(S),                                     # nterm
             smem(S * T), smem(S * T),                    # nfac, amp
             smem(S * T * F), smem(S * T * F),            # op, power
@@ -631,8 +708,8 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
         # semantically parallel (tuning knob, see tools/tune.py)
         **({'compiler_params': pltpu.CompilerParams(
             dimension_semantics=dimsem)} if dimsem is not None else {}),
-    )(row0, seg_lo, seg_hi, s0t, s1t, nterm, nfac, amp, op, pw, sh, q32,
-      args, ext, clip, *([amp_im] if pair else []),
+    )(row0, seg_lo, seg_hi, s0t, s1t, s0f, s1f, finet, nterm, nfac, amp,
+      op, pw, sh, q32, args, ext, clip, *([amp_im] if pair else []),
       *([scale] if dac else []))
 
 

@@ -35,16 +35,29 @@ many-overlap schedules that lower with ``pallas_ok=False``.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from .lowering import LoweredSchedule, UnsupportedFactor
+from .lowering import (DRAG_SIN_NC, DRAG_SINX_MAXQ, OP_DRAG_SIN,
+                       OP_DRAG_SINX, LoweredSchedule, UnsupportedFactor)
 from .pallas_synth import op_builders
 
 __all__ = ['StackPlan', 'build_stack_plan', 'synthesize_stack']
+
+# single-kernel runner limits; plans outside them use the XLA op-chain
+# runner (correct everywhere, ~15-20 us extra dispatch-chain latency)
+KERNEL_MAX_GROUPS = 8
+KERNEL_MAX_VMEM = 12 * 2**20      # double-buffered group tables, bytes
+KERNEL_MAX_HBM = 512 * 2**20      # packed chunk tables, bytes
+# ext widths actually read by the drag_sin formulas (eread k range)
+_EXT_W = {OP_DRAG_SIN: 3 + 2 * DRAG_SIN_NC,
+          OP_DRAG_SINX: 3 + 2 * DRAG_SIN_NC + 2 + 4 * (1 + DRAG_SINX_MAXQ)}
 
 # instances at most this many samples wide run batched; wider ones go to
 # the kernels (tile amortization already works there)
@@ -284,6 +297,37 @@ def _eval_blocks(g: GroupData, src: np.ndarray, rowblk: np.ndarray,
     return jnp.where(mask, prod, 0.0)
 
 
+def _chunk_assign(g: GroupData, n_rows: int, n_chunks: int, k_round: int):
+    """Assign one group's 128-sample blocks to (chunk, slot) positions.
+
+    Returns ``(src, rb, lr, counts, k_max)`` -- (n_chunks, k_max) arrays
+    of source-instance index (-1 pad), 128-row block, local output row
+    (128 pad: matches no one-hot row), plus per-chunk live counts.
+    ``k_round`` rounds the slot axis up (kernel strip size / pow2).
+    """
+    nblk_m = ((g.hi - 1) >> 7) - g.row0 + 1
+    m_idx = np.repeat(np.arange(len(g.amp)), nblk_m)
+    r_off = (np.concatenate([np.arange(k) for k in nblk_m])
+             if len(nblk_m) else np.zeros(0, np.int64))
+    rowblk = g.row0[m_idx] + r_off                 # per-channel row
+    grow = g.chan[m_idx] * n_rows + rowblk         # global row
+    chunk = grow // 128
+    lr = grow % 128
+    counts = np.bincount(chunk, minlength=n_chunks)
+    k_max = -(-max(int(counts.max()), 1) // k_round) * k_round
+    src = np.full((n_chunks, k_max), -1, np.int64)
+    rb = np.zeros((n_chunks, k_max), np.int64)
+    lrt = np.full((n_chunks, k_max), 128, np.int64)
+    pos = np.zeros(n_chunks, np.int64)
+    for j in np.argsort(chunk, kind='stable'):
+        q = chunk[j]
+        src[q, pos[q]] = m_idx[j]
+        rb[q, pos[q]] = rowblk[j]
+        lrt[q, pos[q]] = lr[j]
+        pos[q] += 1
+    return src, rb, lrt, counts.astype(np.int32), k_max
+
+
 def _build_runner(plan: StackPlan, low: LoweredSchedule):
     """One jitted program for the whole batched path (cached on the plan).
 
@@ -302,27 +346,15 @@ def _build_runner(plan: StackPlan, low: LoweredSchedule):
 
     per_group = []
     for g in plan.groups:
-        nblk_m = ((g.hi - 1) >> 7) - g.row0 + 1
-        m_idx = np.repeat(np.arange(len(g.amp)), nblk_m)
-        r_off = (np.concatenate([np.arange(k) for k in nblk_m])
-                 if len(nblk_m) else np.zeros(0, np.int64))
-        rowblk = g.row0[m_idx] + r_off                 # per-channel row
-        grow = g.chan[m_idx] * n_rows + rowblk         # global row
-        chunk = grow // 128
-        lr = grow % 128
         from .sparse_synth import next_pow2
-        counts = np.bincount(chunk, minlength=n_chunks)
-        k_max = next_pow2(int(counts.max()))
-        src = np.full((n_chunks, k_max), -1, np.int64)
-        rb = np.zeros((n_chunks, k_max), np.int64)
-        lrt = np.full((n_chunks, k_max), 128, np.int64)
-        pos = np.zeros(n_chunks, np.int64)
-        for j in np.argsort(chunk, kind='stable'):
-            q = chunk[j]
-            src[q, pos[q]] = m_idx[j]
-            rb[q, pos[q]] = rowblk[j]
-            lrt[q, pos[q]] = lr[j]
-            pos[q] += 1
+        src, rb, lrt, _counts, k_max0 = _chunk_assign(g, n_rows, n_chunks,
+                                                      1)
+        k_max = next_pow2(k_max0)
+        pad = k_max - k_max0
+        if pad:
+            src = np.pad(src, ((0, 0), (0, pad)), constant_values=-1)
+            rb = np.pad(rb, ((0, 0), (0, pad)))
+            lrt = np.pad(lrt, ((0, 0), (0, pad)), constant_values=128)
         onehot = (jnp.asarray(lrt)[:, None, :]
                   == jnp.arange(128)[None, :, None]).astype(jnp.float32)
         per_group.append((g, src.reshape(-1), rb.reshape(-1), k_max,
@@ -349,24 +381,229 @@ def _build_runner(plan: StackPlan, low: LoweredSchedule):
     return run_stack
 
 
+def _kernel_runner_viable(plan: StackPlan) -> bool:
+    """Cheap static eligibility for the single-kernel runner."""
+    if len(plan.groups) > KERNEL_MAX_GROUPS:
+        return False
+    for g in plan.groups:
+        if sum(op in _EXT_W for op in g.ops) > 1:
+            return False          # one pregathered ext factor per instance
+    return True
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
+                         interpret: bool):
+    """The whole batched path as ONE Pallas kernel (cached on the plan).
+
+    The XLA runner's per-group op chain (eval fusions + one-hot einsums +
+    adds) costs ~1-2 us of dispatch per op, which dominates sub-100 us
+    schedules (vstack_1000x200k measured 36 us device, ~half chain
+    overhead, r3).  Here the grid is the output chunk axis (static ->
+    Mosaic pipelines stores), each step walks ONLY its chunk's live
+    instance blocks in KS-row strips (per-chunk counts ride SMEM, so
+    slot-axis skew costs nothing), and the scatter is an in-kernel
+    one-hot MXU dot at Precision.HIGHEST -- the one configuration
+    measured exact on silicon (bf16 variants were wrong on the real MXU;
+    see _build_runner's comment).  Ext side-buffer reads (multi-tone
+    DRAG) are pregathered on the host into per-instance rows, so the
+    kernel does no dynamic gathers at all.
+
+    Returns None when the plan needs the XLA runner (too many structure
+    groups, two ext factors in one term, or tables past the VMEM/HBM
+    budgets).
+    """
+    if not _kernel_runner_viable(plan):
+        return None
+    C, n_rows = plan.n_channels, plan.n_rows
+    total_rows = C * n_rows
+    n_chunks = -(-total_rows // 128)
+    ext_np = np.asarray(low.ext if low.ext is not None and low.ext.size
+                        else np.zeros(1), np.float64)
+
+    from .sparse_synth import next_pow2
+    metas = []       # static per-group kernel parameters
+    operands = []    # device arrays, 4-5 per group
+    vmem = 2 * 2 * 128 * 128 * 4                 # double-buffered out
+    hbm = 0
+    for g in plan.groups:
+        F = len(g.ops)
+        W = g.args.shape[-1]
+        src, rb, lrt, counts, k0 = _chunk_assign(g, n_rows, n_chunks, 1)
+        KS = min(128, next_pow2(k0))
+        k_max = -(-k0 // KS) * KS
+        pad = k_max - k0
+        if pad:
+            src = np.pad(src, ((0, 0), (0, pad)), constant_values=-1)
+            rb = np.pad(rb, ((0, 0), (0, pad)))
+            lrt = np.pad(lrt, ((0, 0), (0, pad)), constant_values=128)
+        valid = src >= 0
+        s = np.where(valid, src, 0)
+        # F counts the group's LIVE factors (g.ops); the GroupData tables
+        # are padded to the schedule-level factor count, so slice to F.
+        # Zero-factor groups (pure DC instances) keep 1-wide dummy q32.
+        IW = 4 + F
+        AW = 1 + F * W
+        QW = max(4 * F, 1)
+        intt = np.zeros((n_chunks, k_max, IW), np.int32)
+        intt[..., 0] = rb
+        intt[..., 1] = lrt
+        intt[..., 2] = np.where(valid, g.lo[s], 0)
+        intt[..., 3] = np.where(valid, g.hi[s], 0)
+        intt[..., 4:] = g.shift[s][..., :F]
+        argt = np.zeros((n_chunks, k_max, AW), np.float32)
+        argt[..., 0] = np.where(valid, g.amp[s], 0.0)
+        argt[..., 1:] = g.args[s][..., :F, :].reshape(n_chunks, k_max,
+                                                      F * W)
+        q32t = np.zeros((n_chunks, k_max, QW), np.int32)
+        q32t[..., :4 * F] = g.q32[s][..., :F, :].reshape(n_chunks, k_max,
+                                                         4 * F)
+        extt = None
+        f_ext = next((f for f, op in enumerate(g.ops) if op in _EXT_W),
+                     None)
+        if f_ext is not None:
+            EW = _EXT_W[g.ops[f_ext]]
+            off = g.args[s, f_ext, 7].astype(np.int64)
+            cols = off[..., None] + np.arange(EW)
+            ok = (cols >= 0) & (cols < len(ext_np))
+            extt = np.where(ok, ext_np[np.clip(cols, 0, len(ext_np) - 1)],
+                            0.0).astype(np.float32)
+        metas.append(dict(ops=g.ops, powers=g.powers, F=F, W=W, KS=KS,
+                          k_max=k_max, IW=IW, AW=AW, QW=QW,
+                          EW=extt.shape[-1] if extt is not None else 0))
+        vmem += 2 * 4 * k_max * (_pad128(IW) + _pad128(AW) + _pad128(QW)
+                                 + (_pad128(extt.shape[-1])
+                                    if extt is not None else 0))
+        group_ops = [counts.reshape(n_chunks, 1), intt, argt, q32t]
+        if extt is not None:
+            group_ops.append(extt)
+        hbm += sum(a.nbytes for a in group_ops)
+        operands.append([jnp.asarray(a) for a in group_ops])
+    if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
+        return None
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        acc = jnp.zeros((128, 128), jnp.float32)
+        r = 0
+        for meta in metas:
+            F, W, KS = meta['F'], meta['W'], meta['KS']
+            IW, AW, EW = meta['IW'], meta['AW'], meta['EW']
+            cnt_ref, int_ref, arg_ref, q_ref = refs[r:r + 4]
+            ext_ref = refs[r + 4] if EW else None
+            r += 4 + bool(EW)
+            cnt = cnt_ref[0, 0]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
+
+            def strip(j, acc, int_ref=int_ref, arg_ref=arg_ref,
+                      q_ref=q_ref, ext_ref=ext_ref, meta=meta, lane=lane):
+                F, W, KS = meta['F'], meta['W'], meta['KS']
+                r0 = j * KS
+                z = jnp.int32(0)
+                it = jax.lax.dynamic_slice(int_ref[0], (r0, z),
+                                           (KS, meta['IW']))
+                at = jax.lax.dynamic_slice(arg_ref[0], (r0, z),
+                                           (KS, meta['AW']))
+                qt = jax.lax.dynamic_slice(q_ref[0], (r0, z),
+                                           (KS, meta['QW']))
+                et = (jax.lax.dynamic_slice(ext_ref[0], (r0, z),
+                                            (KS, meta['EW']))
+                      if ext_ref is not None else None)
+                idx = it[:, 0:1] * 128 + lane
+                prod = jnp.broadcast_to(at[:, 0:1], (KS, 128))
+                for f, (op_code, power) in enumerate(zip(meta['ops'],
+                                                         meta['powers'])):
+                    di = idx - it[:, 4 + f:5 + f]
+
+                    def arg(k, f=f, at=at):
+                        return at[:, 1 + f * W + k:2 + f * W + k]
+
+                    def q32(jq, f=f, qt=qt):
+                        return qt[:, 4 * f + jq:4 * f + jq + 1]
+
+                    def eread(k, et=et):
+                        return et[:, k:k + 1]
+
+                    val = op_builders(di, arg, q32, eread)[op_code]()
+                    if power != 1:
+                        ap = abs(int(power))
+                        v = val
+                        for _ in range(ap - 1):
+                            v = v * val
+                        val = 1.0 / v if power < 0 else v
+                    prod = prod * val
+                mask = (idx >= it[:, 2:3]) & (idx < it[:, 3:4])
+                vals = jnp.where(mask, prod, 0.0)
+                onehot = (it[:, 1:2] == lane).astype(jnp.float32)
+                return acc + jax.lax.dot_general(
+                    onehot, vals, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+
+            nstrips = (cnt + KS - 1) // KS
+            acc = jax.lax.fori_loop(0, nstrips, strip, acc)
+        out_ref[0] = acc
+
+    in_specs = []
+    flat_ops = []
+    for meta, group_ops in zip(metas, operands):
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+        shapes = [(meta['k_max'], meta['IW']), (meta['k_max'], meta['AW']),
+                  (meta['k_max'], meta['QW'])]
+        if meta['EW']:
+            shapes.append((meta['k_max'], meta['EW']))
+        for shp in shapes:
+            in_specs.append(pl.BlockSpec((1,) + shp,
+                                         lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        flat_ops.extend(group_ops)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 128, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 128, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run_stack_kernel():
+        out = call(*flat_ops)
+        out = out.reshape(-1, 128)[:total_rows]
+        return out.reshape(C, n_rows * 128)[:, :plan.n_samples]
+
+    return run_stack_kernel
+
+
 def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool | None = None) -> jax.Array:
     """Synthesize via the pulse-instance batched path -> (C, n_samples) f32.
 
     ``interpret`` is forwarded to the kernel run of the wide residual (the
     batched path itself is plain XLA).  The compiled program is cached on
     the plan: lower once, plan once, synthesize many times.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
     if plan is None:
         plan = build_stack_plan(low)
     if plan is None:
         raise UnsupportedFactor(
             "schedule has no batchable pulse instances (complex, clipped, "
             "or all-wide) -- use the kernel engines")
-    runner = getattr(plan, '_runner', None)
+    key = '_runner_interp' if interpret else '_runner'
+    runner = getattr(plan, key, None)
     if runner is None:
-        runner = _build_runner(plan, low)
-        plan._runner = runner
+        runner = _build_kernel_runner(plan, low, interpret)
+        if runner is None:
+            runner = _build_runner(plan, low)
+        setattr(plan, key, runner)
     out = runner()
     if plan.wide is not None:
         from .pallas_synth import DeviceSchedule, synthesize_device
