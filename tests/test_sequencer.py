@@ -212,3 +212,23 @@ def test_play_sparse_rejects_unsupported_tables():
                                      part='complex')])
     with _pytest.raises(UnsupportedFactor, match="real-only"):
         pair.play_sparse(0, interpret=True)
+
+
+def test_play_many_matches_single_shots():
+    """vmapped shot batch == per-shot plays, dense and sparse (round 4:
+    the amortized shot-loop surface)."""
+    lows = build_lows()
+    seq = Sequencer(lows)
+    ks = np.array([2, 0, 1, 2])
+    outs = np.asarray(seq.play_many(ks, rows_per_tile=8, interpret=True))
+    assert outs.shape[0] == 4
+    for i, k in enumerate(ks):
+        np.testing.assert_array_equal(
+            outs[i], np.asarray(seq.play(int(k), rows_per_tile=8,
+                                         interpret=True)))
+    outs_s = np.asarray(seq.play_many(ks, sparse=True, Rs=8,
+                                      interpret=True))
+    for i, k in enumerate(ks):
+        np.testing.assert_array_equal(
+            outs_s[i], np.asarray(seq.play_sparse(int(k), Rs=8,
+                                                  interpret=True)))

@@ -99,7 +99,7 @@ def profile_median(fn, prefix, reps=3):
 
 
 def _kernel_runner(chans, start, stop, R, dimsem=None, out_dtype=None,
-                   row0_val=0):
+                   row0_val=0, fine=True):
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +114,8 @@ def _kernel_runner(chans, start, stop, R, dimsem=None, out_dtype=None,
     n_rows = -(-n_rows // R) * R
     kw = dict(S=S, T=T, F=F, R=R, n_rows=n_rows,
               tiles_per_bucket=max(dev.bucket_samples // (R * 128), 1),
-              ops_present=dev.ops_present, interpret=False, dimsem=dimsem)
+              ops_present=dev.ops_present, interpret=False, dimsem=dimsem,
+              fine=fine)
     if out_dtype is not None:
         kw['out_dtype'] = out_dtype
     row0 = jnp.full((1, 1, 1, 1), row0_val, jnp.int32)
@@ -528,6 +529,132 @@ def task_x64_probe():
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def task_mid_dense(fine):
+    """Mid-occupancy (~1-5% live) stratum through the DENSE kernel with /
+    without the round-4 fine-skip sub-block walk (the valley fix)."""
+    from bench import build_mid_schedule
+    chans = build_mid_schedule()
+    run, dev, n_rows = _kernel_runner(chans, 0.0, 524.288e-6, 256,
+                                      fine=fine)
+    run().block_until_ready()
+    med = profile_median(run, 'jit__run_kernel')
+    n = len(chans) * dev.n_samples
+    return {"fine": bool(fine), "device_ms": round(med * 1e3, 3),
+            "gsps": round(n / med / 1e9, 1)}
+
+
+def task_parity_fine():
+    """On-chip parity with the fine-skip walk ENGAGED (R=256, scattered
+    schedule, readback-safe size): fine sub-block ranges and the
+    fine/full cond must agree with the numpy oracle on real silicon."""
+    from bench import build_mid_schedule
+    chans = build_mid_schedule(n_channels=4)
+    stop = 65.536e-6
+    run, dev, n_rows = _kernel_runner(chans, 0.0, stop, 256)
+    out = np.asarray(run()).reshape(len(chans), -1)[:, :dev.n_samples]
+    t = np.arange(0.0, stop, 1 / FS)
+    worst = 0.0
+    for c, w in enumerate(chans):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst, float(np.abs(out[c] - oracle).max() / scale))
+    return {"max_rel_err": worst, "ok": bool(worst < 1e-5)}
+
+
+def task_flagship_dense_fine():
+    """Flagship (0.02% live) through dense+fine: locates the sparse-vs-
+    dense routing crossover for docs/TUNING.md."""
+    chans = _sparse_chans()
+    run, dev, n_rows = _kernel_runner(chans, 0.0, 524.288e-6, 256)
+    run().block_until_ready()
+    med = profile_median(run, 'jit__run_kernel')
+    n = len(chans) * dev.n_samples
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(n / med / 1e9, 1)}
+
+
+def task_mid_sparse_vs_dense_summary():
+    """Reads prior r4 rows and records the routing recommendation."""
+    state = load_state()
+    rows = {k: state.get(k, {}).get('gsps') for k in
+            ('r4_mid_dense_fine', 'r4_mid_dense_nofine',
+             'r4m_mid_Rs32', 'r4_flagship_dense_fine',
+             'r4_sparse_Rs32')}
+    return {"rows": rows}
+
+
+def task_seq_amortized(n_shots=100):
+    """Amortized shot loop ON SILICON: a readme-demo-sized table played
+    n_shots times in ONE dispatch via Sequencer.play_many (vmap batches
+    the kernel grid; no in-jit reduction -- the round-3 abort trigger).
+    Reports per-shot device cost vs the single-shot dispatch floor."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build('readme_demo_10k')
+    low = lower_schedule(chans, start, stop, fs)
+    seq = Sequencer([low, low])
+    ks = jnp.asarray(np.arange(n_shots) % 2, jnp.int32)
+
+    @jax.jit
+    def play_shots(ks):
+        return seq.play_many(ks)
+
+    out = play_shots(ks)
+    out.block_until_ready()
+    # parity spot-check on one shot (d2h of one slice only)
+    single = np.asarray(seq.play(0))
+    diff = float(np.abs(np.asarray(out[0]) - single).max())
+    med = profile_median(lambda: play_shots(ks), 'jit_play_shots')
+    n = n_shots * len(chans) * low.n_samples
+    per_shot_us = med / n_shots * 1e6
+    return {"n_shots": n_shots, "device_ms": round(med * 1e3, 3),
+            "per_shot_us": round(per_shot_us, 2),
+            "gsps": round(n / med / 1e9, 3),
+            "max_abs_diff_vs_single": diff,
+            "parity_ok": bool(diff < 1e-6)}
+
+
+def task_pair_planes_parity():
+    """Pair-mode sparse pinned on silicon WITHOUT complex64 transfers:
+    the kernel's two f32 planes read back separately and compared against
+    the complex oracle's re/im parts (the dev tunnel aborts on any
+    complex transfer, poisoning the process -- round-3 finding)."""
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import build_sparse_plan, \
+        synthesize_sparse
+    from waveforms_tpu.core import WaveVStack
+
+    chans = _sparse_chans(8)
+    stop = 32.768e-6
+    low = lower_schedule(chans, 0.0, stop, FS, part='complex')
+    dev = DeviceSchedule(low)
+    plan = build_sparse_plan(low)
+    jax.block_until_ready(dev.tensors)
+    re, im = synthesize_sparse(dev, plan=plan, combine_pair=False)
+    re = np.asarray(re)
+    im = np.asarray(im)
+    t = np.arange(0.0, stop, 1 / FS)
+    worst = 0.0
+    for c, w in enumerate(chans):
+        oracle = np.asarray((w.simplify() if isinstance(w, WaveVStack)
+                             else w)(t)).astype(complex)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst,
+                    float(np.abs(re[c] - oracle.real).max() / scale),
+                    float(np.abs(im[c] - oracle.imag).max() / scale))
+    return {"max_rel_err": worst, "ok": bool(worst < 1e-5)}
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -582,6 +709,26 @@ def pending_tasks(state):
     # mid-occupancy (~1%) stratum: Rs sweep for the worklist kernel
     for Rs in (16, 32, 64):
         tasks.append((f"r3m_mid_Rs{Rs}", lambda Rs=Rs: task_mid_sparse(Rs)))
+    # ---- round 4 ---------------------------------------------------------
+    # parity first (fine-skip walk on silicon), then the valley fix rows
+    tasks.append(("r4_parity_fine", task_parity_fine))
+    tasks.append(("r4_parity_small", task_parity_small))
+    tasks.append(("r4_mid_dense_fine", lambda: task_mid_dense(True)))
+    tasks.append(("r4_mid_dense_nofine", lambda: task_mid_dense(False)))
+    tasks.append(("r4m_mid_Rs32", lambda: task_mid_sparse(32)))
+    tasks.append(("r4_dense_R256", lambda: task_dense(256, None)))
+    tasks.append(("r4_sparse_Rs32", lambda: task_sparse(32)))
+    tasks.append(("r4_flagship_dense_fine", task_flagship_dense_fine))
+    # stack rows through the new single-kernel runner
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4_stack_{row}", lambda row=row: task_stack_row(row)))
+    # suite rows whose regime the fine walk changes
+    for row in ('xy_z_pair_200k', 'readme_demo_10k'):
+        tasks.append((f"r4_suite_{row}", lambda row=row: task_suite_row(row)))
+    # amortized shot loop + pair-mode silicon pin
+    tasks.append(("r4_seq_amortized", task_seq_amortized))
+    tasks.append(("r4_pair_planes_parity", task_pair_planes_parity))
+    tasks.append(("r4_routing_summary", task_mid_sparse_vs_dense_summary))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

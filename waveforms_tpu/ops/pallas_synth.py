@@ -777,7 +777,8 @@ class DeviceSchedule:
 def synthesize_device(dev: DeviceSchedule, rows_per_tile: int | None = None,
                       interpret: bool = False,
                       out_dtype=jnp.float32,
-                      dac_scale=32767.0) -> jax.Array:
+                      dac_scale=32767.0,
+                      combine_pair: bool = True) -> jax.Array:
     """Run the synthesis kernel on device-resident descriptors.
 
     ``rows_per_tile=None`` picks the measured-optimal tile height (see
@@ -813,6 +814,10 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int | None = None,
         out_dtype=out_dtype)
     if dev.amp_im is not None:
         re, im = out
+        if not combine_pair:
+            # separate f32 I/Q planes (see sparse_synth.synthesize_sparse)
+            return (re.reshape(C, n_rows * 128)[:, :dev.n_samples],
+                    im.reshape(C, n_rows * 128)[:, :dev.n_samples])
         out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
     return out.reshape(C, n_rows * 128)[:, :dev.n_samples]
 

@@ -197,6 +197,34 @@ class Sequencer:
             out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
         return out.reshape(C, n_rows * 128)[:, :self.n_samples]
 
+    def play_many(self, ks, rows_per_tile: int | None = None,
+                  sparse: bool = False, Rs: int = 32,
+                  interpret: bool = False, out_dtype=None):
+        """Synthesize a whole shot sequence in ONE dispatch -> (len(ks), C, N).
+
+        ``jax.vmap`` over the shot-index vector turns the per-shot gather +
+        kernel into a single batched Pallas launch (vmap prepends a grid
+        dimension), so N shots cost one dispatch: the per-dispatch floor
+        (~15-20 us on the dev tunnel, the whole cost of a 10 us schedule)
+        amortizes to nothing.  This is the device analog of the reference
+        lab loop `for shot: wave.sample()` -- compile once, run the table.
+
+        Memory: the result is (n_shots, C, N) -- size shots accordingly
+        (int16 ``out_dtype`` halves it; the dev tunnel aborts >0.6 GB).
+        No reduction happens in-jit by design: reducing a Pallas output
+        inside the same jit wedges the dev tunnel (NOTES.md round 3).
+        """
+        import jax
+        import jax.numpy as jnp
+        ks = jnp.asarray(ks, jnp.int32)
+        if sparse:
+            fn = lambda k: self.play_sparse(k, Rs=Rs, interpret=interpret)  # noqa: E731
+        else:
+            fn = lambda k: self.play(k, rows_per_tile=rows_per_tile,       # noqa: E731
+                                     interpret=interpret,
+                                     out_dtype=out_dtype)
+        return jax.vmap(fn)(ks)
+
     def _sparse_table(self, Rs: int):
         """Stacked per-schedule sparse worklists, padded to one length.
 

@@ -329,7 +329,8 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
                       Rs: int = DEFAULT_SUBTILE_ROWS,
                       interpret: bool = False,
                       out_dtype=jnp.float32,
-                      dac_scale=32767.0) -> jax.Array:
+                      dac_scale=32767.0,
+                      combine_pair: bool = True) -> jax.Array:
     """Run the sparse worklist kernel on device-resident descriptors.
 
     ``low`` (or a prebuilt ``plan``) supplies the host-side worklist;
@@ -358,6 +359,13 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
         out_dtype=out_dtype)
     if dev.amp_im is not None:
         re, im = out
+        if not combine_pair:
+            # keep the two f32 planes separate: complex64 transfers are
+            # UNIMPLEMENTED on some dev tunnels (poisoning the process on
+            # first touch), and labs feeding separate I/Q DAC paths never
+            # need the interleaved form at all
+            return (re.reshape(C, -1)[:, :plan.window_samples],
+                    im.reshape(C, -1)[:, :plan.window_samples])
         out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
     return out.reshape(C, -1)[:, :plan.window_samples]
 
