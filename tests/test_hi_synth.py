@@ -1,0 +1,126 @@
+"""Double-f32 (hi) kernel tier: the <=1e-9 contract at kernel speed.
+
+Anchored to the numpy f64 oracle (reference waveform.py semantics); every
+assertion is scale-relative (max|err| / max|oracle|), the same metric
+docs/PRECISION.md reports.  The on-chip twin of these tests is
+tools/tpu_capture.py task r4_hi_*.
+"""
+
+import numpy as np
+import pytest
+
+from waveforms_tpu import engine
+from waveforms_tpu.models import shapes as sh
+from waveforms_tpu.ops.hi_synth import HiSchedule, synthesize_hi
+from waveforms_tpu.ops.lowering import UnsupportedFactor, lower_schedule
+
+FS = 2e9
+SPAN = 8.192e-6
+TOL = 1e-9
+
+
+def _check(chans, span=SPAN, tol=TOL, **lower_kw):
+    low = lower_schedule(chans, 0.0, span, FS, keep_f64=True, **lower_kw)
+    out = synthesize_hi(low)
+    ref = engine.synthesize(chans, 0.0, span, FS, engine='numpy')
+    scale = max(np.max(np.abs(ref)), 1e-30)
+    err = np.max(np.abs(out - ref)) / scale
+    assert err < tol, err
+    return err
+
+
+def test_gaussian_cos_pulses():
+    rng = np.random.default_rng(0)
+    chans = []
+    for _ in range(2):
+        wv = sh.zero()
+        for _ in range(6):
+            wv = wv + ((sh.gaussian(4e-7) >> float(rng.uniform(0, 7e-6)))
+                       * sh.cos(2 * np.pi * rng.uniform(1e6, 5e7),
+                                rng.uniform(0, 6)))
+        chans.append(wv)
+    _check(chans)
+
+
+def test_long_carrier_phase_accumulation():
+    # 2M samples of pure carrier: int32-turn phase + df residual must hold
+    # 1e-9 END-TO-END (f32 naive phase would be ~1e-3 rad off here)
+    _check([sh.cos(2 * np.pi * 123.456789e6, 0.7)], span=1.048576e-3,
+           tol=2e-9)
+
+
+def test_exp_decay_and_sinc():
+    chans = [(sh.exp(-2e6) >> 1e-6) * sh.square(3e-6, edge=0) >> 2e-6,
+             sh.sinc(8e6) >> 4e-6]
+    _check(chans)
+
+
+def test_drag_envelope():
+    w = sh.drag(freq=50e6, width=100e-9, plateau=40e-9, delta=1e6,
+                block_freq=None, phase=0.3)
+    _check([w >> 2e-6])
+
+
+def test_powers_route_through_df():
+    _check([(sh.gaussian(1e-6) ** 3) >> 3e-6])
+
+
+def test_clip_rails_f32_contract():
+    # finite clip rails apply at f32 precision by contract -- tolerance
+    # loosens to f32 scale exactly at the rails
+    w = (2.0 * sh.gaussian(2e-6)) >> 4e-6
+    w.min, w.max = -1.0, 1.0
+    _check([w], tol=2e-7)
+
+
+def test_erf_excluded():
+    with pytest.raises(UnsupportedFactor):
+        synthesize_hi(lower_schedule(
+            [sh.square(2e-6, edge=1e-7, type='erf') >> 3e-6],
+            0.0, SPAN, FS, keep_f64=True))
+
+
+def test_requires_keep_f64_lowering():
+    low = lower_schedule([sh.gaussian(1e-6)], 0.0, SPAN, FS)
+    with pytest.raises(ValueError):
+        synthesize_hi(low)
+
+
+def test_engine_precision_double_routing():
+    w = [sh.gaussian(4e-7) * sh.cos(2 * np.pi * 3e7)]
+    out = engine.synthesize(w, 0.0, SPAN, FS, engine='pallas',
+                            precision='double')
+    assert out.dtype == np.float64
+    ref = engine.synthesize(w, 0.0, SPAN, FS, engine='numpy')
+    assert np.max(np.abs(out - ref)) / np.max(np.abs(ref)) < TOL
+    # numpy/native engines are f64 already and pass through
+    out2 = engine.synthesize(w, 0.0, SPAN, FS, engine='numpy',
+                             precision='double')
+    np.testing.assert_array_equal(out2, ref)
+    with pytest.raises(ValueError):
+        engine.synthesize(w, 0.0, SPAN, FS, engine='pallas-sparse',
+                          precision='double')
+
+
+def test_args_lo_checkpoint_roundtrip(tmp_path):
+    low = lower_schedule([sh.gaussian(4e-7) * sh.cos(2 * np.pi * 3e7)],
+                         0.0, SPAN, FS, keep_f64=True)
+    p = tmp_path / "hi.npz"
+    low.save(p)
+    from waveforms_tpu.ops.lowering import LoweredSchedule
+    low2 = LoweredSchedule.load(p)
+    assert low2.args_lo is not None and low2.amp_lo is not None
+    np.testing.assert_array_equal(low.args_lo, low2.args_lo)
+    out = synthesize_hi(low2)
+    ref = engine.synthesize([sh.gaussian(4e-7) * sh.cos(2 * np.pi * 3e7)],
+                            0.0, SPAN, FS, engine='numpy')
+    assert np.max(np.abs(out - ref)) / np.max(np.abs(ref)) < TOL
+
+
+def test_hischedule_reuse():
+    low = lower_schedule([sh.gaussian(4e-7) >> 2e-6], 0.0, SPAN, FS,
+                         keep_f64=True)
+    dev = HiSchedule(low)
+    a = synthesize_hi(dev)
+    b = synthesize_hi(dev)
+    np.testing.assert_array_equal(a, b)

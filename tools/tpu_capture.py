@@ -655,6 +655,59 @@ def task_pair_planes_parity():
     return {"max_rel_err": worst, "ok": bool(worst < 1e-5)}
 
 
+def task_hi_tier():
+    """Double-f32 kernel tier ON SILICON: small-window parity (hi+lo
+    combined on host vs the f64 oracle) + device rate on an occupancy-1
+    carrier schedule -- the PRECISION.md intermediate-tier row."""
+    import jax
+
+    from waveforms_tpu import cos, gaussian
+    from waveforms_tpu.ops.hi_synth import (HiSchedule, _run_kernel_hi,
+                                            synthesize_hi)
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    def mk(n, dur):
+        return [gaussian(3 * dur) * cos(2 * np.pi * (100e6 + 1e6 * c), 0.3)
+                >> (dur / 2) for c in range(n)]
+
+    # parity on a readback-safe window
+    stop_s = 32.768e-6
+    chans_s = mk(8, stop_s)
+    low_s = lower_schedule(chans_s, 0.0, stop_s, FS, keep_f64=True)
+    out = synthesize_hi(low_s)
+    t = np.arange(0.0, stop_s, 1 / FS)
+    worst = 0.0
+    for c, w in enumerate(chans_s):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst, float(np.abs(out[c] - oracle).max() / scale))
+
+    # device rate on the full 524 us window (two f32 output planes)
+    dur = 524.288e-6
+    chans = mk(128, dur)
+    low = lower_schedule(chans, 0.0, dur, FS, keep_f64=True)
+    dev = HiSchedule(low)
+    jax.block_until_ready(dev.tensors)
+    C, NB, S, T, F = dev.shape
+    R = 256
+    n_rows = -(-dev.n_samples // 128)
+    n_rows = -(-n_rows // R) * R
+    import jax.numpy as jnp
+    row0 = jnp.zeros((1, 1, 1, 1), jnp.int32)
+
+    def run():
+        return _run_kernel_hi(row0, *dev.tensors, S=S, T=T, F=F, R=R,
+                              n_rows=n_rows, tiles_per_bucket=1,
+                              ops_present=dev.ops_present)
+
+    jax.block_until_ready(run())
+    med = profile_median(run, 'jit__run_kernel_hi')
+    n = len(chans) * dev.n_samples
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(n / med / 1e9, 2),
+            "max_rel_err": worst, "parity_ok": bool(worst < 1e-9)}
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -728,6 +781,7 @@ def pending_tasks(state):
     # amortized shot loop + pair-mode silicon pin
     tasks.append(("r4_seq_amortized", task_seq_amortized))
     tasks.append(("r4_pair_planes_parity", task_pair_planes_parity))
+    tasks.append(("r4_hi_tier", task_hi_tier))
     tasks.append(("r4_routing_summary", task_mid_sparse_vs_dense_summary))
     return [(k, fn) for k, fn in tasks if k not in state]
 

@@ -131,14 +131,58 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,
                engine: str = 'auto', bucket_samples='auto',
-               part: str = 'real'):
+               part: str = 'real', precision: str = 'single'):
     """Synthesize a list of channels on the chosen engine -> (C, N).
 
     ``part`` selects 'real' (default, the physical-output convention of
     WaveVStack), 'imag', or 'complex' (one fused pair-mode pass on the
     pallas engine; the native engine runs its real and imag passes).
     Returns a jax.Array for device engines ('pallas'), ndarray otherwise.
+
+    ``precision='double'`` selects the <=1e-9 contract: the Pallas
+    engines run the double-f32 kernel tier (ops/hi_synth.py, f64 ndarray
+    result); native/numpy already compute in f64 and pass through.  The
+    hi kernel covers the carrier/envelope opcode set (HI_OPS); schedules
+    outside it raise UnsupportedFactor under engine='pallas' and degrade
+    to the host f64 engines under 'auto'.
     """
+    if precision not in ('single', 'double'):
+        raise ValueError(f"unknown precision {precision!r}")
+    if precision == 'double' and engine not in ('native', 'numpy'):
+        if engine not in ('auto', 'pallas', 'pallas-dense', 'xla'):
+            raise ValueError(
+                f"precision='double' is unsupported on engine {engine!r}")
+        if engine in ('pallas', 'pallas-dense', 'auto'):
+            import jax
+            on_tpu = False
+            try:
+                on_tpu = jax.default_backend() == 'tpu'
+            except Exception:
+                pass
+            if engine != 'auto' or on_tpu:
+                from .ops.hi_synth import synthesize_hi
+                try:
+                    low = lower_schedule(channels, start, stop,
+                                         sample_rate, part=part,
+                                         bucket_samples=bucket_samples,
+                                         keep_f64=True)
+                    return synthesize_hi(low)
+                except UnsupportedFactor:
+                    if engine != 'auto':
+                        raise
+            # auto off-TPU / unsupported ops: host f64 engines below
+            return synthesize(channels, start, stop, sample_rate,
+                              engine='native' if _native_ok() else 'numpy',
+                              bucket_samples=bucket_samples, part=part)
+        # engine == 'xla': fall through -- under jax x64 the trace engine
+        # is the measured 4.4e-10 path; without x64 it cannot honor the
+        # contract, so refuse loudly
+        import jax
+        if not jax.config.read('jax_enable_x64'):
+            raise RuntimeError(
+                "precision='double' on the XLA engine needs jax x64 "
+                "(set JAX_ENABLE_X64=1); or use engine='pallas' "
+                "(double-f32 kernel) / 'native' / 'numpy'")
     if engine in ('pallas', 'pallas-sparse', 'pallas-dense',
                   'pallas-stack'):
         force = {'pallas-sparse': 'sparse',
@@ -223,6 +267,14 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
         return synthesize(channels, start, stop, sample_rate,
                           engine='numpy', part=part)
     raise ValueError(f"unknown engine {engine!r}")
+
+
+def _native_ok() -> bool:
+    try:
+        from . import native
+        return native.available()
+    except Exception:
+        return False
 
 
 def sample(wav: Waveform, sample_rate=None, engine: str = 'auto'):

@@ -1,0 +1,245 @@
+"""Double-f32 ("two-float") arithmetic for the high-precision kernel tier.
+
+TPU VPUs have no f64 datapath; Mosaic kernels are f32-only.  This module
+represents a value as an unevaluated sum ``hi + lo`` of two f32 (~49
+significand bits, rel ~1e-15 headroom -- far past the 1e-9 contract) using
+the classic error-free transformations (Dekker 1971, Knuth TAOCP 2):
+``two_sum`` needs no fma; ``two_prod`` uses the Veltkamp split, so every
+operation lowers to plain VPU mul/add.
+
+The transcendentals use a *leading-terms-in-df, tail-in-f32* split: for a
+series whose tail contributes < ~1e-3 of the result, evaluating the tail
+in f32 keeps its error below 1e-10 relative while paying df cost only on
+the 2-4 leading terms.  That is what keeps the hi tier within a small
+multiple of the f32 kernel's transcendental cost instead of the ~20x of a
+full df Horner.
+
+Used by :mod:`waveforms_tpu.ops.pallas_synth`'s ``hi`` kernel mode
+(engine ``precision='double'``), which fills the gap between the f32
+kernels (~7.7e-7, 130+ GS/s) and the XLA x64 engine (4.4e-10, 1.7 GS/s)
+measured in docs/PRECISION.md.  Reference parity target: the numpy f64
+oracle (reference ``waveforms/waveform.py`` semantics) to <= 1e-9.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SPLIT = np.float32(4097.0)          # 2^12 + 1 (Veltkamp split for f32)
+_PHASE_H = np.float32(2 * np.pi / 2**32)
+_PHASE_L = np.float32(2 * np.pi / 2**32 - float(np.float32(2 * np.pi
+                                                           / 2**32)))
+_LN2_H = np.float32(0.6931471805599453)
+_LN2_L = np.float32(0.6931471805599453 - float(np.float32(
+    0.6931471805599453)))
+_INV_LN2 = np.float32(1.4426950408889634)
+_TWO_PI_H = np.float32(2 * np.pi)
+_TWO_PI_L = np.float32(2 * np.pi - float(np.float32(2 * np.pi)))
+_INV_TWO_PI = np.float32(1 / (2 * np.pi))
+
+
+def _c(x: float):
+    """A non-representable coefficient as a df constant pair."""
+    hi = np.float32(x)
+    return hi, np.float32(x - float(hi))
+
+
+_C16 = _c(1 / 6.)
+_C13 = _c(1 / 3.)
+_C120 = _c(1 / 120.)
+
+
+def two_sum(a, b):
+    """Exact a + b = s + e (Knuth; no magnitude ordering required)."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """Exact a + b = s + e, REQUIRES |a| >= |b| (3 flops)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def split(a):
+    """Veltkamp split: a == hi + lo with 12/12 significand bits each."""
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Exact a * b = p + e via splits (no fma dependency)."""
+    p = a * b
+    ah, al = split(a)
+    bh, bl = split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def add(ah, al, bh, bl):
+    """df + df -> df (accurate to ~1e-14 rel; Dekker add)."""
+    sh, se = two_sum(ah, bh)
+    te = al + bl + se
+    return quick_two_sum(sh, te)
+
+
+def add_f(ah, al, b):
+    """df + f32 -> df."""
+    sh, se = two_sum(ah, b)
+    return quick_two_sum(sh, se + al)
+
+
+def mul(ah, al, bh, bl):
+    """df * df -> df."""
+    ph, pe = two_prod(ah, bh)
+    pe = pe + ah * bl + al * bh
+    return quick_two_sum(ph, pe)
+
+
+def mul_f(ah, al, b):
+    """df * f32 -> df."""
+    ph, pe = two_prod(ah, b)
+    return quick_two_sum(ph, pe + al * b)
+
+
+def neg(ah, al):
+    return -ah, -al
+
+
+def sqr(ah, al):
+    ph, pe = two_prod(ah, ah)
+    return quick_two_sum(ph, pe + 2.0 * ah * al)
+
+
+def div(ah, al, bh, bl):
+    """df / df -> df (one Newton correction on the f32 quotient)."""
+    q1 = ah / bh
+    # r = a - q1*b in df
+    r = add(ah, al, *neg(*mul_f(bh, bl, q1)))
+    q2 = r[0] / bh
+    return quick_two_sum(q1, q2)
+
+
+def from_int(i):
+    """Exact int32 -> df (|i| may exceed f32's 2^24 integer range)."""
+    hi_i = (i >> 12) << 12
+    lo_i = i - hi_i
+    return two_sum(hi_i.astype(jnp.float32), lo_i.astype(jnp.float32))
+
+
+def exp(xh, xl):
+    """df exp: rel error ~1e-10 over the kernels' clamp range |x|<=80.
+
+    Range-reduce x = k*ln2 + r with |r| <= ln2/2 (k fits f32 exactly:
+    |k| <= 116).  Leading series terms (1 + r + r^2/2 + r^3/6) run in df;
+    the tail (<= 8e-3 relative) runs as an f32 Horner, so its f32 noise
+    lands below 1e-9.  Scaling by 2^k is exact (exponent arithmetic).
+    """
+    k = jnp.round(xh * _INV_LN2)
+    rh, rl = add(xh, xl, *mul_f(-_LN2_H, -_LN2_L, k))
+    # tail from r^5 (<= 4.3e-5 rel) in f32: its rounding noise and the
+    # truncation after r^9 both land ~1e-11
+    r = rh
+    r2 = r * r
+    tail = (r2 * r2 * r) * (np.float32(1 / 120.) + r * (
+        np.float32(1 / 720.) + r * (np.float32(1 / 5040.) + r * (
+            np.float32(1 / 40320.) + r * np.float32(1 / 362880.)))))
+    # leading: 1 + r + r^2/2 + r^3/6 + r^4/24 in df
+    t2 = mul_f(*sqr(rh, rl), np.float32(0.5))      # 0.5 is exact
+    t3 = mul(*mul(rh, rl, *t2), *_C13)
+    t4 = mul(*sqr(*t2), *_C16)
+    s = add(rh, rl, *t2)
+    s = add(*s, *t3)
+    s = add(*s, *t4)
+    s = add_f(*s, np.float32(1.0))
+    s = add_f(*s, tail)
+    # 2^k exact: bit-assemble the exponent (k in [-127, 127] after clamp)
+    kc = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
+    pow2 = jax_bitcast_pow2(kc)
+    return s[0] * pow2, s[1] * pow2
+
+
+def jax_bitcast_pow2(k):
+    """Exact 2^k as f32 from an int32 exponent in [-126, 127]."""
+    return jax.lax.bitcast_convert_type(((k + 127) << 23), jnp.float32)
+
+
+def sincos_turns(turns, resid_h, resid_l, need_sin=True, need_cos=True):
+    """df (sin, cos) of ``turns * 2pi/2^32 + resid``.
+
+    Same exact int32-turn quadrant reduction as the f32 kernel
+    (pallas_synth._sincos_turns), but the reduced argument and the
+    leading polynomial terms are df: |x| <= pi/4 + |resid|, target rel
+    error ~1e-10.  Tail terms (x^5 onward for sin, x^6 onward for cos,
+    <= 2.5e-3 relative) run in f32.
+    """
+    q = turns + np.int32(1 << 29)
+    quad = (q >> 30) & 3
+    r = (q & np.int32(0x3FFFFFFF)) - np.int32(1 << 29)
+    # x = r * PHASE + resid in df (r exact via 12-bit split)
+    rh_i = (r >> 12) << 12
+    rl_i = r - rh_i
+    rhf = rh_i.astype(jnp.float32)
+    rlf = rl_i.astype(jnp.float32)
+    x = add(*mul_f(_PHASE_H, _PHASE_L, rhf), *mul_f(_PHASE_H, _PHASE_L,
+                                                    rlf))
+    x = add(*x, resid_h, resid_l)
+    return _sincos_core(x, quad, need_sin, need_cos)
+
+
+def _sincos_core(x, quad, need_sin=True, need_cos=True):
+    xh, xl = x
+    x2 = sqr(xh, xl)
+    xf = xh
+    x2f = xf * xf
+    x4f = x2f * x2f
+    x6f = x4f * x2f
+    # cos core: 1 - x^2/2 + x^4/24 in df, tail from x^6 (<= 1.8e-4 rel)
+    # in f32 through x^12 -- truncation + rounding both ~1e-11
+    cos_tail = -x6f * (np.float32(1 / 720.) - x2f * (
+        np.float32(1 / 40320.) - x2f * (np.float32(1 / 3628800.)
+                                        - x2f * np.float32(
+                                            1 / 479001600.))))
+    c = add_f(*neg(*mul_f(*x2, np.float32(0.5))), np.float32(1.0))
+    c = add(*c, *mul(*sqr(*mul_f(*x2, np.float32(0.5))), *_C16))
+    c = add_f(*c, cos_tail)
+    # sin core: x - x^3/6 + x^5/120 in df, tail from x^7 (<= 1.8e-5 rel)
+    sin_tail = -xf * x6f * (np.float32(1 / 5040.) - x2f * (
+        np.float32(1 / 362880.) - x2f * np.float32(1 / 39916800.)))
+    x3 = mul(xh, xl, *x2)
+    s = add(xh, xl, *neg(*mul(*x3, *_C16)))
+    s = add(*s, *mul(*mul(*x3, *x2), *_C120))
+    s = add_f(*s, sin_tail)
+
+    swap = (quad & 1) == 1
+    out_sin = out_cos = None
+    if need_cos:
+        csign = jnp.where((quad == 1) | (quad == 2),
+                          np.float32(-1.0), np.float32(1.0))
+        out_cos = (jnp.where(swap, s[0], c[0]) * csign,
+                   jnp.where(swap, s[1], c[1]) * csign)
+    if need_sin:
+        ssign = jnp.where(quad >= 2, np.float32(-1.0), np.float32(1.0))
+        out_sin = (jnp.where(swap, c[0], s[0]) * ssign,
+                   jnp.where(swap, c[1], s[1]) * ssign)
+    return out_sin, out_cos
+
+
+def sincos_rad(xh, xl, need_sin=True, need_cos=True):
+    """df (sin, cos) of a radian df argument, |x| < ~2^24.
+
+    Reduces by quarter turns: k = round(x * 2/pi); the quadrant is
+    k mod 4 and the remainder |x - k*pi/2| <= pi/4 stays df-exact because
+    pi/2 is applied as a df constant.
+    """
+    k = jnp.round(xh * np.float32(2 / np.pi))
+    quad = (k.astype(jnp.int32)) & 3
+    ph, pl = mul_f(np.float32(np.pi / 2),
+                   np.float32(np.pi / 2 - float(np.float32(np.pi / 2))), k)
+    x = add(xh, xl, -ph, -pl)
+    return _sincos_core(x, quad, need_sin, need_cos)

@@ -1,0 +1,386 @@
+"""High-precision (double-f32) synthesis kernel: the 1e-9 tier at speed.
+
+The f32 kernels deliver ~7.7e-7 relative parity at 130+ GS/s; the XLA x64
+engine delivers 4.4e-10 at 1.7 GS/s (f64 emulation).  This module fills
+the 77x gap between them: the same descriptor walk as the dense kernel,
+but every envelope quantity is a double-f32 pair (:mod:`.df32`), the
+phase path keeps its exact int32-turn reduction, and the kernel emits TWO
+f32 planes whose (f64) sum carries ~49 significand bits.  Target contract
+(docs/PRECISION.md): <= 1e-9 relative to the numpy f64 oracle at >= 10
+GS/s on v5e.
+
+Inputs come from ``lower_schedule(..., keep_f64=True)``, which packs
+``args_lo``/``amp_lo`` residual planes (args ~ args + args_lo to f64).
+
+Supported opcodes: LINEAR, GAUSSIAN, COS, EXP, SINC, DRAG -- the factor
+set of production carrier/envelope schedules.  Schedules using other
+bases raise :class:`UnsupportedFactor`; route those to ``engine='xla'``
+under x64 (the measured 4.4e-10 path).  Precision caveats, by design:
+
+* clip rails apply at f32 precision (the rail value itself rounds);
+* erf stays excluded -- its Abramowitz-Stegun form is only 1.5e-7
+  accurate, so a hi-tier erf would be a lie;
+* per-sample values below ~1e-34 of the output scale lose their lo plane
+  to f32 underflow (irrelevant at any physical DAC scale).
+
+Reference parity anchor: the reference's float64 numpy semantics
+(/root/reference/waveforms/waveform.py:120-257) -- BASELINE.json's
+"1e-9 relative tolerance" contract at production speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import df32 as df
+from .lowering import (OP_COS, OP_DRAG, OP_EXP, OP_GAUSSIAN, OP_LINEAR,
+                       OP_SINC, W_ARGS, LoweredSchedule, UnsupportedFactor)
+
+__all__ = ['synthesize_hi', 'HI_OPS']
+
+HI_OPS = frozenset({OP_LINEAR, OP_GAUSSIAN, OP_COS, OP_EXP, OP_SINC,
+                    OP_DRAG})
+_EXP_CLAMP = np.float32(80.0)
+_PI_H = np.float32(np.pi)
+_PI_L = np.float32(np.pi - float(np.float32(np.pi)))
+
+
+def op_builders_hi(di, arg, arglo, q32):
+    """df analogs of pallas_synth.op_builders for the HI_OPS subset.
+
+    ``di`` is the int32 sample delta; ``arg(k)``/``arglo(k)`` read the f32
+    descriptor slot and its f64 residual; every builder returns an (hi,
+    lo) f32 pair.  Shared by the Pallas kernel (SMEM scalars) and the
+    interpret/test path, mirroring the single-source op_builders design.
+    """
+    di_df = df.from_int(di)
+
+    def a_df(k):
+        return arg(k), arglo(k)
+
+    def u_df():
+        return df.add(*di_df, -arg(0), -arglo(0))
+
+    def x_df():
+        return df.mul(*a_df(1), *u_df())
+
+    def op_linear():
+        return x_df()
+
+    def op_gaussian():
+        return df.exp(*df.neg(*df.sqr(*x_df())))
+
+    def op_exp():
+        xh, xl = x_df()
+        clip = jnp.abs(xh) > _EXP_CLAMP
+        xh = jnp.clip(xh, -_EXP_CLAMP, _EXP_CLAMP)
+        xl = jnp.where(clip, 0.0, xl)
+        return df.exp(xh, xl)
+
+    def _carrier(eps_slot, ceps_slot, need_sin, need_cos):
+        # slot layout follows the f32 op_builders: OP_COS keeps (eps,
+        # ceps) at (2, 3); OP_DRAG at (3, 4) -- see lowering._lower_factor
+        turns = q32(0) * di + q32(1)
+        # residual = eps * di + ceps in df (eps/ceps tiny: < 2^-33
+        # turn/sample and < 1 quantum respectively)
+        r = df.mul(*a_df(eps_slot), *di_df)
+        r = df.add(*r, arg(ceps_slot), arglo(ceps_slot))
+        return df.sincos_turns(turns, *r, need_sin=need_sin,
+                               need_cos=need_cos)
+
+    def op_cos():
+        return _carrier(2, 3, False, True)[1]
+
+    def op_sinc():
+        xh, xl = x_df()
+        ph, plo = df.mul(xh, xl, _PI_H, _PI_L)
+        sin, _ = df.sincos_rad(ph, plo, need_cos=False)
+        small = jnp.abs(ph) < 1e-6
+        safe_h = jnp.where(small, 1.0, ph)
+        safe_l = jnp.where(small, 0.0, plo)
+        qh, ql = df.div(sin[0], sin[1], safe_h, safe_l)
+        return jnp.where(small, 1.0, qh), jnp.where(small, 0.0, ql)
+
+    def op_drag():
+        xh, xl = x_df()
+        sin_x, cos_x = df.sincos_rad(xh, xl)
+        env_x = df.sqr(*sin_x)
+        # sin(2x) = 2 sin x cos x (one range reduction serves both)
+        sin2 = df.mul_f(*df.mul(*sin_x, *cos_x), np.float32(2.0))
+        env_y = df.mul(*a_df(5), *sin2)
+        sin_t, cos_t = _carrier(3, 4, True, True)
+        out = df.mul(*env_x, *cos_t)
+        return df.add(*out, *df.mul(*env_y, *sin_t))
+
+    return {
+        OP_LINEAR: op_linear,
+        OP_GAUSSIAN: op_gaussian,
+        OP_COS: op_cos,
+        OP_EXP: op_exp,
+        OP_SINC: op_sinc,
+        OP_DRAG: op_drag,
+    }
+
+
+def _tile_walker_hi(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
+                    nfac_ref, amp_ref, amplo_ref, op_ref, pw_ref, sh_ref,
+                    q32_ref, args_ref, argslo_ref, clip_ref, *, T, F,
+                    ops_present):
+    """df analog of pallas_synth._tile_walker (real schedules only)."""
+
+    def factor_value(flat_idx):
+        op = op_ref[0, 0, 0, flat_idx]
+        di = idx - sh_ref[0, 0, 0, flat_idx]
+        aoff = flat_idx * W_ARGS
+
+        def arg(k):
+            return args_ref[0, 0, 0, aoff + k]
+
+        def arglo(k):
+            return argslo_ref[0, 0, 0, aoff + k]
+
+        def q32(j):
+            return q32_ref[0, 0, 0, 4 * flat_idx + j]
+
+        builders = op_builders_hi(di, arg, arglo, q32)
+        branches = [builders[o] for o in ops_present]
+        if len(branches) == 1:
+            vh, vl = branches[0]()
+        else:
+            vh, vl = jax.lax.switch(op, branches)
+
+        p = pw_ref[0, 0, 0, flat_idx]
+
+        def raise_power(v):
+            ap = jnp.abs(p)
+
+            def body(_, acc):
+                return df.mul(*acc, *v)
+
+            out = jax.lax.fori_loop(1, ap, body, v)
+            inv = df.div(jnp.ones_like(out[0]), jnp.zeros_like(out[1]),
+                         *out)
+            return jax.lax.cond(p < 0, lambda: inv, lambda: out)
+
+        return jax.lax.cond(p == 1, lambda v: v, raise_power, (vh, vl))
+
+    zeros = jnp.zeros((R, 128), jnp.float32)
+    cmin = clip_ref[0, 0, 0, 0]
+    cmax = clip_ref[0, 0, 0, 1]
+
+    def clip_df(h, l):
+        over = h > cmax
+        under = h < cmin
+        h2 = jnp.clip(h, cmin, cmax)
+        l2 = jnp.where(over | under, 0.0, l)
+        return h2, l2
+
+    def segment_at(s, acc):
+        lo = seg_lo_ref[0, 0, 0, s]
+        hi = seg_hi_ref[0, 0, 0, s]
+        nt = nterm_ref[0, 0, 0, s]
+
+        def add_segment(acc):
+            def term_body(t, seg):
+                flat_t = s * T + t
+                prod = (jnp.full((R, 128), amp_ref[0, 0, 0, flat_t],
+                                 jnp.float32),
+                        jnp.full((R, 128), amplo_ref[0, 0, 0, flat_t],
+                                 jnp.float32))
+
+                def fac_body(f, pr):
+                    return df.mul(*pr, *factor_value(flat_t * F + f))
+
+                prod = jax.lax.fori_loop(0, nfac_ref[0, 0, 0, flat_t],
+                                         fac_body, prod)
+                return df.add(*seg, *prod)
+
+            sh_, sl_ = jax.lax.fori_loop(0, nt, term_body, (zeros, zeros))
+            mask = (idx >= lo) & (idx < hi)
+            ch_, cl_ = clip_df(sh_, sl_)
+            return df.add(*acc, jnp.where(mask, ch_, 0.0),
+                          jnp.where(mask, cl_, 0.0))
+
+        overlap = (hi > base) & (lo < base + tile) & (nt > 0)
+        return jax.lax.cond(overlap, add_segment, lambda a: a, acc)
+
+    return segment_at, (zeros, zeros)
+
+
+def _hi_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref, nterm_ref,
+               nfac_ref, amp_ref, amplo_ref, op_ref, pw_ref, sh_ref,
+               q32_ref, args_ref, argslo_ref, clip_ref, out_ref, out2_ref,
+               *, S, T, F, R, G, ops_present):
+    tile = R * 128
+    base = row0_ref[0, 0, 0, 0] + pl.program_id(1) * tile
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    idx = base + rows * 128 + cols
+
+    segment_at, acc0 = _tile_walker_hi(
+        idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
+        amp_ref, amplo_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
+        argslo_ref, clip_ref, T=T, F=F, ops_present=ops_present)
+
+    g = pl.program_id(1) % G
+    acc = jax.lax.fori_loop(s0_ref[0, 0, 0, g], s1_ref[0, 0, 0, g],
+                            segment_at, acc0)
+    out_ref[0] = acc[0]
+    out2_ref[0] = acc[1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('S', 'T', 'F', 'R', 'n_rows',
+                                    'tiles_per_bucket', 'ops_present',
+                                    'interpret'))
+def _run_kernel_hi(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp,
+                   amp_lo, op, pw, sh, q32, args, args_lo, clip, *, S, T,
+                   F, R, n_rows, tiles_per_bucket, ops_present,
+                   interpret=False):
+    C = seg_lo.shape[0]
+    grid = (C, n_rows // R)
+    G = tiles_per_bucket
+    NB = seg_lo.shape[1]
+    if NB == 1:
+        G = max(n_rows // R, 1)
+    tile_sz = R * 128
+    bases = (row0.reshape(()) +
+             jnp.arange(NB * G, dtype=jnp.int32) * tile_sz).reshape(NB, G)
+
+    def ranges(hmax_row, lo_row, base_row):
+        s0 = jnp.searchsorted(hmax_row, base_row, side='right')
+        s1 = jnp.searchsorted(lo_row, base_row + tile_sz, side='left')
+        return s0.astype(jnp.int32), s1.astype(jnp.int32)
+
+    per_bucket = jax.vmap(ranges, in_axes=(0, 0, 0))
+    s0t, s1t = jax.vmap(per_bucket, in_axes=(0, 0, None))(
+        seg_hmax.reshape(C, NB, S), seg_lo.reshape(C, NB, S), bases)
+    s0t = s0t.reshape(C, NB, 1, G)
+    s1t = s1t.reshape(C, NB, 1, G)
+
+    def smem(k, bcast=False):
+        if bcast:
+            return pl.BlockSpec((1, 1, 1, k), lambda c, j: (0, 0, 0, 0),
+                                memory_space=pltpu.SMEM)
+        return pl.BlockSpec((1, 1, 1, k), lambda c, j: (c, j // G, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_hi_kernel, S=S, T=T, F=F, R=R, G=G,
+                               ops_present=ops_present)
+    out_spec = pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((C, n_rows, 128), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem(1, bcast=True),                         # row0
+            smem(S), smem(S),                            # seg_lo, seg_hi
+            smem(G), smem(G),                            # per-tile s0, s1
+            smem(S),                                     # nterm
+            smem(S * T), smem(S * T), smem(S * T),       # nfac, amp, amp_lo
+            smem(S * T * F), smem(S * T * F),            # op, power
+            smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
+            smem(S * T * F * W_ARGS),                    # args
+            smem(S * T * F * W_ARGS),                    # args_lo
+            pl.BlockSpec((1, 1, 1, 2), lambda c, j: (c, 0, 0, 0),
+                         memory_space=pltpu.SMEM),       # clip
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(row0, seg_lo, seg_hi, s0t, s1t, nterm, nfac, amp, amp_lo, op, pw,
+      sh, q32, args, args_lo, clip)
+
+
+class HiSchedule:
+    """Device-resident hi-tier descriptors (lower with keep_f64=True)."""
+
+    def __init__(self, low: LoweredSchedule):
+        if low.args_lo is None:
+            raise ValueError(
+                "hi-tier synthesis needs lower_schedule(..., keep_f64=True)")
+        if low.amp_im is not None:
+            raise UnsupportedFactor("hi tier is real-only; use engine="
+                                    "'xla' under x64 for complex")
+        live = np.arange(low.shape[4]) < low.nfac[..., None]
+        used = set(int(o) for o in np.unique(low.op[live]))
+        bad = used - set(HI_OPS)
+        if bad:
+            raise UnsupportedFactor(
+                f"opcodes {sorted(bad)} have no double-f32 lowering; "
+                "use engine='xla' under x64 (4.4e-10 measured)")
+        if not low.pallas_ok:
+            raise UnsupportedFactor("schedule exceeds the kernel's "
+                                    "descriptor budget")
+        C, NB, S, T, F = low.shape
+        self.shape = low.shape
+        self.n_samples = low.n_samples
+        self.bucket_samples = low.bucket_samples
+        clip = np.stack([low.clip_min, low.clip_max], axis=1)
+        present = np.unique(low.op)
+        self.ops_present = tuple(int(o) for o in present)
+        remap = np.zeros(max(self.ops_present) + 1, np.int32)
+        for i, o in enumerate(self.ops_present):
+            remap[o] = i
+        hmax = np.maximum.accumulate(low.seg_hi, axis=-1)
+        self.tensors = (
+            jnp.asarray(low.seg_lo.reshape(C, NB, 1, S)),
+            jnp.asarray(low.seg_hi.reshape(C, NB, 1, S)),
+            jnp.asarray(hmax.reshape(C, NB, 1, S)),
+            jnp.asarray(low.nterm.reshape(C, NB, 1, S)),
+            jnp.asarray(low.nfac.reshape(C, NB, 1, S * T)),
+            jnp.asarray(low.amp.reshape(C, NB, 1, S * T)),
+            jnp.asarray(low.amp_lo.reshape(C, NB, 1, S * T)),
+            jnp.asarray(remap[low.op].reshape(C, NB, 1, S * T * F)),
+            jnp.asarray(low.power.reshape(C, NB, 1, S * T * F)),
+            jnp.asarray(low.shift_hi.reshape(C, NB, 1, S * T * F)),
+            jnp.asarray(low.q32.reshape(C, NB, 1, S * T * F * 4)),
+            jnp.asarray(low.args.reshape(C, NB, 1, S * T * F * W_ARGS)),
+            jnp.asarray(low.args_lo.reshape(C, NB, 1, S * T * F * W_ARGS)),
+            jnp.asarray(clip.reshape(C, 1, 1, 2)),
+        )
+
+
+def synthesize_hi(low_or_dev, rows_per_tile: int | None = None,
+                  interpret: bool | None = None, combine: bool = True):
+    """Double-f32 synthesis -> f64 (C, n_samples) ndarray.
+
+    ``combine=False`` returns the raw (hi, lo) f32 device planes instead
+    (their f64 sum is the result; useful on devices where f64 transfers
+    are unavailable).  Cache the :class:`HiSchedule` for repeated runs.
+    """
+    dev = (low_or_dev if isinstance(low_or_dev, HiSchedule)
+           else HiSchedule(low_or_dev))
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    C, NB, S, T, F = dev.shape
+    if rows_per_tile is None:
+        from .pallas_synth import default_rows_per_tile
+        rows_per_tile = default_rows_per_tile(dev.n_samples,
+                                              dev.bucket_samples, NB)
+    R = rows_per_tile
+    tile = R * 128
+    if NB > 1 and dev.bucket_samples % tile != 0:
+        raise ValueError(
+            f"bucket_samples {dev.bucket_samples} must be a multiple of "
+            f"the tile ({tile})")
+    G = max(dev.bucket_samples // tile, 1)
+    n_rows = -(-dev.n_samples // 128)
+    n_rows = -(-n_rows // R) * R
+    hi, lo = _run_kernel_hi(
+        jnp.zeros((1, 1, 1, 1), jnp.int32), *dev.tensors,
+        S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
+        ops_present=dev.ops_present, interpret=interpret)
+    hi = hi.reshape(C, n_rows * 128)[:, :dev.n_samples]
+    lo = lo.reshape(C, n_rows * 128)[:, :dev.n_samples]
+    if not combine:
+        return hi, lo
+    return (np.asarray(hi).astype(np.float64)
+            + np.asarray(lo).astype(np.float64))

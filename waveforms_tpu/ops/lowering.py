@@ -150,7 +150,9 @@ class FactorDesc:
     op: int
     power: int
     shift_hi: int
-    args: np.ndarray  # (W_ARGS,) float32
+    args: np.ndarray  # (W_ARGS,) float64 on the Python
+    #   path (packed f32 + optional f32 lo residual), f32 from the
+    #   native walker
     # int32 fixed-point phase increments (turns/2^32):
     #   [0] linear in di; [1] dh^2; [2] dh*dl; [3] dl^2  (di = dh*2^11 + dl)
     q32: tuple = (0, 0, 0, 0)
@@ -203,7 +205,7 @@ def _lower_factor(factor, power, start: float, dt: float,
     if power != int(power):
         raise UnsupportedFactor(f"non-integer power {power}")
     power = int(power)
-    a = np.zeros(W_ARGS, dtype=np.float32)
+    a = np.zeros(W_ARGS, dtype=np.float64)
 
     def plain_shift():
         hi, frac = _split_shift((shift - start) / dt)
@@ -513,6 +515,10 @@ class LoweredSchedule:
     ext: np.ndarray = None          # float64 side-buffer (tables, coeffs)
     amp_im: np.ndarray = None       # f32[C, NB, Sb, T]; set by part='complex'
     pallas_ok: bool = True          # all opcodes within the kernel's set
+    # double-f32 residual planes (keep_f64=True lowering): args ~ args+args_lo
+    # and amp ~ amp+amp_lo to f64 precision -- the hi kernel tier's inputs
+    args_lo: np.ndarray = None      # f32[C, NB, Sb, T, F, W]
+    amp_lo: np.ndarray = None       # f32[C, NB, Sb, T]
 
     @property
     def shape(self):
@@ -593,7 +599,9 @@ class LoweredSchedule:
             meta=np.array([self.n_samples, self.start, self.sample_rate,
                            self.bucket_samples, float(self.pallas_ok),
                            _DESC_VERSION]),
-            **({'amp_im': self.amp_im} if self.amp_im is not None else {}))
+            **({'amp_im': self.amp_im} if self.amp_im is not None else {}),
+            **({'args_lo': self.args_lo, 'amp_lo': self.amp_lo}
+               if self.args_lo is not None else {}))
 
     @classmethod
     def load(cls, path) -> 'LoweredSchedule':
@@ -607,6 +615,8 @@ class LoweredSchedule:
             ext=z['ext'], n_samples=int(meta[0]), start=float(meta[1]),
             sample_rate=float(meta[2]), bucket_samples=int(meta[3]),
             amp_im=z['amp_im'] if 'amp_im' in z.files else None,
+            args_lo=z['args_lo'] if 'args_lo' in z.files else None,
+            amp_lo=z['amp_lo'] if 'amp_lo' in z.files else None,
             pallas_ok=bool(meta[4]))
         version = int(meta[5]) if len(meta) > 5 else 1
         if version < 2:
@@ -655,8 +665,9 @@ class LoweredSchedule:
         for name in ('seg_lo', 'seg_hi', 'nterm', 'amp', 'nfac', 'op',
                      'power', 'shift_hi', 'q32', 'args'):
             permute(getattr(self, name))
-        if self.amp_im is not None:
-            permute(self.amp_im)
+        for opt in (self.amp_im, self.args_lo, self.amp_lo):
+            if opt is not None:
+                permute(opt)
         dead = ~(self.nterm > 0)
         self.seg_lo[dead] = SEG_SENTINEL
         self.seg_hi[dead] = SEG_SENTINEL
@@ -984,7 +995,8 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
 def lower_schedule(channels, start: float, stop: float, sample_rate: float,
                    part: str = 'real',
                    pad_to: tuple[int, int, int] | None = None,
-                   bucket_samples='auto') -> LoweredSchedule:
+                   bucket_samples='auto',
+                   keep_f64: bool = False) -> LoweredSchedule:
     """Lower a list of channels into padded, time-bucketed descriptors.
 
     ``bucket_samples`` sets the time-window size: None = one bucket
@@ -993,6 +1005,10 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     explicitly (must be a multiple of the synthesis tile,
     rows_per_tile * 128).  ``pad_to = (Sb, T, F)`` overrides bucket sizes
     to stabilize the kernel cache across similar schedules.
+
+    ``keep_f64=True`` additionally packs double-f32 residual planes
+    (``args_lo``, ``amp_lo``) for the kernels' high-precision tier; it
+    forces the Python lowering path (the native walker emits f32 args).
     """
     dt = 1.0 / sample_rate
     grid = np.arange(start, stop, dt)
@@ -1021,7 +1037,7 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     cache: dict = {}
     # the native walker emits real f32 amplitudes; part='complex' (fused
     # re/im synthesis) lowers on the Python path with complex amps
-    flat = (None if part == 'complex' else
+    flat = (None if part == 'complex' or keep_f64 else
             _lower_schedule_native(channels, grid, start, dt, part, ext,
                                    cache))
     if flat is not None:
@@ -1115,10 +1131,17 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
         out.seg_lo[ci, bi, sj] = svv[:, 0]
         out.seg_hi[ci, bi, sj] = svv[:, 1]
         out.nterm[ci, bi, sj] = svv[:, 2]
+    if keep_f64:
+        out.args_lo = np.zeros_like(out.args)
+        out.amp_lo = np.zeros_like(out.amp)
     if ti:
         ci, bi, sj, tj = np.array(ti, np.intp).T
         tvv = np.array(tv)
         out.amp[ci, bi, sj, tj] = tvv[:, 0].real
+        if out.amp_lo is not None:
+            a64 = tvv[:, 0].real
+            out.amp_lo[ci, bi, sj, tj] = (a64 - a64.astype(np.float32)
+                                          ).astype(np.float32)
         if out.amp_im is not None:
             out.amp_im[ci, bi, sj, tj] = tvv[:, 0].imag
         out.nfac[ci, bi, sj, tj] = tvv[:, 1].real.astype(np.int32)
@@ -1129,7 +1152,11 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
         out.shift_hi[ci, bi, sj, tj, fj] = f_sh
         out.q32[ci, bi, sj, tj, fj] = np.array(f_q32, np.int64).astype(
             np.int32)
-        out.args[ci, bi, sj, tj, fj] = np.stack(f_args)
+        a64 = np.stack(f_args)
+        out.args[ci, bi, sj, tj, fj] = a64
+        if out.args_lo is not None:
+            out.args_lo[ci, bi, sj, tj, fj] = (
+                a64 - a64.astype(np.float32)).astype(np.float32)
     out.pallas_ok = bool(np.all(np.isin(out.op, list(PALLAS_OPS)))
                          and len(ext) <= PALLAS_EXT_MAX
                          and _pallas_desc_bytes(Sb, T, F)
