@@ -408,3 +408,116 @@ def test_engine_routing_precedence_per_workload_class():
     # dense-class: occupancy 1.0 wide envelope -> dense grid
     assert route([gaussian(3e-3) * chirp(1e6, 500e6, 1e-3, 0.0, 'linear')],
                  0, 64e-6, FS) == 'dense'
+
+
+def test_sparse_sharded_pair_mode_matches_unsharded():
+    """Round-4 routing parity: pair-mode (complex) schedules run the
+    sharded worklist kernel and must equal the single-device result."""
+    import jax
+    from waveforms_tpu.parallel.mesh import channel_mesh
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    rng = np.random.default_rng(41)
+    chans = [WaveVStack([((0.4 + 0.6j) * cosPulse(60e-9) >> o)
+                         for o in rng.uniform(0, 7e-6, 5)])
+             for _ in range(6)]
+    low = lower_schedule(chans, 0, 8.192e-6, FS, part='complex',
+                         bucket_samples=None)
+    dev = DeviceSchedule(low)
+    want = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    got = np.asarray(synthesize_sparse_sharded(low, mesh, Rs=8,
+                                               interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sparse_sharded_bucketed_matches_unsharded():
+    """Bucketed descriptors shard whole bucket windows along 'time'; the
+    worklist's wt // tps map must respect bucket boundaries exactly."""
+    import jax
+    from waveforms_tpu.parallel.mesh import channel_mesh
+    from waveforms_tpu.ops.sparse_synth import synthesize_sparse_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    chans = _sparse_schedule(6, seed=9)
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS, bucket_samples=4096)
+    assert low.n_buckets > 1
+    dev = DeviceSchedule(low)
+    want = np.asarray(synthesize_sparse(dev, low, Rs=8, interpret=True))
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    got = np.asarray(synthesize_sparse_sharded(low, mesh, Rs=8,
+                                               interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_work_and_bytes_scale_with_devices():
+    """Scaling assertions (round 4): per-shard worklist lengths and
+    descriptor bytes must track ~1/P with bounded skew on a uniformly
+    scattered schedule."""
+    from waveforms_tpu.ops.sparse_synth import shard_sparse_work
+
+    rng = np.random.default_rng(7)
+    chans = []
+    for c in range(8):
+        wl = [(cosPulse(50e-9) >> float(rng.uniform(0, 7.9e-6)))
+              for _ in range(40)]
+        chans.append(WaveVStack(wl))
+    low = lower_schedule(chans, 0, 8.192e-6, FS, bucket_samples=None)
+    plan = build_sparse_plan(low, Rs=8)
+    nc, nt = 4, 2
+    cs = len(chans) // nc
+    n_rows = -(-low.n_samples // 128)
+    n_tiles = -(-n_rows // 8)
+    tps = -(-n_tiles // nt)
+    _, counts, K = shard_sparse_work(plan, nc, nt, cs, tps)
+    total = counts.sum()
+    assert total == plan.n_live
+    mean = total / (nc * nt)
+    assert counts.max() <= 2.5 * mean, (
+        f"worklist skew {counts.max()}/{mean} too high: {counts}")
+    # descriptor bytes per channel shard: exactly C/nc channels' rows
+    from waveforms_tpu.parallel.mesh import channel_mesh, shard_schedule
+    import jax
+    if len(jax.devices()) >= 8:
+        mesh = channel_mesh(n_channel=4, n_time=2)
+        tensors, c_pad = shard_schedule(low, mesh)
+        shard_bytes = tensors['args'].addressable_shards[0].data.nbytes
+        assert shard_bytes * nc == tensors['args'].nbytes
+
+
+def test_on_mesh_routing_parity_int16_and_pair(monkeypatch):
+    """synthesize_on_mesh must route int16 and pair-mode sparse schedules
+    to the worklist kernel exactly like the single-chip engine."""
+    import jax
+    import jax.numpy as jnp
+    import waveforms_tpu.ops.sparse_synth as sp
+    from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    calls = []
+    orig = sp.synthesize_sparse_sharded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sp, 'synthesize_sparse_sharded', spy)
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    # long quiet span -> genuinely sparse (occupied_fraction < threshold)
+    chans = _sparse_schedule(6, seed=12)
+    stop = 65.536e-6
+    got16 = np.asarray(synthesize_on_mesh(chans, 0, stop, FS, mesh,
+                                          interpret=True,
+                                          out_dtype=jnp.int16))
+    assert calls, "int16 sparse schedule must take the worklist kernel"
+    assert got16.dtype == np.int16
+    low = lower_schedule(chans, 0, stop, FS)
+    want = np.asarray(synthesize_sparse(DeviceSchedule(low), low,
+                                        interpret=True,
+                                        out_dtype=jnp.int16))
+    np.testing.assert_array_equal(got16, want)

@@ -370,6 +370,46 @@ def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
     return out.reshape(C, -1)[:, :plan.window_samples]
 
 
+def shard_sparse_work(plan: SparsePlan, nc: int, nt: int, cs: int,
+                      tps: int, nb_local: int = 1):
+    """Partition a global worklist by (channel shard, time shard).
+
+    Returns the (nc, nt, K) local worklist arrays (channel/bucket indices
+    and output subtiles localized; padding entries target the scratch
+    tile) plus the per-shard live counts -- the scaling observability the
+    dryrun prints (per-shard work should track ~1/P with bounded skew).
+    """
+    live = slice(0, plan.n_live)
+    wc = plan.work_c[live].astype(np.int64)
+    wb = plan.work_b[live].astype(np.int64)
+    wt = plan.work_t[live].astype(np.int64)
+    ws0 = plan.work_s0[live]
+    ws1 = plan.work_s1[live]
+    ci = wc // cs
+    ti = wt // tps
+    counts = np.zeros((nc, nt), np.int64)
+    np.add.at(counts, (ci, ti), 1)
+    K = next_pow2(int(counts.max()))
+    lwc = np.zeros((nc, nt, K), np.int32)
+    lwb = np.zeros((nc, nt, K), np.int32)
+    lwt = np.zeros((nc, nt, K), np.int32)
+    lwo = np.full((nc, nt, K), tps, np.int32)
+    lws0 = np.zeros((nc, nt, K), np.int32)
+    lws1 = np.zeros((nc, nt, K), np.int32)
+    pos = np.zeros((nc, nt), np.int64)
+    for j in range(len(wc)):
+        a, b = ci[j], ti[j]
+        p = pos[a, b]
+        lwc[a, b, p] = wc[j] % cs
+        lwb[a, b, p] = wb[j] % nb_local        # local bucket index
+        lwt[a, b, p] = wt[j]                   # ABSOLUTE subtile (global t)
+        lwo[a, b, p] = wt[j] - b * tps         # local output subtile
+        lws0[a, b, p] = ws0[j]
+        lws1[a, b, p] = ws1[j]
+        pos[a, b] += 1
+    return (lwc, lwb, lwt, lwo, lws0, lws1), counts, K
+
+
 def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
                               Rs: int = DEFAULT_SUBTILE_ROWS,
                               interpret: bool = False,
@@ -383,9 +423,11 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     so the program is SPMD), over its channel block's descriptors, writing
     its sample slice.  Silence on a shard costs that shard one local
     background fill; no collectives are needed at all (basis evaluation is
-    pointwise in t).  Single-bucket, real-f32 schedules (the flagship
-    layout); see :func:`waveforms_tpu.parallel.mesh.synthesize_sharded`
-    for the dense/bucketed general path.
+    pointwise in t).  Covers the single-chip engine's full output surface
+    (round-4 routing parity): pair-mode complex, int16 DAC codes, bf16,
+    and bucketed descriptors -- bucket windows shard along 'time' exactly
+    like :func:`waveforms_tpu.parallel.mesh.synthesize_sharded`, so the
+    ``wt // tps`` shard map respects bucket boundaries by construction.
     """
     import functools
 
@@ -394,63 +436,50 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     from ..parallel.mesh import shard_schedule
 
     C, NB, S, T, F = low.shape
-    if NB != 1:
-        raise UnsupportedFactor(
-            "sharded sparse synthesis supports single-bucket schedules")
-    if low.amp_im is not None:
-        raise UnsupportedFactor(
-            "sharded sparse synthesis supports real schedules")
-    scale = validate_out_mode(out_dtype, None, C, dac_scale)
+    pair = low.amp_im is not None
+    scale = validate_out_mode(out_dtype, low.amp_im, C, dac_scale)
     nc, nt = mesh.shape['channel'], mesh.shape['time']
     c_pad = -(-C // nc) * nc
     cs = c_pad // nc
-    n_rows = -(-low.n_samples // 128)
-    n_tiles = -(-n_rows // Rs)
-    tiles_pad = -(-n_tiles // nt) * nt
-    tps = tiles_pad // nt                      # subtiles per time shard
+    tile = Rs * 128
+    if NB > 1:
+        # whole buckets per time shard (dense-mesh layout): tiles map to
+        # shards by wt // tps with tps = nb_local * tiles-per-bucket
+        if low.bucket_samples % tile:
+            raise UnsupportedFactor(
+                f"bucket_samples {low.bucket_samples} must be a multiple "
+                f"of the sparse subtile ({tile})")
+        G_b = low.bucket_samples // tile
+        nb_pad = -(-NB // nt) * nt
+        nb_local = nb_pad // nt
+        tps = nb_local * G_b
+        tensors, _ = shard_schedule(low, mesh, nb_pad=nb_pad)
+        NB_l = nb_local
+        bucket_spec = 'time'
+    else:
+        n_rows = -(-low.n_samples // 128)
+        n_tiles = -(-n_rows // Rs)
+        tiles_pad = -(-n_tiles // nt) * nt
+        tps = tiles_pad // nt                  # subtiles per time shard
+        tensors, _ = shard_schedule(low, mesh)
+        NB_l = 1
+        nb_local = 1
+        bucket_spec = None
 
     if plan is None:
         plan = build_sparse_plan(low, Rs=Rs)
     elif plan.Rs != Rs:
         raise ValueError(f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
-    live = slice(0, plan.n_live)
-    wc = plan.work_c[live].astype(np.int64)
-    wt = plan.work_t[live].astype(np.int64)
-    ws0 = plan.work_s0[live]
-    ws1 = plan.work_s1[live]
-    ci = wc // cs
-    ti = wt // tps
-    counts = np.zeros((nc, nt), np.int64)
-    np.add.at(counts, (ci, ti), 1)
-    K = next_pow2(int(counts.max()))
-    # padding entries target the scratch tile (local index tps) of local
-    # channel 0 with an empty segment range
-    lwc = np.zeros((nc, nt, K), np.int32)
-    lwt = np.zeros((nc, nt, K), np.int32)
-    lwo = np.full((nc, nt, K), tps, np.int32)
-    lws0 = np.zeros((nc, nt, K), np.int32)
-    lws1 = np.zeros((nc, nt, K), np.int32)
-    pos = np.zeros((nc, nt), np.int64)
-    for j in range(len(wc)):
-        a, b = ci[j], ti[j]
-        p = pos[a, b]
-        lwc[a, b, p] = wc[j] % cs
-        lwt[a, b, p] = wt[j]                   # ABSOLUTE subtile (global t)
-        lwo[a, b, p] = wt[j] - b * tps         # local output subtile
-        lws0[a, b, p] = ws0[j]
-        lws1[a, b, p] = ws1[j]
-        pos[a, b] += 1
+    work_np, counts, K = shard_sparse_work(plan, nc, nt, cs, tps, nb_local)
     spec3 = P('channel', 'time', None)
 
     def put3(a):
         return jax.device_put(a, NamedSharding(mesh, spec3))
 
-    work = [put3(a) for a in (lwc, np.zeros_like(lwc), lwt, lwo, lws0,
-                              lws1)]
-    tensors, _ = shard_schedule(low, mesh)
-    in_spec = P('channel', None, None, None)
+    work = [put3(a) for a in work_np]
+    in_spec = P('channel', bucket_spec, None, None)
     chan_spec = P('channel', None, None, None)
-    local_samples = tps * Rs * 128
+    local_samples = tps * tile
     dac = scale is not None
     scale_t = None
     if dac:
@@ -461,7 +490,8 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(spec3,) * 6 + (in_spec,) * 10
-        + (P(None, None, None, None), in_spec)
+        + (P(None, None, None, None), chan_spec)
+        + ((in_spec,) if pair else ())
         + ((chan_spec,) if dac else ()),
         out_specs=P('channel', 'time'),
         check_vma=False)
@@ -470,15 +500,21 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
         out = _run_sparse(
             wcl.reshape(K), wbl.reshape(K), wtl.reshape(K), wol.reshape(K),
             ws0l.reshape(K), ws1l.reshape(K), seg_lo, seg_hi, nterm, nfac,
-            amp, op, pw, sh, q32, args, ext, clip, None,
-            rest[0] if dac else None,
+            amp, op, pw, sh, q32, args, ext, clip,
+            rest[0] if pair else None,
+            rest[-1] if dac else None,
             S=S, T=T, F=F, Rs=Rs, n_tiles=tps, interpret=interpret,
             out_dtype=out_dtype)
+        if pair:
+            re, im = out
+            out = (re.astype(jnp.complex64)
+                   + 1j * im.astype(jnp.complex64))
         return out.reshape(out.shape[0], -1)[:, :local_samples]
 
     out = run(*work, tensors['seg_lo'], tensors['seg_hi'],
               tensors['nterm'], tensors['nfac'], tensors['amp'],
               tensors['op'], tensors['pw'], tensors['sh'], tensors['q32'],
               tensors['args'], tensors['ext'], tensors['clip'],
+              *((tensors['amp_im'],) if pair else ()),
               *((scale_t,) if dac else ()))
     return out[:C, :low.n_samples]

@@ -205,13 +205,13 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
                        out_dtype=jnp.float32) -> jax.Array:
     """Lower + shard + synthesize in one call.
 
-    Mirrors the single-chip engine's routing: pulse-sparse single-bucket
-    f32 schedules run the sharded sparse worklist kernel; everything else
-    the dense grid.
+    Mirrors the single-chip engine's routing for EVERY output surface
+    (round-4 parity): pulse-sparse schedules -- real or pair-mode, f32 /
+    bf16 / int16, bucketed or not -- run the sharded sparse worklist
+    kernel below the occupancy threshold; everything else the dense grid.
     """
     low = lower_schedule(channels, start, stop, sample_rate, part=part)
-    if (part == 'real' and low.n_buckets == 1
-            and out_dtype == jnp.float32 and rows_per_tile is None):
+    if low.pallas_ok and rows_per_tile is None:
         from ..engine import _sparse_threshold
         from ..ops.lowering import UnsupportedFactor
         from ..ops.sparse_synth import (build_sparse_plan,
@@ -220,7 +220,8 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
             plan = build_sparse_plan(low)
             if plan.occupied_fraction < _sparse_threshold():
                 return synthesize_sparse_sharded(low, mesh, plan=plan,
-                                                 interpret=interpret)
+                                                 interpret=interpret,
+                                                 out_dtype=out_dtype)
         except UnsupportedFactor:
             pass
     return synthesize_sharded(low, mesh, rows_per_tile=rows_per_tile,
