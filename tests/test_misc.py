@@ -236,3 +236,31 @@ def test_device_fault_classifier_nested_same_type():
     outer = XlaRuntimeError("error executing computation")
     outer.__cause__ = inner
     assert not _is_device_fault(outer)
+
+
+def test_auto_engine_routes_accelerator_to_xla(monkeypatch):
+    """Routing order is tpu-pallas > accel-xla > native > numpy: on a
+    non-TPU accelerator backend the fused XLA trace engine must be
+    selected (round-4 fix; previously GPU hosts fell through to host
+    synthesis)."""
+    import jax
+    import numpy as np
+
+    from waveforms_tpu import engine as eng
+    from waveforms_tpu.models import shapes as sh
+    from waveforms_tpu.ops import jax_eval
+
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'gpu')
+    calls = []
+    orig = jax_eval.evaluate
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(jax_eval, 'evaluate', spy)
+    w = [sh.gaussian(4e-7) * sh.cos(2 * np.pi * 3e7)]
+    out = eng.synthesize(w, 0.0, 4.096e-6, 2e9)
+    assert calls, "accelerator backend must route engine='auto' to XLA"
+    ref = eng.synthesize(w, 0.0, 4.096e-6, 2e9, engine='numpy')
+    assert np.abs(np.asarray(out) - ref).max() / np.abs(ref).max() < 2e-6

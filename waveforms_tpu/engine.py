@@ -236,9 +236,11 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
             vals = [v.astype(complex) for v in vals]
         return np.stack(vals)
     if engine == 'auto':
+        backend = None
         try:
             import jax
-            if jax.default_backend() == 'tpu':
+            backend = jax.default_backend()
+            if backend == 'tpu':
                 return _try_pallas(channels, start, stop, sample_rate,
                                    bucket_samples, part)
         except (UnsupportedFactor, ImportError):
@@ -256,6 +258,25 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
                 raise
             warnings.warn(f"pallas engine hit a device fault ({exc!r}); "
                           "falling back to host synthesis")
+        # non-TPU accelerator (GPU/ROCm): the fused XLA trace engine runs
+        # on any backend and beats host synthesis by the device's memory
+        # bandwidth -- routing order is tpu-pallas > accel-xla > native >
+        # numpy (round-4 fix: previously GPU hosts silently fell through
+        # to the host engines)
+        if backend not in (None, 'cpu', 'tpu'):
+            try:
+                return synthesize(channels, start, stop, sample_rate,
+                                  engine='xla', part=part)
+            except Exception as exc:
+                # same contract as the pallas fallback: only genuine
+                # device faults may degrade to host synthesis
+                import os
+                import warnings
+                if not _is_device_fault(exc) or os.environ.get(
+                        'WFTPU_STRICT_ENGINE'):
+                    raise
+                warnings.warn(f"xla engine hit a device fault ({exc!r}); "
+                              "falling back to host synthesis")
         try:
             from . import native
             if native.available():
