@@ -264,3 +264,45 @@ def test_auto_engine_routes_accelerator_to_xla(monkeypatch):
     assert calls, "accelerator backend must route engine='auto' to XLA"
     ref = eng.synthesize(w, 0.0, 4.096e-6, 2e9, engine='numpy')
     assert np.abs(np.asarray(out) - ref).max() / np.abs(ref).max() < 2e-6
+
+
+def _identity_basis(t):
+    """Module-level (picklable) dummy basis for the registry tests."""
+    return t
+
+
+def test_registry_thread_safe_registration():
+    """Freethreading audit (round 4): concurrent registerBaseFunc calls
+    must hand out distinct IDs and lose no table entries -- the invariant
+    a GIL used to provide for free."""
+    import threading
+
+    from waveforms_tpu.ir import registry
+
+    n_threads, per_thread = 8, 25
+    got = [[] for _ in range(n_threads)]
+
+    def worker(i):
+        for _ in range(per_thread):
+            got[i].append(registry.registerBaseFunc(_identity_basis))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    ids = [x for sub in got for x in sub]
+    assert len(set(ids)) == n_threads * per_thread
+    assert all(i in registry.baseFunc for i in ids)
+
+
+def test_update_base_func_bumps_id_counter():
+    """A merged remote table must never collide with later local IDs."""
+    from waveforms_tpu.ir import registry
+
+    buf = registry.packBaseFunc()
+    before = registry.registerBaseFunc(_identity_basis)
+    registry.updateBaseFunc(buf)
+    after = registry.registerBaseFunc(_identity_basis)
+    assert after > before

@@ -18,6 +18,7 @@ by the same IDs (see ``waveforms_tpu.ops``).
 from __future__ import annotations
 
 import pickle
+import threading
 
 import numpy as np
 from scipy.special import erf as _scipy_erf
@@ -38,14 +39,22 @@ derivativeBaseFunc: dict = {}
 baseFuncLatex: dict = {}
 
 _next_id = 1
+# Freethreaded CPython (3.13t+) runs registrations from concurrent threads
+# without a GIL serializing the id counter; per-key dict writes are atomic
+# there, but the read-increment of _next_id is not -- hence the lock.
+_reg_lock = threading.Lock()
 
 
 def registerBaseFunc(func) -> int:
-    """Register a basis function, returning its freshly assigned ID."""
+    """Register a basis function, returning its freshly assigned ID.
+
+    Thread-safe (freethreading audit, round 4): concurrent registrations
+    get distinct IDs."""
     global _next_id
-    fun_id = _next_id
-    _next_id += 1
-    baseFunc[fun_id] = func
+    with _reg_lock:
+        fun_id = _next_id
+        _next_id += 1
+        baseFunc[fun_id] = func
     return fun_id
 
 
@@ -65,8 +74,17 @@ def packBaseFunc() -> bytes:
 
 
 def updateBaseFunc(buf: bytes) -> None:
-    """Merge a table pickled by :func:`packBaseFunc` (instrument-server use)."""
-    baseFunc.update(pickle.loads(buf))
+    """Merge a table pickled by :func:`packBaseFunc` (instrument-server use).
+
+    Also bumps the id counter past merged IDs so a later local
+    registration can never collide with a merged remote one (thread-safe
+    under freethreading)."""
+    global _next_id
+    table = pickle.loads(buf)
+    with _reg_lock:
+        baseFunc.update(table)
+        if table:
+            _next_id = max(_next_id, max(table) + 1)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,10 @@ _SRC = os.path.join(_HERE, 'wavecore.cpp')
 _LIB = os.path.join(_HERE, '_wavecore.so')
 _LOWER_SRC = os.path.join(_HERE, 'lowerext.cpp')
 _LOWER_LIB = os.path.join(_HERE, '_lowerext.so')
+# baseline-architecture builds bundled by WFTPU_BUILD_NATIVE=1 wheels
+# (setup.py); used when the host has no toolchain
+_LIB_PREBUILT = os.path.join(_HERE, '_wavecore_prebuilt.so')
+_LOWER_PREBUILT = os.path.join(_HERE, '_lowerext_prebuilt.so')
 
 _lock = threading.Lock()
 _lib = None
@@ -67,6 +71,17 @@ def _load():
             lib.wavecore_version.restype = ctypes.c_int32
             _lib = lib
         except Exception as exc:  # toolchain missing, build failure, ...
+            # wheel-bundled baseline build (setup.py WFTPU_BUILD_NATIVE=1):
+            # slower than -march=native but toolchain-free
+            try:
+                if os.path.exists(_LIB_PREBUILT):
+                    lib = ctypes.CDLL(_LIB_PREBUILT)
+                    lib.wavecore_synthesize.restype = None
+                    lib.wavecore_version.restype = ctypes.c_int32
+                    _lib = lib
+                    return _lib
+            except Exception:
+                pass
             _build_error = str(exc)
             _lib = None
     return _lib
@@ -93,16 +108,26 @@ def _load_lower():
                      f'-I{inc}', _LOWER_SRC, '-o', tmp],
                     check=True, capture_output=True, text=True)
                 os.replace(tmp, _LOWER_LIB)
-            import importlib.util
-            spec = importlib.util.spec_from_file_location(
-                'waveforms_tpu.native._lowerext', _LOWER_LIB)
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            _lower_mod = mod
+            _lower_mod = _import_lower(_LOWER_LIB)
         except Exception as exc:
+            try:
+                if os.path.exists(_LOWER_PREBUILT):
+                    _lower_mod = _import_lower(_LOWER_PREBUILT)
+                    return _lower_mod
+            except Exception:
+                pass
             _lower_error = str(exc)
             _lower_mod = None
     return _lower_mod
+
+
+def _import_lower(path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'waveforms_tpu.native._lowerext', path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def lower_available() -> bool:
