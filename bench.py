@@ -269,26 +269,36 @@ def main():
     write_mfu = 2 * fill_s / headline_s
 
     # -- mid stratum: ~1% occupancy, one 512 us window ---------------------
-    mid_gsps = mid_occ = None
+    # round 4: the fine-skip dense walk competes with the sparse worklist
+    # here (the worklist's ~1 us/step serialization is the r3 valley);
+    # measure BOTH and report the best + which won, feeding the routing
+    # threshold re-measurement
+    mid_gsps = mid_occ = mid_best = None
     try:
         mlow, mdev = _upload(build_mid_schedule(), 0.0, 524.288e-6)
-        from waveforms_tpu.ops.sparse_synth import synthesize_sparse \
-            as _ss
-        from waveforms_tpu.ops.sparse_synth import build_sparse_plan \
-            as _bsp2
-        mplan = _bsp2(mlow)
-        from waveforms_tpu.engine import _sparse_threshold as _thr
-        if mplan.occupied_fraction < _thr():
-            def mrun():
-                return _ss(mdev, plan=mplan)
-            ev = 'jit__run_sparse'
-        else:
-            mrun = window_runner(mdev, window_rows, 0, R)
-            ev = 'jit__run_kernel'
-        mrun().block_until_ready()
-        mid_s = measure_device(mrun, ev, reps=5)
-        mid_gsps = 128 * WINDOW_SAMPLES / mid_s / 1e9
         mid_occ = schedule_occupancy(mlow)
+        times = {}
+        try:
+            from waveforms_tpu.ops.sparse_synth import build_sparse_plan \
+                as _bsp2
+            from waveforms_tpu.ops.sparse_synth import synthesize_sparse \
+                as _ss
+            mplan = _bsp2(mlow)
+
+            def mrun_s():
+                return _ss(mdev, plan=mplan)
+
+            mrun_s().block_until_ready()
+            times['sparse'] = measure_device(mrun_s, 'jit__run_sparse',
+                                             reps=5)
+        except Exception:
+            pass
+        mrun_d = window_runner(mdev, window_rows, 0, R)
+        mrun_d().block_until_ready()
+        times['dense_fine'] = measure_device(mrun_d, 'jit__run_kernel',
+                                             reps=5)
+        mid_best = min(times, key=times.get)
+        mid_gsps = 128 * WINDOW_SAMPLES / times[mid_best] / 1e9
     except Exception:
         pass
 
@@ -312,7 +322,8 @@ def main():
         "flagship_occupancy": round(schedule_occupancy(low), 5),
         "flagship_vs_north_star": round(flagship_gsps / 10.0, 2),
         **({"mid_gsps": round(mid_gsps, 2),
-            "mid_occupancy": round(mid_occ, 4)} if mid_gsps else {}),
+            "mid_occupancy": round(mid_occ, 4),
+            "mid_best_path": mid_best} if mid_gsps else {}),
         "write_mfu": round(write_mfu, 3),
         "device_ms_total_flagship": round(headline_s * 1e3, 3),
         "grid_kernel_gsps": round(128 * TOTAL_SAMPLES / dense_s / 1e9, 2),
@@ -389,7 +400,8 @@ def cpu_fallback():
     try:
         with open('/root/repo/benchmarks/tpu_state.json') as f:
             state = json.load(f)
-        head = (state.get('r3_headline_R256')
+        head = (state.get('r4_sparse_Rs32')
+                or state.get('r3_headline_R256')
                 or state.get('headline_windowed_R256'))
         if head and 'gsps' in head:
             result["last_verified_tpu_gsps"] = head["gsps"]
