@@ -124,3 +124,16 @@ def test_hischedule_reuse():
     a = synthesize_hi(dev)
     b = synthesize_hi(dev)
     np.testing.assert_array_equal(a, b)
+
+
+def test_linear_chirp_hi_tier():
+    """Chirp quadratic phase at 1e-9: exact int32 ring + df residuals."""
+    from bench import build_dense_schedule
+    chans = build_dense_schedule(n_channels=2, duration=3.2768e-5)
+    _check(chans, span=3.2768e-5)
+
+
+def test_linear_chirp_hi_tier_1M_samples():
+    from bench import build_dense_schedule
+    chans = build_dense_schedule(n_channels=1, duration=5.24288e-4)
+    _check(chans, span=5.24288e-4, tol=2e-9)

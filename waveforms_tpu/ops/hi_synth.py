@@ -40,12 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import df32 as df
 from .lowering import (OP_COS, OP_DRAG, OP_EXP, OP_GAUSSIAN, OP_LINEAR,
-                       OP_SINC, W_ARGS, LoweredSchedule, UnsupportedFactor)
+                       OP_LINEARCHIRP, OP_SINC, W_ARGS, LoweredSchedule,
+                       UnsupportedFactor)
 
 __all__ = ['synthesize_hi', 'HI_OPS']
 
 HI_OPS = frozenset({OP_LINEAR, OP_GAUSSIAN, OP_COS, OP_EXP, OP_SINC,
-                    OP_DRAG})
+                    OP_DRAG, OP_LINEARCHIRP})
 _EXP_CLAMP = np.float32(80.0)
 _PI_H = np.float32(np.pi)
 _PI_L = np.float32(np.pi - float(np.float32(np.pi)))
@@ -107,6 +108,46 @@ def op_builders_hi(di, arg, arglo, q32):
         qh, ql = df.div(sin[0], sin[1], safe_h, safe_l)
         return jnp.where(small, 1.0, qh), jnp.where(small, 0.0, ql)
 
+    def op_linearchirp():
+        # exact int32 quadratic phase (same ring arithmetic as the f32
+        # kernel); the residual polynomial and the constant phase run in
+        # df (dh/dl are f32-exact: |dh| < 2^13 after the 11-bit split)
+        dh = di >> 11
+        dl = di - (dh << 11)
+        turns = (q32(0) * dh * dh + q32(1) * dh * dl + q32(2) * dl * dl
+                 + q32(3) * di)
+        dhf = dh.astype(jnp.float32)
+        dlf = dl.astype(jnp.float32)
+        r = df.mul_f(*a_df(2), dhf)
+        r = df.add(*r, *df.mul_f(*a_df(3), dlf))
+        r = df.mul_f(*r, dhf)
+        r = df.add(*r, *df.mul_f(*df.mul_f(*a_df(4), dlf), dlf))
+        r = df.add(*r, *df.mul(*a_df(5), *di_df))
+        # constant phase [0, 2pi) -> int32 turns + small df residual.
+        # cturns is exact int32; its turn value scales by 2^-32 exactly
+        # (power of two), so the residual phi - cturns*2pi/2^32 computes
+        # in pure df with no integer-to-f32 rounding.
+        ph, plo = a_df(6)
+        inv2pi_h = np.float32(1 / (2 * np.pi))
+        inv2pi_l = np.float32(1 / (2 * np.pi)
+                              - float(np.float32(1 / (2 * np.pi))))
+        c = df.mul(ph, plo, inv2pi_h, inv2pi_l)
+        ci = jnp.round((c[0] - jnp.round(c[0]))
+                       * np.float32(2**31)).astype(jnp.int32)
+        cturns = ci * 2
+        th, tl = df.from_int(cturns)               # exact split
+        two_pi_h = np.float32(2 * np.pi)
+        two_pi_l = np.float32(2 * np.pi - float(np.float32(2 * np.pi)))
+        sub = df.mul(th * np.float32(2.0**-32), tl * np.float32(2.0**-32),
+                     two_pi_h, two_pi_l)
+        crh, crl = df.add(ph, plo, -sub[0], -sub[1])
+        # wrap near zero (the un-quantized integer-turn part remains)
+        k2 = jnp.round(crh * inv2pi_h)
+        crh, crl = df.add(crh, crl, *df.mul_f(-two_pi_h, -two_pi_l, k2))
+        r = df.add(*r, crh, crl)
+        return df.sincos_turns(turns + cturns, r[0], r[1],
+                               need_cos=False)[0]
+
     def op_drag():
         xh, xl = x_df()
         sin_x, cos_x = df.sincos_rad(xh, xl)
@@ -125,6 +166,7 @@ def op_builders_hi(di, arg, arglo, q32):
         OP_EXP: op_exp,
         OP_SINC: op_sinc,
         OP_DRAG: op_drag,
+        OP_LINEARCHIRP: op_linearchirp,
     }
 
 

@@ -271,7 +271,9 @@ def _lower_factor(factor, power, start: float, dt: float,
         q_ll, e_ll = _phase_q32(A)
         q_lin, e_lin = _phase_q32(B - 2 * A * frac)
         a[2], a[3], a[4], a[5] = e_hh, e_hl, e_ll, e_lin
-        a[6] = np.float32((A * frac * frac - B * frac + phi0) % _TWO_PI)
+        # stored at full f64 (args_lo captures the residual for the hi
+        # tier); the f32 kernel's view is identical to the old f32 cast
+        a[6] = (A * frac * frac - B * frac + phi0) % _TWO_PI
         return FactorDesc(OP_LINEARCHIRP, power, hi, a,
                           (q_hh, q_hl, q_ll, q_lin))
 
