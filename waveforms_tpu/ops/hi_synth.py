@@ -361,6 +361,14 @@ class HiSchedule:
         if not low.pallas_ok:
             raise UnsupportedFactor("schedule exceeds the kernel's "
                                     "descriptor budget")
+        from .lowering import PALLAS_SMEM_BUDGET, _pallas_desc_bytes
+        # the residual planes (args_lo, amp_lo) nearly double the SMEM
+        # descriptor block; apply the budget to the hi-tier footprint
+        if 2 * _pallas_desc_bytes(*low.shape[2:]) > PALLAS_SMEM_BUDGET:
+            raise UnsupportedFactor(
+                "hi-tier descriptor block (with residual planes) exceeds "
+                "the SMEM budget; use engine='xla' under x64 or smaller "
+                "bucket_samples")
         C, NB, S, T, F = low.shape
         self.shape = low.shape
         self.n_samples = low.n_samples
