@@ -655,6 +655,136 @@ def task_pair_planes_parity():
     return {"max_rel_err": worst, "ok": bool(worst < 1e-5)}
 
 
+def task_sparse_step_cost_probe():
+    """Localize the sparse kernel's ~1.05 us/step cost (round-4 analysis).
+
+    Three timing-only variants on the flagship plan:
+      aliased  -- production kernel (dynamic out map + aliased background)
+      compact  -- same work, outputs written to block i (static monotone
+                  map, no aliasing): isolates the dynamic-output/alias
+                  serialization
+      padded   -- production kernel with the worklist padded 4x (pure
+                  overhead per extra no-op step)
+    If compact drops to ~0.1-0.2 us/step, a compact+paste redesign can
+    lift the flagship past the background-fill bound.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import (_run_sparse, _sparse_kernel,
+                                                build_sparse_plan)
+
+    chans = _sparse_chans()
+    low = lower_schedule(chans, 0.0, 524.288e-6, FS)
+    dev = DeviceSchedule(low)
+    plan = build_sparse_plan(low, Rs=32)
+    jax.block_until_ready(dev.tensors)
+    C, NB, S, T, F = dev.shape
+    Rs = 32
+    out = {"n_live": plan.n_live, "K": len(plan.work_c)}
+
+    def timed_aliased(padx):
+        work = [plan.work_c, plan.work_b, plan.work_t, plan.work_o,
+                plan.work_s0, plan.work_s1]
+        if padx > 1:
+            K0 = len(plan.work_c)
+            padn = K0 * (padx - 1)
+            work = [np.concatenate([w, np.full(
+                padn, {3: plan.n_tiles}.get(i, 0) if i in (2, 3)
+                else 0, w.dtype)]) for i, w in enumerate(work)]
+            work[2][K0:] = plan.n_tiles        # abs tile -> scratch
+            work[3][K0:] = plan.n_tiles
+        tensors = dev.tensors[:2] + dev.tensors[3:]
+
+        def run():
+            return _run_sparse(*[jnp.asarray(w) for w in work], *tensors,
+                               None, None, S=S, T=T, F=F, Rs=Rs,
+                               n_tiles=plan.n_tiles,
+                               ops_present=dev.ops_present,
+                               interpret=False)
+
+        run().block_until_ready()
+        return profile_median(run, 'jit__run_sparse')
+
+    out['aliased_ms'] = round(timed_aliased(1) * 1e3, 3)
+    out['aliased_pad4_ms'] = round(timed_aliased(4) * 1e3, 3)
+    K = len(plan.work_c)
+    out['us_per_padstep'] = round(
+        (out['aliased_pad4_ms'] - out['aliased_ms']) / (3 * K) * 1e3, 3)
+
+    # compact variant: out block = i (monotone static), no aliasing
+    tensors = dev.tensors[:2] + dev.tensors[3:]
+
+    @functools.partial(jax.jit, static_argnames=('S', 'T', 'F', 'Rs',
+                                                 'ops_present'))
+    def run_compact(wc, wb, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac,
+                    amp, op, pw, sh, q32, args, ext, clip, *, S, T, F, Rs,
+                    ops_present):
+        E = ext.shape[-1]
+
+        def smem(k, bcast=False):
+            if bcast:
+                return pl.BlockSpec((1, 1, 1, k),
+                                    lambda i, wc, wb, wt, wo, s0, s1:
+                                    (0, 0, 0, 0),
+                                    memory_space=pltpu.SMEM)
+            return pl.BlockSpec((1, 1, 1, k),
+                                lambda i, wc, wb, wt, wo, s0, s1:
+                                (wc[i], wb[i], 0, 0),
+                                memory_space=pltpu.SMEM)
+
+        def chan_smem(k):
+            return pl.BlockSpec((1, 1, 1, k),
+                                lambda i, wc, wb, wt, wo, s0, s1:
+                                (wc[i], 0, 0, 0),
+                                memory_space=pltpu.SMEM)
+
+        out_spec = pl.BlockSpec((1, Rs, 128),
+                                lambda i, wc, wb, wt, wo, s0, s1:
+                                (i, 0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(wc.shape[0],),
+            in_specs=[smem(S), smem(S), smem(S), smem(S * T), smem(S * T),
+                      smem(S * T * F), smem(S * T * F), smem(S * T * F),
+                      smem(S * T * F * 4),
+                      smem(S * T * F * 12), smem(E, bcast=True),
+                      chan_smem(2)],
+            out_specs=out_spec,
+        )
+        kernel = functools.partial(_sparse_kernel, S=S, T=T, F=F, Rs=Rs,
+                                   ops_present=ops_present, pair=False,
+                                   dac=False)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((wc.shape[0], Rs, 128),
+                                           jnp.float32),
+        )(wc, wb, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, op,
+          pw, sh, q32, args, ext, clip)
+
+    work = [jnp.asarray(w) for w in (plan.work_c, plan.work_b, plan.work_t,
+                                     plan.work_o, plan.work_s0,
+                                     plan.work_s1)]
+
+    def crun():
+        return run_compact(*work, *tensors, S=S, T=T, F=F, Rs=Rs,
+                           ops_present=dev.ops_present)
+
+    try:
+        crun().block_until_ready()
+        out['compact_ms'] = round(
+            profile_median(crun, 'jit_run_compact') * 1e3, 3)
+    except Exception as exc:
+        out['compact_error'] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
+
+
 def task_hi_tier():
     """Double-f32 kernel tier ON SILICON: small-window parity (hi+lo
     combined on host vs the f64 oracle) + device rate on an occupancy-1
@@ -782,6 +912,7 @@ def pending_tasks(state):
     tasks.append(("r4_seq_amortized", task_seq_amortized))
     tasks.append(("r4_pair_planes_parity", task_pair_planes_parity))
     tasks.append(("r4_hi_tier", task_hi_tier))
+    tasks.append(("r4_sparse_step_probe", task_sparse_step_cost_probe))
     tasks.append(("r4_routing_summary", task_mid_sparse_vs_dense_summary))
     return [(k, fn) for k, fn in tasks if k not in state]
 

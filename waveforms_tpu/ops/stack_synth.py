@@ -35,7 +35,6 @@ many-overlap schedules that lower with ``pallas_ok=False``.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 
 import jax
