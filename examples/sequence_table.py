@@ -73,6 +73,16 @@ def main():
     assert np.array_equal(dense0, sparse0), "sparse play must be bit-equal"
     print("play_sparse(0) bit-equal to play(0)")
 
+    # -- amortized shot batches: the whole shot sequence in ONE dispatch
+    # (vmap prepends a grid axis to the kernel; per-dispatch latency --
+    # the entire cost of a 10 us schedule -- amortizes to nothing) -------
+    batch = np.asarray(seq.play_many(shots[:8], rows_per_tile=8,
+                                     interpret=interpret))
+    assert np.array_equal(batch[0], np.asarray(
+        seq.play(int(shots[0]), rows_per_tile=8, interpret=interpret)))
+    print(f"play_many: {batch.shape[0]} shots in one dispatch -> "
+          f"{batch.shape}")
+
 
 if __name__ == '__main__':
     main()
