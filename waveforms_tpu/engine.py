@@ -52,7 +52,12 @@ def _is_device_fault(exc: BaseException) -> bool:
     # 'unsupported' also appear in genuine runtime transfer faults, which
     # must keep their host fallback (review finding r3)
     compile_markers = ('mosaic', 'compilation failure', 'compile failed',
-                       'lowering failed')
+                       'lowering failed',
+                       # a kernel using a primitive the Pallas TPU lowering
+                       # lacks is a CODE bug (seen live: value-level
+                       # dynamic_update_slice, round 4) -- never a reason
+                       # to silently degrade to 100x-slower host synthesis
+                       'unimplemented primitive in pallas')
     return not any(m in text for m in compile_markers)
 
 

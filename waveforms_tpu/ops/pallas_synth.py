@@ -539,13 +539,30 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
     s0 = s0_ref[0, 0, 0, g]
     s1 = s1_ref[0, 0, 0, g]
 
-    def full_walk(_):
+    def store(acc, row0, nrows):
+        """Write an (nrows, 128) accumulator into the output block at a
+        (dynamic, sublane-aligned) row offset.  The store may narrow
+        (bf16/int16 halve the write bandwidth and buffer footprint);
+        accumulation stays f32."""
+        sl = pl.ds(row0, nrows)
+        if pair:
+            out_ref[0, sl, :] = acc[0].astype(out_ref.dtype)
+            out2_ref[0, sl, :] = acc[1].astype(out2_ref.dtype)
+        elif dac:
+            # exact DAC codes: round-half-even, clamp to the code range
+            code = jnp.round(acc * scale_ref[0, 0, 0, 0])
+            out_ref[0, sl, :] = jnp.clip(code, -32768.0,
+                                         32767.0).astype(out_ref.dtype)
+        else:
+            out_ref[0, sl, :] = acc.astype(out_ref.dtype)
+
+    def full_walk():
         segment_at, acc0 = _tile_walker(idx, base, tile, R, *walker_args,
                                         **walker_kw)
-        return jax.lax.fori_loop(s0, s1, segment_at, acc0)
+        store(jax.lax.fori_loop(s0, s1, segment_at, acc0), 0, R)
 
     if NF <= 1:
-        acc = full_walk(0)
+        full_walk()
     else:
         # Fine-skip walk: the prologue also bisected every (R/NF)-row
         # sub-block; when the summed fine work is smaller than walking
@@ -553,14 +570,19 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
         # kernel walks sub-blocks instead, and strips with an empty
         # [s0f, s1f) cost one zero-trip loop.  The choice is a host
         # decision per tile (fine_ref), so occupancy-1 schedules keep the
-        # single-walk fast path bit-for-bit.
+        # single-walk fast path bit-for-bit.  Each sub-block stores
+        # straight into its rows of the output block (Mosaic has no
+        # value-level dynamic_update_slice; ref stores at dynamic
+        # sublane-aligned offsets are the supported form).
         Rf = R // NF
+        fine = fine_ref[0, 0, 0, g] != 0
 
-        def fine_walk(_):
+        @pl.when(fine)
+        def _():
             rows_f = jax.lax.broadcasted_iota(jnp.int32, (Rf, 128), 0)
             cols_f = jax.lax.broadcasted_iota(jnp.int32, (Rf, 128), 1)
 
-            def sub(j, acc):
+            def sub(j, carry):
                 sub_base = base + j * (Rf * 128)
                 idx_f = sub_base + rows_f * 128 + cols_f
                 seg_at, a0 = _tile_walker(idx_f, sub_base, Rf * 128, Rf,
@@ -568,30 +590,14 @@ def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
                 a = jax.lax.fori_loop(s0f_ref[0, 0, 0, g * NF + j],
                                       s1f_ref[0, 0, 0, g * NF + j],
                                       seg_at, a0)
-                if pair:
-                    return (jax.lax.dynamic_update_slice(
-                                acc[0], a[0], (j * Rf, 0)),
-                            jax.lax.dynamic_update_slice(
-                                acc[1], a[1], (j * Rf, 0)))
-                return jax.lax.dynamic_update_slice(acc, a, (j * Rf, 0))
+                store(a, j * Rf, Rf)
+                return carry
 
-            zeros_tile = jnp.zeros((R, 128), jnp.float32)
-            acc0 = (zeros_tile, zeros_tile) if pair else zeros_tile
-            return jax.lax.fori_loop(0, NF, sub, acc0)
+            jax.lax.fori_loop(0, NF, sub, 0)
 
-        acc = jax.lax.cond(fine_ref[0, 0, 0, g] != 0, fine_walk, full_walk,
-                           0)
-    # accumulation stays f32; the store may narrow (bf16/int16 halve the
-    # write bandwidth and buffer footprint)
-    if pair:
-        out_ref[0] = acc[0].astype(out_ref.dtype)
-        out2_ref[0] = acc[1].astype(out2_ref.dtype)
-    elif dac:
-        # exact DAC codes: round-half-even then clamp to the code range
-        code = jnp.round(acc * scale_ref[0, 0, 0, 0])
-        out_ref[0] = jnp.clip(code, -32768.0, 32767.0).astype(out_ref.dtype)
-    else:
-        out_ref[0] = acc.astype(out_ref.dtype)
+        @pl.when(jnp.logical_not(fine))
+        def _():
+            full_walk()
 
 
 @functools.partial(jax.jit,

@@ -500,17 +500,14 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             def strip(j, acc, int_ref=int_ref, arg_ref=arg_ref,
                       q_ref=q_ref, ext_ref=ext_ref, meta=meta, lane=lane):
                 F, W, KS = meta['F'], meta['W'], meta['KS']
-                r0 = j * KS
-                z = jnp.int32(0)
-                it = jax.lax.dynamic_slice(int_ref[0], (r0, z),
-                                           (KS, meta['IW']))
-                at = jax.lax.dynamic_slice(arg_ref[0], (r0, z),
-                                           (KS, meta['AW']))
-                qt = jax.lax.dynamic_slice(q_ref[0], (r0, z),
-                                           (KS, meta['QW']))
-                et = (jax.lax.dynamic_slice(ext_ref[0], (r0, z),
-                                            (KS, meta['EW']))
-                      if ext_ref is not None else None)
+                # ref loads at a dynamic sublane offset (Mosaic has no
+                # value-level dynamic_slice; pl.ds on the ref is the
+                # supported form)
+                sl = pl.ds(j * KS, KS)
+                it = int_ref[0, sl, :]
+                at = arg_ref[0, sl, :]
+                qt = q_ref[0, sl, :]
+                et = ext_ref[0, sl, :] if ext_ref is not None else None
                 idx = it[:, 0:1] * 128 + lane
                 prod = jnp.broadcast_to(at[:, 0:1], (KS, 128))
                 for f, (op_code, power) in enumerate(zip(meta['ops'],
