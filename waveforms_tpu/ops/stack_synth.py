@@ -600,7 +600,27 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
         if runner is None:
             runner = _build_runner(plan, low)
         setattr(plan, key, runner)
-    out = runner()
+    try:
+        out = runner()
+    except Exception as exc:
+        # a Mosaic compile limitation in the fused kernel (e.g. an
+        # unsupported primitive on an older lowering) must not break
+        # synthesis: fall back to the XLA op-chain runner once, loudly,
+        # and cache it.  Runtime device faults re-raise (the engine's
+        # fault classifier owns that policy).
+        msg = str(exc).lower()
+        if getattr(plan, '_runner_is_xla_' + key, False) or not any(
+                m in msg for m in ('mosaic', 'unimplemented primitive',
+                                   'lowering', 'unsupported')):
+            raise
+        import warnings
+        warnings.warn(
+            f"stack kernel runner failed to compile ({exc!s:.120}); "
+            "falling back to the XLA op-chain runner")
+        runner = _build_runner(plan, low)
+        setattr(plan, key, runner)
+        setattr(plan, '_runner_is_xla_' + key, True)
+        out = runner()
     if plan.wide is not None:
         from .pallas_synth import DeviceSchedule, synthesize_device
         out = out + synthesize_device(DeviceSchedule(plan.wide),
