@@ -11,6 +11,12 @@ will be skipped by their own tolerance failures; intended for smoke runs).
 """
 
 import os
+import sys
+
+# The AOT Mosaic-lowering smoke tests (test_tpu_lowering.py) trace the
+# full kernels; jax's recursive jaxpr walks overflow the default 1000
+# frame limit on the bigger ones.
+sys.setrecursionlimit(100_000)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")

@@ -89,7 +89,7 @@ def profile_median(fn, prefix, reps=3):
     jax.profiler.start_trace(td)
     try:
         for _ in range(reps):
-            fn().block_until_ready()
+            jax.block_until_ready(fn())
     finally:
         jax.profiler.stop_trace()
     ts = device_times(td, prefix)
@@ -758,9 +758,16 @@ def task_sparse_step_cost_probe():
                       chan_smem(2)],
             out_specs=out_spec,
         )
-        kernel = functools.partial(_sparse_kernel, S=S, T=T, F=F, Rs=Rs,
-                                   ops_present=ops_present, pair=False,
-                                   dac=False)
+        base = functools.partial(_sparse_kernel, S=S, T=T, F=F, Rs=Rs,
+                                 ops_present=ops_present, pair=False,
+                                 dac=False)
+
+        def kernel(*refs):
+            # no aliased background here (that is the point of the
+            # variant); _sparse_kernel's trailing (_bg, out) unpack gets
+            # the out ref twice -- _bg is never read
+            base(*refs[:-1], refs[-1], refs[-1])
+
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((wc.shape[0], Rs, 128),
@@ -914,6 +921,9 @@ def pending_tasks(state):
     tasks.append(("r4_hi_tier", task_hi_tier))
     tasks.append(("r4_sparse_step_probe", task_sparse_step_cost_probe))
     tasks.append(("r4_routing_summary", task_mid_sparse_vs_dense_summary))
+    # retake: first probe attempt hit the compact variant's missing-bg
+    # unpack bug; this rerun carries the wrapper fix
+    tasks.append(("r4_sparse_step_probe2", task_sparse_step_cost_probe))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
