@@ -924,6 +924,20 @@ def pending_tasks(state):
     # retake: first probe attempt hit the compact variant's missing-bg
     # unpack bug; this rerun carries the wrapper fix
     tasks.append(("r4_sparse_step_probe2", task_sparse_step_cost_probe))
+    # retake: first r4 stack rows ran on the XLA fallback (the kernel's
+    # table blocks violated Mosaic's (8, 128) divisibility rule); these
+    # rerun with the lane-padded tables, which lower cleanly (AOT-checked
+    # in tools/check_tpu_lowering.py)
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4b_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
+    # retake 2: r4b still fell back -- the SMEM counts block (1, 1) over
+    # (n_chunks, 1) violates Mosaic's divisible-or-full rule whenever
+    # n_chunks > 1 (the AOT check's single-chunk schedule masked it);
+    # counts now ride whole-in-SMEM indexed by program_id
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4c_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

@@ -432,7 +432,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         F = len(g.ops)
         W = g.args.shape[-1]
         src, rb, lrt, counts, k0 = _chunk_assign(g, n_rows, n_chunks, 1)
-        KS = min(128, next_pow2(k0))
+        # KS >= 8 keeps every pl.ds strip offset sublane-aligned and the
+        # table sublane extents multiples of 8 (Mosaic requires the last
+        # two block dims divisible by (8, 128); see the lane padding of
+        # the tables below for the 128 half of that rule)
+        KS = min(128, max(8, next_pow2(k0)))
         k_max = -(-k0 // KS) * KS
         pad = k_max - k0
         if pad:
@@ -470,6 +474,17 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             ok = (cols >= 0) & (cols < len(ext_np))
             extt = np.where(ok, ext_np[np.clip(cols, 0, len(ext_np) - 1)],
                             0.0).astype(np.float32)
+        # lane-pad every VMEM table to a multiple of 128: Mosaic tiles
+        # VMEM in (8, 128) anyway (the kernel's column reads are offsets
+        # into the same padded tile either way), and real-TPU lowering
+        # REJECTS blocks whose minor dim is not a multiple of 128 -- the
+        # vmem estimate below already charged the padded width
+        intt = np.pad(intt, ((0, 0), (0, 0), (0, _pad128(IW) - IW)))
+        argt = np.pad(argt, ((0, 0), (0, 0), (0, _pad128(AW) - AW)))
+        q32t = np.pad(q32t, ((0, 0), (0, 0), (0, _pad128(QW) - QW)))
+        if extt is not None:
+            ew = extt.shape[-1]
+            extt = np.pad(extt, ((0, 0), (0, 0), (0, _pad128(ew) - ew)))
         metas.append(dict(ops=g.ops, powers=g.powers, F=F, W=W, KS=KS,
                           k_max=k_max, IW=IW, AW=AW, QW=QW,
                           EW=extt.shape[-1] if extt is not None else 0))
@@ -494,7 +509,10 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             cnt_ref, int_ref, arg_ref, q_ref = refs[r:r + 4]
             ext_ref = refs[r + 4] if EW else None
             r += 4 + bool(EW)
-            cnt = cnt_ref[0, 0]
+            # the counts column rides whole in SMEM (block == array shape;
+            # a (1, 1) block over (n_chunks, 1) violates Mosaic's
+            # divisible-or-full block rule whenever n_chunks > 1)
+            cnt = cnt_ref[pl.program_id(0), 0]
             lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
 
             def strip(j, acc, int_ref=int_ref, arg_ref=arg_ref,
@@ -546,14 +564,10 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     in_specs = []
     flat_ops = []
     for meta, group_ops in zip(metas, operands):
-        in_specs.append(pl.BlockSpec((1, 1), lambda i: (i, 0),
+        in_specs.append(pl.BlockSpec((n_chunks, 1), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
-        shapes = [(meta['k_max'], meta['IW']), (meta['k_max'], meta['AW']),
-                  (meta['k_max'], meta['QW'])]
-        if meta['EW']:
-            shapes.append((meta['k_max'], meta['EW']))
-        for shp in shapes:
-            in_specs.append(pl.BlockSpec((1,) + shp,
+        for a in group_ops[1:]:          # lane-padded (n_chunks, k_max, *)
+            in_specs.append(pl.BlockSpec((1,) + a.shape[1:],
                                          lambda i: (i, 0, 0),
                                          memory_space=pltpu.VMEM))
         flat_ops.extend(group_ops)
