@@ -792,6 +792,84 @@ def task_sparse_step_cost_probe():
     return out
 
 
+def task_grid_overhead_probe():
+    """Decompose the worklist kernel's ~0.5 us fixed per-grid-step cost.
+
+    Trivial-body synthetic kernels (store one (Rs, 128) block), grid
+    K=4096, varying the three suspects independently:
+      op13_dyn_dynout   -- 13 SMEM operands w/ dynamic index maps +
+                           dynamic out map (the production shape)
+      op13_dyn          -- same inputs, static out (block i)
+      op2_dyn           -- 2 dynamic SMEM operands, static out
+      op13_static       -- 13 operands w/ constant maps, static out
+      op2_static        -- 2 operands, constant maps, static out
+    us/step deltas localize the cost: operand count vs dynamic index
+    maps (scalar-core work) vs the dynamic output map.  Drives the
+    compact/packed-descriptor redesign decision for the mid-occupancy
+    valley (VERDICT r3 ask #1)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Rs, K, L, C = 32, 4096, 64, 128
+    rng = np.random.default_rng(0)
+    wc = rng.integers(0, C, K).astype(np.int32)
+    wo = (np.arange(K) % 256).astype(np.int32)
+    tables = [jnp.asarray(np.zeros((C, 1, L), np.float32) + i)
+              for i in range(13)]   # literal-1 sublane dim: SMEM blocks
+    # must also satisfy divisible-or-full on their last two dims
+
+    def variant(n_ops, dyn_in, dyn_out):
+        if dyn_in:
+            smem = pl.BlockSpec((1, 1, L), lambda i, wc, wo: (wc[i], 0, 0),
+                                memory_space=pltpu.SMEM)
+        else:
+            smem = pl.BlockSpec((1, 1, L), lambda i, wc, wo: (0, 0, 0),
+                                memory_space=pltpu.SMEM)
+        if dyn_out:
+            out_spec = pl.BlockSpec((1, Rs, 128),
+                                    lambda i, wc, wo: (wo[i], 0, 0))
+            out_shape = jax.ShapeDtypeStruct((256, Rs, 128), jnp.float32)
+        else:
+            out_spec = pl.BlockSpec((1, Rs, 128),
+                                    lambda i, wc, wo: (i, 0, 0))
+            out_shape = jax.ShapeDtypeStruct((K, Rs, 128), jnp.float32)
+
+        def kernel(wc_ref, wo_ref, *rest):
+            out_ref = rest[-1]
+            acc = jnp.float32(0)
+            for r in rest[:-1]:          # touch every operand so no DMA
+                acc = acc + r[0, 0, 0]   # is dead-code-eliminated
+            out_ref[0] = jnp.full((Rs, 128), acc, jnp.float32)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(K,),
+            in_specs=[smem for _ in range(n_ops)], out_specs=out_spec)
+        f = pl.pallas_call(kernel, grid_spec=grid_spec,
+                           out_shape=out_shape)
+
+        @jax.jit
+        def run():
+            return f(jnp.asarray(wc), jnp.asarray(wo), *tables[:n_ops])
+
+        return run
+
+    out = {}
+    for name, cfg in dict(op13_dyn_dynout=(13, True, True),
+                          op13_dyn=(13, True, False),
+                          op2_dyn=(2, True, False),
+                          op13_static=(13, False, False),
+                          op2_static=(2, False, False)).items():
+        run = variant(*cfg)
+        jax.block_until_ready(run())
+        med = profile_median(run, 'jit_run')
+        out[name] = round(med / K * 1e6, 4)          # us per grid step
+    return out
+
+
 def task_hi_tier():
     """Double-f32 kernel tier ON SILICON: small-window parity (hi+lo
     combined on host vs the f64 oracle) + device rate on an occupancy-1
@@ -938,6 +1016,7 @@ def pending_tasks(state):
     for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
         tasks.append((f"r4c_stack_{row}",
                       lambda row=row: task_stack_row(row)))
+    tasks.append(("r4_grid_overhead_probe", task_grid_overhead_probe))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
