@@ -870,6 +870,124 @@ def task_grid_overhead_probe():
     return out
 
 
+def _measure(run, prefix):
+    """Warm-up + profiled median (patchable seam: the AOT lowering check
+    swaps this for a compile-only probe)."""
+    import jax
+    jax.block_until_ready(run())
+    return profile_median(run, prefix)
+
+
+def task_walker_cost_probe():
+    """Price the walker's building blocks on the scalar core.
+
+    The segment walker spends its time in SMEM scalar reads, lax.cond,
+    lax.switch, dynamic-trip fori_loop, and vector-valued conds; this
+    measures each in isolation (K=2048-step grid, per-step repetition,
+    cost = (variant - base) / reps) so the walker rewrite optimizes the
+    measured expensive construct instead of a guessed one."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Rs, K, L, C = 32, 2048, 128, 8
+    rng = np.random.default_rng(0)
+    wc = rng.integers(0, C, K).astype(np.int32)
+    table = jnp.asarray(
+        rng.standard_normal((C, 1, L)).astype(np.float32))
+    itab = jnp.asarray(rng.integers(0, 3, (C, 1, L)).astype(np.int32))
+
+    def variant(body):
+        smem = pl.BlockSpec((1, 1, L), lambda i, wc: (wc[i], 0, 0),
+                            memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((1, Rs, 128), lambda i, wc: (i, 0, 0))
+
+        def kernel(wc_ref, f_ref, i_ref, out_ref):
+            out_ref[0] = body(f_ref, i_ref)
+
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(K,), in_specs=[smem, smem],
+            out_specs=out_spec)
+        f = pl.pallas_call(
+            kernel, grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((K, Rs, 128), jnp.float32))
+
+        @jax.jit
+        def run():
+            return f(jnp.asarray(wc), table, itab)
+
+        return run
+
+    def b_base(f_ref, i_ref):
+        return jnp.full((Rs, 128), f_ref[0, 0, 0], jnp.float32)
+
+    def b_reads(f_ref, i_ref):
+        acc = jnp.float32(0)
+        for k in range(64):
+            acc = acc + f_ref[0, 0, k]
+        return jnp.full((Rs, 128), acc, jnp.float32)
+
+    def b_conds(f_ref, i_ref):
+        acc = jnp.float32(0)
+        for k in range(16):
+            acc = jax.lax.cond(i_ref[0, 0, k] > 0,
+                               lambda a: a + f_ref[0, 0, k],
+                               lambda a: a, acc)
+        return jnp.full((Rs, 128), acc, jnp.float32)
+
+    def b_switch(f_ref, i_ref):
+        acc = jnp.float32(0)
+        for k in range(16):
+            acc = acc + jax.lax.switch(
+                i_ref[0, 0, k],
+                [lambda k=k: f_ref[0, 0, k],
+                 lambda k=k: f_ref[0, 0, k] * 2.0,
+                 lambda k=k: f_ref[0, 0, k] + 1.0])
+        return jnp.full((Rs, 128), acc, jnp.float32)
+
+    def b_fori(f_ref, i_ref):
+        n = i_ref[0, 0, 0] + 15        # dynamic trip count ~16
+        acc = jax.lax.fori_loop(
+            0, n, lambda j, a: a + f_ref[0, 0, j], jnp.float32(0))
+        return jnp.full((Rs, 128), acc, jnp.float32)
+
+    def b_veccond(f_ref, i_ref):
+        acc = jnp.zeros((Rs, 128), jnp.float32)
+        for k in range(8):
+            acc = jax.lax.cond(
+                i_ref[0, 0, k] > 0,
+                lambda a, k=k: a + f_ref[0, 0, k],
+                lambda a: a, acc)
+        return acc
+
+    def b_vecwork(f_ref, i_ref):
+        # 8 masked vector accumulations (the masked/clip epilogue shape)
+        acc = jnp.zeros((Rs, 128), jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Rs, 128), 0)
+        for k in range(8):
+            m = rows >= i_ref[0, 0, k]
+            acc = acc + jnp.where(m, f_ref[0, 0, k], 0.0)
+        return acc
+
+    out = {}
+    for name, body, reps in (('base', b_base, 1), ('reads64', b_reads, 64),
+                             ('cond16', b_conds, 16),
+                             ('switch16x3', b_switch, 16),
+                             ('fori16', b_fori, 16),
+                             ('veccond8', b_veccond, 8),
+                             ('vecwork8', b_vecwork, 8)):
+        run = variant(body)
+        med = _measure(run, 'jit_run')
+        out[name] = round(med / K * 1e6, 4)          # us per grid step
+    base = out['base']
+    out['ns_per'] = {n: round((out[n] - base) / r * 1e3, 1)
+                     for n, r in (('reads64', 64), ('cond16', 16),
+                                  ('switch16x3', 16), ('fori16', 16),
+                                  ('veccond8', 8), ('vecwork8', 8))}
+    return out
+
+
 def task_hi_tier():
     """Double-f32 kernel tier ON SILICON: small-window parity (hi+lo
     combined on host vs the f64 oracle) + device rate on an occupancy-1
@@ -1017,6 +1135,7 @@ def pending_tasks(state):
         tasks.append((f"r4c_stack_{row}",
                       lambda row=row: task_stack_row(row)))
     tasks.append(("r4_grid_overhead_probe", task_grid_overhead_probe))
+    tasks.append(("r4_walker_cost_probe", task_walker_cost_probe))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
