@@ -1,0 +1,128 @@
+"""Panel kernel (grid = channel x panel x bucket) parity and gating.
+
+The panel kernel is the round-4 redesign of the sparse path: the
+grid-overhead and walker-cost probes (benchmarks/tpu_state.json:
+r4_grid_overhead_probe, r4_walker_cost_probe) measured ~0.5 us of pure
+step machinery per 32-row subtile against ~1-7 ns for the walker's
+actual scalar work, so the fix is FEWER, FATTER steps: one grid step per
+(channel, panel, bucket) walks all of its live subtiles in-kernel.
+Parity is asserted against the numpy oracle (kernel-vs-kernel alone
+would miss missed segments) and against the worklist kernel.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waveforms_tpu import cos, gaussian, zero
+from waveforms_tpu.ops.lowering import UnsupportedFactor, lower_schedule
+from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+from waveforms_tpu.ops.sparse_synth import (build_panel_plan,
+                                            build_sparse_plan,
+                                            panels_eligible,
+                                            synthesize_panels,
+                                            synthesize_sparse)
+
+FS = 2e9
+
+
+def _chans(n=4, pulses=12, span=6e-5, seed=1, part_freq=5e7):
+    rng = np.random.default_rng(seed)
+    out = []
+    for c in range(n):
+        w = zero()
+        for _ in range(pulses):
+            w += (0.3 * gaussian(3e-7) * cos(2 * np.pi * (part_freq + 1e6 * c))
+                  >> float(rng.uniform(1e-6, span)))
+        out.append(w)
+    return out
+
+
+def _oracle_worst(chans, out, stop):
+    t = np.arange(0.0, stop, 1 / FS)
+    worst = 0.0
+    for c, w in enumerate(chans):
+        o = w(t)
+        s = max(np.abs(o).max(), 1e-30)
+        worst = max(worst, float(np.abs(np.asarray(out[c]) - o).max() / s))
+    return worst
+
+
+def test_panels_match_oracle_and_worklist():
+    chans = _chans()
+    stop = 6.5536e-5
+    low = lower_schedule(chans, 0.0, stop, FS)
+    dev = DeviceSchedule(low)
+    plan = build_panel_plan(low, Rs=8, panel_rows=512)
+    assert plan.n_panels > 1          # exercise the multi-panel path
+    out = synthesize_panels(dev, plan=plan, interpret=True)
+    ref = synthesize_sparse(dev, low=low, Rs=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert _oracle_worst(chans, out, stop) < 1e-6
+
+
+def test_panels_multibucket_accumulates_straddles():
+    chans = _chans(n=2, pulses=20, span=2.5e-4, seed=2)
+    stop = 2.62144e-4
+    low = lower_schedule(chans, 0.0, stop, FS, bucket_samples=65536)
+    assert low.shape[1] > 1
+    dev = DeviceSchedule(low)
+    out = synthesize_panels(dev, low=low, interpret=True)
+    assert _oracle_worst(chans, out, stop) < 1e-6
+
+
+def test_panels_pair_mode_planes():
+    chans = _chans(n=2)
+    stop = 6.5536e-5
+    low = lower_schedule(chans, 0.0, stop, FS, part='complex')
+    dev = DeviceSchedule(low)
+    re, im = synthesize_panels(dev, low=low, interpret=True,
+                               combine_pair=False)
+    re2, im2 = synthesize_sparse(dev, low=low, interpret=True,
+                                 combine_pair=False)
+    np.testing.assert_array_equal(np.asarray(re), np.asarray(re2))
+    np.testing.assert_array_equal(np.asarray(im), np.asarray(im2))
+
+
+def test_panels_int16_single_bucket():
+    chans = _chans()
+    low = lower_schedule(chans, 0.0, 6.5536e-5, FS)
+    dev = DeviceSchedule(low)
+    codes = synthesize_panels(dev, low=low, interpret=True,
+                              out_dtype=jnp.int16)
+    ref = synthesize_sparse(dev, low=low, interpret=True,
+                            out_dtype=jnp.int16)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(ref))
+
+
+def test_panels_gate_narrow_multibucket():
+    chans = _chans(n=2, pulses=20, span=2.5e-4, seed=2)
+    low = lower_schedule(chans, 0.0, 2.62144e-4, FS, bucket_samples=65536)
+    dev = DeviceSchedule(low)
+    plan = build_panel_plan(low)
+    assert not panels_eligible(plan, jnp.int16, False)
+    with pytest.raises(UnsupportedFactor):
+        synthesize_panels(dev, plan=plan, interpret=True,
+                          out_dtype=jnp.int16)
+
+
+def test_panels_reject_foreign_plan():
+    low = lower_schedule(_chans(), 0.0, 6.5536e-5, FS)
+    other = lower_schedule(_chans(n=2), 0.0, 3.2768e-5, FS)
+    plan = build_panel_plan(other)
+    with pytest.raises(ValueError):
+        synthesize_panels(DeviceSchedule(low), plan=plan, interpret=True)
+
+
+def test_panel_plan_covers_every_live_subtile():
+    """The panel worklist must contain exactly the sparse plan's live
+    items (re-segmented, not re-derived)."""
+    low = lower_schedule(_chans(), 0.0, 6.5536e-5, FS)
+    sp = build_sparse_plan(low, Rs=8)
+    pp = build_panel_plan(low, Rs=8, panel_rows=512)
+    assert pp.n_live == sp.n_live
+    assert int(pp.start[-1]) == pp.n_live
+    np.testing.assert_array_equal(np.sort(pp.work_t[:pp.n_live]),
+                                  np.sort(sp.work_t[:sp.n_live]))

@@ -35,7 +35,7 @@ def lowering_results():
 
 
 @pytest.mark.parametrize('name', [
-    'dense_fine_skip', 'dense_pair', 'dense_int16', 'sparse',
+    'dense_fine_skip', 'dense_pair', 'dense_int16', 'sparse', 'panels',
     'hi_including_chirp', 'stack_including_ext', 'play_many'])
 def test_kernel_lowers_for_tpu(lowering_results, name):
     assert name in lowering_results, (

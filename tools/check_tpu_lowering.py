@@ -164,6 +164,36 @@ def check_stack_including_ext():
     runner2.trace().lower(lowering_platforms=('tpu',))
 
 
+def check_panels():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_mid_schedule
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import _run_panels, \
+        build_panel_plan
+
+    # multi-panel + multi-bucket + pair cover every structural variant
+    for part, bs, span in (('real', None, 5.24288e-4),
+                           ('complex', None, 6.5536e-5),
+                           ('real', 16384, 6.5536e-5)):
+        low = lower_schedule(build_mid_schedule(n_channels=4), 0.0, span,
+                             FS, part=part, bucket_samples=bs)
+        dev = DeviceSchedule(low)
+        plan = build_panel_plan(low)
+        C, NB, S, T, F = dev.shape
+        tensors = dev.tensors[:2] + dev.tensors[3:]
+        f = jax.jit(functools.partial(
+            _run_panels, S=S, T=T, F=F, Rs=plan.Rs, P=plan.P,
+            NP=plan.n_panels, ops_present=dev.ops_present))
+        lowers_for_tpu(f, jnp.asarray(plan.start),
+                       jnp.asarray(plan.work_t),
+                       jnp.asarray(plan.work_s0),
+                       jnp.asarray(plan.work_s1), *tensors,
+                       dev.amp_im, None)
+
+
 def check_play_many():
     import jax
     import jax.numpy as jnp
@@ -185,6 +215,7 @@ CHECKS = {
     'dense_pair': check_dense_pair,
     'dense_int16': check_dense_int16,
     'sparse': check_sparse,
+    'panels': check_panels,
     'hi_including_chirp': check_hi_including_chirp,
     'stack_including_ext': check_stack_including_ext,
     'play_many': check_play_many,

@@ -474,6 +474,52 @@ def task_mid_sparse(Rs):
             "occupied": round(plan.occupied_fraction, 4)}
 
 
+def task_panels(which, panel_rows=4096):
+    """Panel kernel (grid = channel x panel x bucket; round-4 redesign
+    driven by r4_grid_overhead_probe/r4_walker_cost_probe) on the mid or
+    flagship stratum, with small-window parity readback."""
+    import jax
+
+    from bench import build_mid_schedule
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import (build_panel_plan,
+                                                synthesize_panels)
+    from waveforms_tpu.utils.profiling import measure_device
+
+    chans = (build_mid_schedule() if which == 'mid'
+             else _sparse_chans())
+    low = lower_schedule(chans, 0.0, 524.288e-6, FS)
+    dev = DeviceSchedule(low)
+    plan = build_panel_plan(low, panel_rows=panel_rows)
+    jax.block_until_ready(dev.tensors)
+
+    # parity on a small readback-safe window first
+    stop_s = 16.384e-6
+    chans_s = (build_mid_schedule(n_channels=8) if which == 'mid'
+               else _sparse_chans(8))
+    low_s = lower_schedule(chans_s, 0.0, stop_s, FS)
+    out_s = np.asarray(synthesize_panels(DeviceSchedule(low_s), low=low_s))
+    t = np.arange(0.0, stop_s, 1 / FS)
+    worst = 0.0
+    for c, w in enumerate(chans_s):
+        oracle = w(t)
+        s = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst, float(np.abs(out_s[c] - oracle).max() / s))
+
+    def run():
+        return synthesize_panels(dev, plan=plan)
+
+    med = _measure(run, 'jit__run_panels')
+    n = len(chans) * low.n_samples
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(n / med / 1e9, 1), "n_live": plan.n_live,
+            "P": plan.P, "n_steps": (plan.n_channels * plan.n_panels
+                                     * plan.n_buckets),
+            "occupied": round(plan.occupied_fraction, 4),
+            "max_rel_err": worst, "parity_ok": bool(worst < 1e-5)}
+
+
 def task_seq_sparse():
     """Sequencer shot-loop on silicon: sparse vs dense play of the same
     128-channel table (parity readback on a small table first)."""
@@ -1136,6 +1182,13 @@ def pending_tasks(state):
                       lambda row=row: task_stack_row(row)))
     tasks.append(("r4_grid_overhead_probe", task_grid_overhead_probe))
     tasks.append(("r4_walker_cost_probe", task_walker_cost_probe))
+    # panel kernel (the probe-driven redesign): valley + flagship strata,
+    # plus a panel-height sweep on the mid stratum
+    tasks.append(("r4_panel_mid", lambda: task_panels('mid')))
+    tasks.append(("r4_panel_flagship", lambda: task_panels('flagship')))
+    for pr in (2048, 8192):
+        tasks.append((f"r4_panel_mid_P{pr}",
+                      lambda pr=pr: task_panels('mid', panel_rows=pr)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

@@ -37,7 +37,9 @@ from .pallas_synth import (DeviceSchedule, _tile_walker,
                            validate_out_mode)
 
 __all__ = ['SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
-           'synthesize_sparse_sharded', 'SPARSE_OCCUPANCY_THRESHOLD']
+           'synthesize_sparse_sharded', 'SPARSE_OCCUPANCY_THRESHOLD',
+           'PanelPlan', 'build_panel_plan', 'synthesize_panels',
+           'panels_eligible']
 
 DEFAULT_SUBTILE_ROWS = 32
 
@@ -322,6 +324,296 @@ def _validate_plan(plan: SparsePlan, dev: DeviceSchedule) -> None:
                 "sparse plan indexes outside this schedule's descriptor "
                 f"blocks (shape {dev.shape}, {n_tiles_abs} subtiles) -- "
                 "it was built from a different lowering")
+
+
+# ---------------------------------------------------------------------------
+# Panel kernel: few fat grid steps instead of one step per live subtile.
+#
+# Round-4 probes (benchmarks/tpu_state.json: r4_grid_overhead_probe,
+# r4_walker_cost_probe) localized the worklist kernel's cost precisely:
+# scalar reads / conds / switches inside the walker are ~1-7 ns, but every
+# grid step pays ~0.135 us of step machinery plus ~30 ns per dynamically
+# index-mapped operand (the SMEM block refetch), i.e. ~0.5 us of pure
+# overhead per 32-row subtile.  At mid occupancy (~10% live) that fixed
+# cost is ~2 ms of a 5 ms synthesis.  Here the grid is
+# (channel, panel, bucket): each step zero-fills its (P, 128) output
+# panel once, then walks ALL of its live subtiles in-kernel (worklist
+# rides whole in SMEM via scalar prefetch -- no per-step refetch), storing
+# each subtile at a dynamic sublane-aligned row offset.  Fixed costs drop
+# from n_live * 0.5 us to n_steps * 0.5 us with n_steps ~ C * NP * NB
+# (hundreds, not thousands), the aliased zero background disappears (the
+# panel store IS the fill), and bucket-straddling subtiles accumulate
+# naturally across the innermost bucket axis.
+# ---------------------------------------------------------------------------
+
+PANEL_ROWS = 4096                 # (P, 128) f32 block = 2 MB; x2 buffers
+PANEL_WORK_SMEM_BUDGET = 256 * 1024   # worklist bytes resident in SMEM
+
+
+@dataclass
+class PanelPlan:
+    """Per-(channel, panel, bucket) segmented worklist (build_panel_plan)."""
+    Rs: int                  # subtile height in output rows
+    P: int                   # panel height in output rows (multiple of Rs)
+    n_panels: int            # panels per channel
+    start: np.ndarray        # i32[C*NP*NB + 1] worklist slice offsets
+    work_t: np.ndarray       # i32[K] channel-local subtile index
+    work_s0: np.ndarray      # i32[K] first segment
+    work_s1: np.ndarray      # i32[K] one past the last segment
+    n_live: int
+    n_channels: int
+    n_buckets: int
+    window_samples: int
+    bucket_samples: int = 0
+
+    @property
+    def occupied_fraction(self):
+        n_tiles = self.n_panels * (self.P // self.Rs)
+        return self.n_live / max(n_tiles * self.n_channels, 1)
+
+
+def build_panel_plan(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
+                     panel_rows: int = PANEL_ROWS) -> PanelPlan:
+    """Re-segment the live-subtile worklist by (channel, panel, bucket)."""
+    base = build_sparse_plan(low, Rs=Rs)
+    C, NB, S, T, F = low.shape
+    n_rows = -(-low.n_samples // 128)
+    P = max(Rs, min(panel_rows, -(-n_rows // Rs) * Rs))
+    P = (P // Rs) * Rs
+    NP = -(-n_rows // P)
+    live = slice(0, base.n_live)
+    wc = base.work_c[live].astype(np.int64)
+    wb = base.work_b[live].astype(np.int64)
+    wt = base.work_t[live].astype(np.int64)
+    ws0 = base.work_s0[live]
+    ws1 = base.work_s1[live]
+    pidx = (wt * Rs) // P
+    slot = (wc * NP + pidx) * NB + wb
+    order = np.argsort(slot, kind='stable')
+    n_slots = C * NP * NB
+    start = np.zeros(n_slots + 1, np.int64)
+    np.add.at(start, slot + 1, 1)
+    start = np.cumsum(start)
+    K = next_pow2(base.n_live)
+    pad = K - base.n_live
+    return PanelPlan(
+        Rs=Rs, P=P, n_panels=NP,
+        start=start.astype(np.int32),
+        work_t=np.concatenate([wt[order],
+                               np.zeros(pad, np.int64)]).astype(np.int32),
+        work_s0=np.concatenate([ws0[order],
+                                np.zeros(pad, np.int32)]).astype(np.int32),
+        work_s1=np.concatenate([ws1[order],
+                                np.zeros(pad, np.int32)]).astype(np.int32),
+        n_live=base.n_live, n_channels=C, n_buckets=NB,
+        window_samples=low.n_samples, bucket_samples=base.bucket_samples)
+
+
+def panels_eligible(plan: PanelPlan, out_dtype, pair: bool) -> bool:
+    """Static eligibility for the panel kernel.
+
+    Multi-bucket schedules accumulate read-modify-write in the output
+    dtype, so narrowed stores (bf16/f16) and int16 DAC codes require a
+    single bucket; the worklist must fit the SMEM budget."""
+    if (3 * len(plan.work_t) + len(plan.start)) * 4 > PANEL_WORK_SMEM_BUDGET:
+        return False
+    if plan.n_buckets > 1 and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32):
+        return False
+    return True
+
+
+def _panel_kernel(start_ref, wt_ref, ws0_ref, ws1_ref,
+                  seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref, amp_ref,
+                  op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
+                  clip_ref, *rest, S, T, F, Rs, P, NB, NP, ops_present,
+                  pair=False, dac=False):
+    scale_ref = amp2_ref = None
+    if pair:
+        amp2_ref, out_ref, out2_ref = rest
+    elif dac:
+        scale_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    c = pl.program_id(0)
+    p = pl.program_id(1)
+    b = pl.program_id(2)
+    accumulate = NB > 1          # bucket-straddling subtiles add up
+
+    @pl.when(b == 0)
+    def _zero_panel():
+        z = jnp.zeros((P, 128), out_ref.dtype)
+        out_ref[0] = z
+        if pair:
+            out2_ref[0] = jnp.zeros((P, 128), out2_ref.dtype)
+
+    tile = Rs * 128
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Rs, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Rs, 128), 1)
+    walker_args = (seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref, amp_ref,
+                   op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
+                   clip_ref, amp2_ref)
+
+    slot = (c * NP + p) * NB + b
+    k0 = start_ref[slot]
+    k1 = start_ref[slot + 1]
+
+    def item(k, carry):
+        t = wt_ref[k]
+        base = t * tile
+        idx = base + rows * 128 + cols
+        seg_at, a0 = _tile_walker(idx, base, tile, Rs, *walker_args,
+                                  T=T, F=F, ops_present=ops_present,
+                                  pair=pair)
+        acc = jax.lax.fori_loop(ws0_ref[k], ws1_ref[k], seg_at, a0)
+        sl = pl.ds(t * Rs - p * P, Rs)       # multiple of Rs >= 8
+        if pair:
+            re, im = acc
+            if accumulate:
+                re = out_ref[0, sl, :] + re
+                im = out2_ref[0, sl, :] + im
+            out_ref[0, sl, :] = re.astype(out_ref.dtype)
+            out2_ref[0, sl, :] = im.astype(out2_ref.dtype)
+        elif dac:
+            code = jnp.round(acc * scale_ref[0, 0, 0, 0])
+            out_ref[0, sl, :] = jnp.clip(code, -32768.0,
+                                         32767.0).astype(out_ref.dtype)
+        else:
+            if accumulate:
+                acc = out_ref[0, sl, :].astype(jnp.float32) + acc
+            out_ref[0, sl, :] = acc.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(k0, k1, item, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('S', 'T', 'F', 'Rs', 'P', 'NP',
+                              'ops_present', 'interpret', 'out_dtype'))
+def _run_panels(start, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
+                op, pw, sh, q32, args, ext, clip, amp_im=None, scale=None,
+                *, S, T, F, Rs, P, NP,
+                ops_present=tuple(range(N_OPS)), interpret=False,
+                out_dtype=jnp.float32):
+    C = seg_lo.shape[0]
+    NB = seg_lo.shape[1]
+    E = ext.shape[-1]
+    pair = amp_im is not None
+    dac = jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer)
+
+    def smem(k, bcast=False):
+        if bcast:
+            return pl.BlockSpec(
+                (1, 1, 1, k),
+                lambda c, p, b, start, wt, ws0, ws1: (0, 0, 0, 0),
+                memory_space=pltpu.SMEM)
+        return pl.BlockSpec(
+            (1, 1, 1, k),
+            lambda c, p, b, start, wt, ws0, ws1: (c, b, 0, 0),
+            memory_space=pltpu.SMEM)
+
+    def chan_smem(k):
+        return pl.BlockSpec(
+            (1, 1, 1, k),
+            lambda c, p, b, start, wt, ws0, ws1: (c, 0, 0, 0),
+            memory_space=pltpu.SMEM)
+
+    out_spec = pl.BlockSpec(
+        (1, P, 128), lambda c, p, b, start, wt, ws0, ws1: (c, p, 0))
+    in_specs = [
+        smem(S), smem(S), smem(S),                   # seg_lo, seg_hi, nterm
+        smem(S * T), smem(S * T),                    # nfac, amp
+        smem(S * T * F), smem(S * T * F),            # op, power
+        smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
+        smem(S * T * F * W_ARGS),                    # args
+        smem(E, bcast=True),                         # ext
+        chan_smem(2),                                # clip
+    ]
+    operands = [seg_lo, seg_hi, nterm, nfac, amp, op, pw, sh, q32, args,
+                ext, clip]
+    if pair:
+        in_specs.append(smem(S * T))                 # amp_im
+        operands.append(amp_im)
+    if dac:
+        if scale is None:
+            raise ValueError("integer out_dtype requires a per-channel "
+                             "scale")
+        in_specs.append(chan_smem(1))                # DAC scale
+        operands.append(scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(C, NP, NB),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec) if pair else out_spec,
+    )
+    kernel = functools.partial(_panel_kernel, S=S, T=T, F=F, Rs=Rs, P=P,
+                               NB=NB, NP=NP, ops_present=ops_present,
+                               pair=pair, dac=dac)
+    out_shape = jax.ShapeDtypeStruct((C, NP * P, 128), out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape) if pair else out_shape,
+        interpret=interpret,
+    )(start, wt, ws0, ws1, *operands)
+
+
+def _validate_panel_plan(plan: PanelPlan, dev: DeviceSchedule) -> None:
+    C, NB, S, T, F = dev.shape
+    if plan.n_channels != C or plan.n_buckets != NB:
+        raise ValueError(
+            f"panel plan covers {plan.n_channels}x{plan.n_buckets} "
+            f"channel-buckets, schedule has {C}x{NB} -- rebuild the plan "
+            "from this schedule's lowering")
+    if plan.bucket_samples and plan.bucket_samples != dev.bucket_samples:
+        raise ValueError(
+            f"panel plan bucket_samples {plan.bucket_samples} != "
+            f"schedule's {dev.bucket_samples}")
+    if plan.window_samples != dev.n_samples:
+        raise ValueError(
+            f"panel plan window ({plan.window_samples} samples) != "
+            f"schedule ({dev.n_samples})")
+    if plan.n_live and int(plan.work_s1[:plan.n_live].max()) > S:
+        raise ValueError(
+            "panel plan indexes outside this schedule's segment lists -- "
+            "it was built from a different lowering")
+
+
+def synthesize_panels(dev: DeviceSchedule,
+                      low: LoweredSchedule | None = None,
+                      plan: PanelPlan | None = None,
+                      Rs: int = DEFAULT_SUBTILE_ROWS,
+                      interpret: bool = False,
+                      out_dtype=jnp.float32,
+                      dac_scale=32767.0,
+                      combine_pair: bool = True):
+    """Run the panel kernel on device-resident descriptors."""
+    C, NB, S, T, F = dev.shape
+    scale = validate_out_mode(out_dtype, dev.amp_im, C, dac_scale)
+    if plan is None:
+        if low is None:
+            raise ValueError("synthesize_panels needs `low` or `plan`")
+        plan = build_panel_plan(low, Rs=Rs)
+    _validate_panel_plan(plan, dev)
+    if not panels_eligible(plan, out_dtype, dev.amp_im is not None):
+        raise UnsupportedFactor(
+            "schedule is outside the panel kernel's budgets (worklist "
+            "SMEM or narrowed multi-bucket stores) -- use "
+            "synthesize_sparse")
+    tensors = dev.tensors[:2] + dev.tensors[3:]
+    out = _run_panels(
+        jnp.asarray(plan.start), jnp.asarray(plan.work_t),
+        jnp.asarray(plan.work_s0), jnp.asarray(plan.work_s1), *tensors,
+        dev.amp_im, scale,
+        S=S, T=T, F=F, Rs=plan.Rs, P=plan.P, NP=plan.n_panels,
+        ops_present=dev.ops_present, interpret=interpret,
+        out_dtype=out_dtype)
+    if dev.amp_im is not None:
+        re, im = out
+        if not combine_pair:
+            return (re.reshape(C, -1)[:, :plan.window_samples],
+                    im.reshape(C, -1)[:, :plan.window_samples])
+        out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
+    return out.reshape(C, -1)[:, :plan.window_samples]
 
 
 def synthesize_sparse(dev: DeviceSchedule, low: LoweredSchedule | None = None,
