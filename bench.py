@@ -214,17 +214,17 @@ def main():
         dense_raw.extend(meds)
         dense_s += min(meds)
 
-    # the sparse worklist kernel should beat the dense grid on this
-    # low-occupancy schedule; measure both and report the best (the
-    # kernels are bit-identical in output -- fuzz-pinned)
+    # the sparse-family kernels should beat the dense grid on this
+    # low-occupancy schedule; measure the worklist AND the round-4 panel
+    # kernel and report the best (all kernels are oracle/fuzz-pinned)
     sparse_s = None
     sparse_raw = []
+    Rs = 32
+    n_tiles = -(-(-(-low.n_samples // 128)) // Rs)
+    half_t = n_tiles // 2
     try:
         from waveforms_tpu.ops.sparse_synth import build_sparse_plan, \
             synthesize_sparse
-        Rs = 32
-        n_tiles = -(-(-(-low.n_samples // 128)) // Rs)
-        half_t = n_tiles // 2
         acc = 0.0
         for w_lo, w_hi in ((0, half_t), (half_t, n_tiles)):
             plan = build_sparse_plan(low, Rs=Rs, tile_window=(w_lo, w_hi))
@@ -241,19 +241,39 @@ def main():
     except Exception:
         pass                               # dense-only headline
 
-    headline_s = min(dense_s, sparse_s) if sparse_s else dense_s
+    panel_s = None
+    panel_raw = []
+    try:
+        from waveforms_tpu.ops.sparse_synth import build_panel_plan, \
+            panels_eligible, synthesize_panels
+        acc = 0.0
+        for w_lo, w_hi in ((0, half_t), (half_t, n_tiles)):
+            pplan = build_panel_plan(low, Rs=Rs, tile_window=(w_lo, w_hi))
+            if not panels_eligible(pplan, np.float32, False):
+                raise RuntimeError('panel plan outside budgets')
+
+            def prun():
+                return synthesize_panels(dev, plan=pplan)
+
+            prun().block_until_ready()
+            meds = [measure_device(prun, 'jit__run_panels', reps=5)
+                    for _ in range(2)]
+            panel_raw.extend(meds)
+            acc += min(meds)
+        panel_s = acc
+    except Exception:
+        pass                               # headline without the panel row
+
+    headline_s = min(s for s in (dense_s, sparse_s, panel_s) if s)
     flagship_gsps = 128 * TOTAL_SAMPLES / headline_s / 1e9
     # the production entry point picks the same kernel: record that the
     # public API's routing criterion selects the headline path (guarded:
     # a plan failure must not kill the benchmark -- the sparse block
     # above already degraded gracefully on the same condition)
-    api_routes_sparse = False
+    api_route = None
     try:
-        from waveforms_tpu.engine import _sparse_threshold
-        from waveforms_tpu.ops.sparse_synth import build_sparse_plan \
-            as _bsp
-        api_routes_sparse = bool(
-            _bsp(low).occupied_fraction < _sparse_threshold())
+        from waveforms_tpu.engine import classify_pallas_route
+        api_route = classify_pallas_route(low)[0]
     except Exception:
         pass
 
@@ -278,6 +298,24 @@ def main():
         mlow, mdev = _upload(build_mid_schedule(), 0.0, 524.288e-6)
         mid_occ = schedule_occupancy(mlow)
         times = {}
+        try:
+            from waveforms_tpu.ops.sparse_synth import build_panel_plan \
+                as _bpp2
+            from waveforms_tpu.ops.sparse_synth import panels_eligible \
+                as _pe2
+            from waveforms_tpu.ops.sparse_synth import synthesize_panels \
+                as _sp2
+            pplan2 = _bpp2(mlow)
+            if _pe2(pplan2, np.float32, False):
+
+                def mrun_p():
+                    return _sp2(mdev, plan=pplan2)
+
+                mrun_p().block_until_ready()
+                times['panel'] = measure_device(mrun_p, 'jit__run_panels',
+                                                reps=5)
+        except Exception:
+            pass
         try:
             from waveforms_tpu.ops.sparse_synth import build_sparse_plan \
                 as _bsp2
@@ -330,13 +368,17 @@ def main():
         **({"sparse_kernel_gsps":
             round(128 * TOTAL_SAMPLES / sparse_s / 1e9, 2)}
            if sparse_s else {}),
+        **({"panel_kernel_gsps":
+            round(128 * TOTAL_SAMPLES / panel_s / 1e9, 2)}
+           if panel_s else {}),
         "window_raw_s": {"grid": [round(s, 6) for s in dense_raw],
-                         "sparse": [round(s, 6) for s in sparse_raw]},
+                         "sparse": [round(s, 6) for s in sparse_raw],
+                         "panel": [round(s, 6) for s in panel_raw]},
         "headline_policy": "flagship = sum over 2 windows of min(best-of-2 "
                            "median-of-5 device events) per kernel, then "
-                           "min(grid, sparse); kernels are bit-identical "
-                           "(fuzz-pinned); engine auto routing selects "
-                           f"sparse={api_routes_sparse}",
+                           "min(grid, sparse, panel); kernels are "
+                           "oracle/fuzz-pinned; engine auto routing picks "
+                           f"path={api_route}",
         "timing": "profiler_device_events",
         "windows": 2,
         "device": str(jax.devices()[0]),

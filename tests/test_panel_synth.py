@@ -108,6 +108,26 @@ def test_panels_gate_narrow_multibucket():
                           out_dtype=jnp.int16)
 
 
+def test_panels_windowed_tiles_reassemble():
+    """A big schedule run as tile windows must reassemble bit-for-bit to
+    the full-range panel run (the >0.6 GB-output headline path)."""
+    chans = _chans()
+    stop = 6.5536e-5
+    low = lower_schedule(chans, 0.0, stop, FS)
+    dev = DeviceSchedule(low)
+    full = np.asarray(synthesize_panels(dev, low=low, Rs=8, interpret=True))
+    n_rows = -(-low.n_samples // 128)
+    n_tiles = -(-n_rows // 8)
+    cut = n_tiles // 2
+    parts = []
+    for win in ((0, cut), (cut, n_tiles)):
+        plan = build_panel_plan(low, Rs=8, panel_rows=512, tile_window=win)
+        parts.append(np.asarray(synthesize_panels(dev, plan=plan,
+                                                  interpret=True)))
+    joined = np.concatenate(parts, axis=1)[:, :low.n_samples]
+    np.testing.assert_array_equal(joined, full)
+
+
 def test_panels_reject_foreign_plan():
     low = lower_schedule(_chans(), 0.0, 6.5536e-5, FS)
     other = lower_schedule(_chans(n=2), 0.0, 3.2768e-5, FS)

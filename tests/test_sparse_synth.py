@@ -363,36 +363,22 @@ def test_sparse_sharded_int16_codes():
 
 
 def test_engine_routing_precedence_per_workload_class():
-    """The measured routing order (review finding r3): sparse worklist
-    first whenever subtile occupancy is low; the stack path only for
+    """The measured routing order (rounds 3-4): panel kernel first
+    whenever subtile occupancy is low and the plan fits its budgets
+    (worklist kernel when it does not); the stack path only for
     high-occupancy narrow-pulse schedules or un-lowerable ones; dense
     otherwise.  A regression here silently moves the flagship off its
-    133 GS/s path."""
+    162 GS/s path.  Exercises the engine's OWN classifier."""
     from waveforms_tpu import chirp, drag, gaussian
-    from waveforms_tpu.engine import _sparse_threshold, _stack_advantage
-    from waveforms_tpu.ops.stack_synth import build_stack_plan
+    from waveforms_tpu.engine import classify_pallas_route
 
-    def route(chans, start, stop, fs, bucket='auto'):
-        low = lower_schedule(chans, start, stop, fs,
+    def route(chans, start, stop, fs, bucket='auto', part='real'):
+        low = lower_schedule(chans, start, stop, fs, part=part,
                              bucket_samples=bucket)
-        sp = None
-        if low.pallas_ok:
-            try:
-                sp = build_sparse_plan(low)
-            except Exception:
-                sp = None
-        if sp is not None and sp.occupied_fraction < _sparse_threshold():
-            return 'sparse'
-        st = build_stack_plan(low)
-        if st is not None and (
-                (st.n_narrow >= 64
-                 and st.advantage >= _stack_advantage())
-                or (not low.pallas_ok and st.wide is None)):
-            return 'stack'
-        return 'dense'
+        return classify_pallas_route(low)[0]
 
-    # flagship-class: many channels, pulse-sparse -> worklist kernel
-    assert route(_sparse_schedule(8), 0, 32.768e-6, FS) == 'sparse'
+    # flagship-class: many channels, pulse-sparse -> panel kernel
+    assert route(_sparse_schedule(8), 0, 32.768e-6, FS) == 'panel'
     # vstack-class: one channel FULL of short pulses -> instance batch
     rng = np.random.default_rng(1)
     stack = WaveVStack([(0.5 * cosPulse(50e-9) >> o)
@@ -408,6 +394,20 @@ def test_engine_routing_precedence_per_workload_class():
     # dense-class: occupancy 1.0 wide envelope -> dense grid
     assert route([gaussian(3e-3) * chirp(1e6, 500e6, 1e-3, 0.0, 'linear')],
                  0, 64e-6, FS) == 'dense'
+    # worklist fallback: a low-occupancy plan whose worklist exceeds the
+    # panel SMEM budget must still reach the sparse worklist kernel
+    from waveforms_tpu.engine import _sparse_threshold
+    from waveforms_tpu.ops import sparse_synth as sp
+    low = lower_schedule(_sparse_schedule(8), 0, 32.768e-6, FS,
+                         bucket_samples='auto')
+    plan = build_sparse_plan(low)
+    assert plan.occupied_fraction < _sparse_threshold()
+    orig = sp.PANEL_WORK_SMEM_BUDGET
+    try:
+        sp.PANEL_WORK_SMEM_BUDGET = 64        # force ineligibility
+        assert classify_pallas_route(low)[0] == 'sparse'
+    finally:
+        sp.PANEL_WORK_SMEM_BUDGET = orig
 
 
 def test_sparse_sharded_pair_mode_matches_unsharded():

@@ -189,6 +189,7 @@ def check_panels():
             NP=plan.n_panels, ops_present=dev.ops_present))
         lowers_for_tpu(f, jnp.asarray(plan.start),
                        jnp.asarray(plan.work_t),
+                       jnp.asarray(plan.work_o),
                        jnp.asarray(plan.work_s0),
                        jnp.asarray(plan.work_s1), *tensors,
                        dev.amp_im, None)

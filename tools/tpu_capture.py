@@ -1087,6 +1087,157 @@ def task_hi_tier():
             "max_rel_err": worst, "parity_ok": bool(worst < 1e-9)}
 
 
+def task_suite_routed(name):
+    """BASELINE.md row through the ENGINE's own route classifier: time the
+    kernel the production entry point picks (round-4 panel routing), with
+    an oracle parity readback first (these rows are readback-safe sizes).
+    """
+    import importlib
+
+    import jax
+
+    bench_suite = importlib.import_module('bench_suite')
+    from waveforms_tpu.engine import classify_pallas_route
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+
+    chans, start, stop, fs = bench_suite.build(name)
+    low = lower_schedule(chans, start, stop, fs)
+    kind, plan = classify_pallas_route(low)
+    dev = DeviceSchedule(low)
+    jax.block_until_ready(dev.tensors)
+    if kind == 'panel':
+        from waveforms_tpu.ops.sparse_synth import synthesize_panels
+
+        def run():
+            return synthesize_panels(dev, plan=plan)
+
+        span = 'jit__run_panels'
+    elif kind == 'sparse':
+        from waveforms_tpu.ops.sparse_synth import synthesize_sparse
+
+        def run():
+            return synthesize_sparse(dev, plan=plan)
+
+        span = 'jit__run_sparse'
+    else:
+        from waveforms_tpu.ops.pallas_synth import (default_rows_per_tile,
+                                                    synthesize_device)
+        C, NB, S, T, F = dev.shape
+        R = default_rows_per_tile(dev.n_samples, dev.bucket_samples, NB)
+
+        def run():
+            return synthesize_device(dev, rows_per_tile=R)
+
+        span = 'jit__run_kernel'
+    out = np.asarray(run())
+    t = np.arange(start, stop, 1 / fs)
+    worst = 0.0
+    for c, w in enumerate(chans):
+        oracle = np.real(w(t))
+        s = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst, float(np.abs(out[c, :len(t)] - oracle).max() / s))
+    med = profile_median(run, span)
+    rate = len(chans) * low.n_samples / med
+    return {"gsps": round(rate / 1e9, 4), "path": kind,
+            "device_ms": round(med * 1e3, 4),
+            "max_rel_err": worst, "parity_ok": bool(worst < 1e-5),
+            "vs_reference_cpu": round(rate / bench_suite.REF[name], 1)}
+
+
+def _ladder_chans(n_pulses, n_channels=128, duration=524.288e-6, seed=5):
+    """Occupancy-ladder schedules: n_pulses 200 ns mixed pulses/channel
+    over a 524 us window (25 pulses ~ 10% subtile occupancy at Rs=32)."""
+    from waveforms_tpu import cosPulse, mixing, zero
+    rng = np.random.default_rng(seed)
+    chans = []
+    for c in range(n_channels):
+        x = zero()
+        for _ in range(n_pulses):
+            I, _ = mixing(
+                0.5 * cosPulse(200e-9) >> rng.uniform(0, duration * 0.9),
+                freq=-150e6 - 2e6 * c, DRAGScaling=1e-10)
+            x += I
+        chans.append(x)
+    return chans
+
+
+def task_occ_ladder(n_pulses):
+    """Race panel kernel vs fine-skip dense at one occupancy rung; the
+    crossover pins PANEL_OCCUPANCY_THRESHOLD (engine auto routing)."""
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import (build_panel_plan,
+                                                panels_eligible,
+                                                synthesize_panels)
+
+    dur = 524.288e-6
+    chans = _ladder_chans(n_pulses)
+    low = lower_schedule(chans, 0.0, dur, FS)
+    dev = DeviceSchedule(low)
+    jax.block_until_ready(dev.tensors)
+    res = {"n_pulses": n_pulses}
+    n = len(chans) * low.n_samples
+    plan = build_panel_plan(low)
+    res["occupied"] = round(plan.occupied_fraction, 4)
+    if panels_eligible(plan, np.float32, False):
+
+        def prun():
+            return synthesize_panels(dev, plan=plan)
+
+        med = _measure(prun, 'jit__run_panels')
+        res["panel_gsps"] = round(n / med / 1e9, 1)
+        res["panel_ms"] = round(med * 1e3, 3)
+    else:
+        res["panel_gsps"] = None        # outside SMEM budget at this rung
+    R = 256
+    drun, _, _ = _kernel_runner(chans, 0.0, dur, R)
+    med = _measure(drun, 'jit__run_kernel')
+    res["dense_fine_gsps"] = round(n / med / 1e9, 1)
+    res["dense_fine_ms"] = round(med * 1e3, 3)
+    return res
+
+
+def task_panel_headline():
+    """Flagship 1 ms schedule through the panel kernel as two 524 us tile
+    windows (the >0.6 GB single-output abort workaround) -- the round-4
+    headline: window placement is window-relative via PanelPlan.work_o."""
+    import jax
+
+    from bench import TOTAL_SAMPLES, build_schedule
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import (build_panel_plan,
+                                                synthesize_panels)
+
+    chans = build_schedule()
+    low = lower_schedule(chans, 0.0, 1e-3, FS)
+    dev = DeviceSchedule(low)
+    jax.block_until_ready(dev.tensors)
+    Rs = 32
+    n_rows = -(-low.n_samples // 128)
+    n_tiles = -(-n_rows // Rs)
+    half = n_tiles // 2
+    total = 0.0
+    raw = []
+    for win in ((0, half), (half, n_tiles)):
+        plan = build_panel_plan(low, Rs=Rs, tile_window=win)
+
+        def run():
+            return synthesize_panels(dev, plan=plan)
+
+        med = _measure(run, 'jit__run_panels')
+        raw.append(round(med, 6))
+        total += med
+    gsps = len(chans) * TOTAL_SAMPLES / total / 1e9
+    return {"gsps": round(gsps, 1), "device_ms": round(total * 1e3, 3),
+            "windows": 2, "window_raw_s": raw,
+            "note": "1GB single-window output aborts this tunnel; "
+                    "panel windows via work_o"}
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -1189,6 +1340,16 @@ def pending_tasks(state):
     for pr in (2048, 8192):
         tasks.append((f"r4_panel_mid_P{pr}",
                       lambda pr=pr: task_panels('mid', panel_rows=pr)))
+    # panel routing landed in the engine: re-time the suite rows through
+    # the production classifier, pin the panel/dense crossover, and take
+    # the windowed panel headline
+    tasks.append(("r4_panel_headline", task_panel_headline))
+    for row in ('readme_demo_10k', 'xy_z_pair_200k'):
+        tasks.append((f"r4p_suite_{row}",
+                      lambda row=row: task_suite_routed(row)))
+    for np_ in (60, 120, 200):
+        tasks.append((f"r4_occ_ladder_{np_}",
+                      lambda np_=np_: task_occ_ladder(np_)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

@@ -3,9 +3,10 @@
 Engines:
 
 * ``'pallas'``  -- fused TPU kernels over descriptor tensors (production
-  path; 122 GS/s/chip measured on v5e, compile-once).  Low-occupancy
-  schedules run the sparse worklist kernel, everything else the dense
-  grid; ``'pallas-sparse'`` / ``'pallas-dense'`` force one of the two.
+  path; 162 GS/s/chip measured on v5e, compile-once).  Low-occupancy
+  schedules run the panel kernel (worklist kernel when outside its
+  budgets), everything else the dense grid; ``'pallas-panel'`` /
+  ``'pallas-sparse'`` / ``'pallas-dense'`` force one path.
 * ``'xla'``     -- trace-specialized XLA program per waveform structure
   (any backend; float64 under x64 -- the 1e-9-parity device path).
 * ``'native'``  -- C++ host engine (float64, SIMD + threads; same
@@ -80,6 +81,12 @@ def _sparse_threshold():
                       lambda: SPARSE_OCCUPANCY_THRESHOLD)
 
 
+def _panel_threshold():
+    from .ops.sparse_synth import PANEL_OCCUPANCY_THRESHOLD
+    return _env_float('WFTPU_PANEL_THRESHOLD',
+                      lambda: PANEL_OCCUPANCY_THRESHOLD)
+
+
 def _stack_advantage():
     from .ops.stack_synth import DEFAULT_ADVANTAGE
     return _env_float('WFTPU_STACK_ADVANTAGE', lambda: DEFAULT_ADVANTAGE)
@@ -90,7 +97,7 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
     import jax
 
     from .ops.pallas_synth import DeviceSchedule, synthesize_device
-    from .ops.sparse_synth import build_sparse_plan, synthesize_sparse
+    from .ops.sparse_synth import synthesize_panels, synthesize_sparse
     interpret = jax.default_backend() != 'tpu'
 
     # part='complex' runs ONE fused kernel pass: the factor products are
@@ -98,40 +105,76 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
     low = lower_schedule(channels, start, stop, sample_rate, part=part,
                          bucket_samples=bucket_samples)
 
-    # Routing order matters (measured, round 3): the SPARSE worklist
-    # kernel wins whenever subtile occupancy is low -- at the flagship's
-    # 0.02% it runs at 85% of the store roofline, which the stack path's
-    # extra full-output passes (zeros + per-group einsum-add) can never
-    # beat.  The stack path takes over when occupancy is HIGH but the
-    # pulses are narrow (a 1000-pulse train fills every subtile yet each
-    # pulse covers ~2% of one: vstack occupancy ~1.0, advantage ~18), and
-    # when the kernels cannot lower the schedule at all (SMEM budget).
+    kind, plan = classify_pallas_route(low, force=force)
+    if kind == 'panel':
+        return synthesize_panels(DeviceSchedule(low), plan=plan,
+                                 interpret=interpret)
+    if kind == 'sparse':
+        return synthesize_sparse(DeviceSchedule(low), plan=plan,
+                                 interpret=interpret)
+    if kind == 'stack':
+        from .ops.stack_synth import synthesize_stack
+        return synthesize_stack(low, plan, interpret=interpret)
+    return synthesize_device(DeviceSchedule(low), interpret=interpret)
+
+
+def classify_pallas_route(low, force=None):
+    """Pick the pallas execution strategy for a lowered schedule.
+
+    Returns ``(kind, plan)`` with kind in {'panel', 'sparse', 'stack',
+    'dense'}.  Routing order (measured, rounds 3-4;
+    benchmarks/tpu_state.json): the PANEL kernel (one fat grid step per
+    channel x panel x bucket, worklist resident in SMEM) dominates the
+    per-subtile worklist kernel everywhere it is eligible -- 162 vs 132
+    GS/s at the flagship's 0.75% subtile occupancy, 53 vs 26 at 10% --
+    because the worklist kernel pays ~0.5 us of step machinery per live
+    subtile (r4_grid_overhead_probe).  The worklist kernel remains for
+    plans outside the panel budgets (SMEM-resident worklist, narrowed
+    multi-bucket stores).  Dense takes over at high occupancy, and the
+    stack path when occupancy is HIGH but the pulses are narrow (a
+    1000-pulse train fills every subtile yet each pulse covers ~2% of
+    one: vstack occupancy ~1.0, advantage ~18) or when the fused kernels
+    cannot lower the schedule at all (SMEM budget).
+    """
+    import jax.numpy as jnp
+
+    from .ops.sparse_synth import (build_panel_plan, build_sparse_plan,
+                                   panels_eligible)
+
     sparse_plan = None
-    if low.pallas_ok and force in (None, 'sparse'):
+    if low.pallas_ok and force in (None, 'sparse', 'panel'):
         try:
             sparse_plan = build_sparse_plan(low)
         except UnsupportedFactor:
-            if force == 'sparse':
+            if force in ('sparse', 'panel'):
                 raise
-    if sparse_plan is not None and (
-            force == 'sparse'
-            or sparse_plan.occupied_fraction < _sparse_threshold()):
-        return synthesize_sparse(DeviceSchedule(low), plan=sparse_plan,
-                                 interpret=interpret)
+    if sparse_plan is not None:
+        occ = sparse_plan.occupied_fraction
+        pair = low.amp_im is not None
+        if force in ('sparse', 'panel') or occ < _panel_threshold():
+            panel_plan = build_panel_plan(low, base=sparse_plan)
+            if panels_eligible(panel_plan, jnp.float32, pair):
+                return 'panel', panel_plan
+            if force == 'panel':
+                raise UnsupportedFactor(
+                    "schedule is outside the panel kernel's budgets "
+                    "(worklist SMEM or narrowed multi-bucket stores)")
+        if force == 'sparse' or occ < _sparse_threshold():
+            return 'sparse', sparse_plan
 
     if force in (None, 'stack'):
-        from .ops.stack_synth import build_stack_plan, synthesize_stack
+        from .ops.stack_synth import build_stack_plan
         plan = build_stack_plan(low)
         if plan is not None and (
                 force == 'stack'
                 or (plan.n_narrow >= 64
                     and plan.advantage >= _stack_advantage())
                 or (not low.pallas_ok and plan.wide is None)):
-            return synthesize_stack(low, plan, interpret=interpret)
+            return 'stack', plan
         if force == 'stack':
             raise UnsupportedFactor(
                 "schedule has no batchable pulse instances")
-    return synthesize_device(DeviceSchedule(low), interpret=interpret)
+    return 'dense', None
 
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,
@@ -188,9 +231,10 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
                 "precision='double' on the XLA engine needs jax x64 "
                 "(set JAX_ENABLE_X64=1); or use engine='pallas' "
                 "(double-f32 kernel) / 'native' / 'numpy'")
-    if engine in ('pallas', 'pallas-sparse', 'pallas-dense',
+    if engine in ('pallas', 'pallas-sparse', 'pallas-panel', 'pallas-dense',
                   'pallas-stack'):
         force = {'pallas-sparse': 'sparse',
+                 'pallas-panel': 'panel',
                  'pallas-dense': 'dense',
                  'pallas-stack': 'stack'}.get(engine)
         return _try_pallas(channels, start, stop, sample_rate,

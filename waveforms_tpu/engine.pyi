@@ -5,15 +5,22 @@ from numpy.typing import NDArray
 
 from .core import Waveform
 
-Engine = Literal['auto', 'pallas', 'pallas-sparse', 'pallas-dense',
-                 'pallas-stack', 'xla', 'native', 'numpy']
+Engine = Literal['auto', 'pallas', 'pallas-panel', 'pallas-sparse',
+                 'pallas-dense', 'pallas-stack', 'xla', 'native', 'numpy']
+
+RouteKind = Literal['panel', 'sparse', 'stack', 'dense']
 
 
 def synthesize(channels: Iterable[Waveform], start: float, stop: float,
                sample_rate: float, engine: Engine = ...,
                bucket_samples: int | str | None = ...,
                part: Literal['real', 'imag', 'complex'] = ...,
+               precision: Literal['single', 'double'] = ...,
                ) -> NDArray[np.floating] | Any: ...
+
+
+def classify_pallas_route(low: Any, force: str | None = ...
+                          ) -> tuple[RouteKind, Any]: ...
 
 
 def sample(wav: Waveform, sample_rate: float | None = ...,

@@ -54,7 +54,17 @@ def next_pow2(n: int) -> int:
 # plus ~0.5 us fixed cost per live subtile, while the dense grid pays the
 # per-tile cost on EVERY tile; at the flagship's 0.02% occupancy that is
 # 2x (65 -> 133 GS/s post-poly-trig), converging at ~1/5 of tiles live.
+# (This threshold now only gates the per-subtile WORKLIST kernel, the
+# fallback when a plan is outside the panel kernel's budgets.)
 SPARSE_OCCUPANCY_THRESHOLD = 0.2
+
+# The panel kernel (below) replaces per-subtile grid steps with one fat
+# step per (channel, panel, bucket); measured v5e crossover vs the dense
+# grid: panels win 162 vs 35 GS/s at 0.75% occupancy and 53 vs 19 at 10%
+# (r4_panel_* vs r4_*_dense_fine rows).  The provisional 0.35 crossover
+# awaits the r4 occupancy-ladder sweep (r4_panel_occ_*); override with
+# WFTPU_PANEL_THRESHOLD.
+PANEL_OCCUPANCY_THRESHOLD = 0.35
 
 
 @dataclass
@@ -355,9 +365,10 @@ class PanelPlan:
     """Per-(channel, panel, bucket) segmented worklist (build_panel_plan)."""
     Rs: int                  # subtile height in output rows
     P: int                   # panel height in output rows (multiple of Rs)
-    n_panels: int            # panels per channel
+    n_panels: int            # panels per channel (of the window)
     start: np.ndarray        # i32[C*NP*NB + 1] worklist slice offsets
-    work_t: np.ndarray       # i32[K] channel-local subtile index
+    work_t: np.ndarray       # i32[K] ABSOLUTE subtile index (sample base)
+    work_o: np.ndarray       # i32[K] OUTPUT subtile index (window-relative)
     work_s0: np.ndarray      # i32[K] first segment
     work_s1: np.ndarray      # i32[K] one past the last segment
     n_live: int
@@ -373,21 +384,29 @@ class PanelPlan:
 
 
 def build_panel_plan(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
-                     panel_rows: int = PANEL_ROWS) -> PanelPlan:
-    """Re-segment the live-subtile worklist by (channel, panel, bucket)."""
-    base = build_sparse_plan(low, Rs=Rs)
+                     panel_rows: int = PANEL_ROWS,
+                     tile_window: tuple[int, int] | None = None,
+                     base: SparsePlan | None = None) -> PanelPlan:
+    """Re-segment the live-subtile worklist by (channel, panel, bucket).
+
+    ``tile_window`` limits the plan to subtiles [w_lo, w_hi) with
+    window-relative output placement (big schedules run as windows; see
+    build_sparse_plan); ``base`` reuses an already-built worklist."""
+    if base is None:
+        base = build_sparse_plan(low, Rs=Rs, tile_window=tile_window)
     C, NB, S, T, F = low.shape
-    n_rows = -(-low.n_samples // 128)
-    P = max(Rs, min(panel_rows, -(-n_rows // Rs) * Rs))
+    n_rows_win = base.n_tiles * Rs
+    P = max(Rs, min(panel_rows, n_rows_win))
     P = (P // Rs) * Rs
-    NP = -(-n_rows // P)
+    NP = -(-n_rows_win // P)
     live = slice(0, base.n_live)
     wc = base.work_c[live].astype(np.int64)
     wb = base.work_b[live].astype(np.int64)
     wt = base.work_t[live].astype(np.int64)
+    wo = base.work_o[live].astype(np.int64)
     ws0 = base.work_s0[live]
     ws1 = base.work_s1[live]
-    pidx = (wt * Rs) // P
+    pidx = (wo * Rs) // P
     slot = (wc * NP + pidx) * NB + wb
     order = np.argsort(slot, kind='stable')
     n_slots = C * NP * NB
@@ -396,17 +415,20 @@ def build_panel_plan(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
     start = np.cumsum(start)
     K = next_pow2(base.n_live)
     pad = K - base.n_live
+
+    def col(a, fill=0):
+        return np.concatenate(
+            [np.asarray(a)[order],
+             np.full(pad, fill, np.int64)]).astype(np.int32)
+
     return PanelPlan(
         Rs=Rs, P=P, n_panels=NP,
         start=start.astype(np.int32),
-        work_t=np.concatenate([wt[order],
-                               np.zeros(pad, np.int64)]).astype(np.int32),
-        work_s0=np.concatenate([ws0[order],
-                                np.zeros(pad, np.int32)]).astype(np.int32),
-        work_s1=np.concatenate([ws1[order],
-                                np.zeros(pad, np.int32)]).astype(np.int32),
+        work_t=col(wt), work_o=col(wo), work_s0=col(ws0),
+        work_s1=col(ws1),
         n_live=base.n_live, n_channels=C, n_buckets=NB,
-        window_samples=low.n_samples, bucket_samples=base.bucket_samples)
+        window_samples=base.window_samples,
+        bucket_samples=base.bucket_samples)
 
 
 def panels_eligible(plan: PanelPlan, out_dtype, pair: bool) -> bool:
@@ -415,14 +437,14 @@ def panels_eligible(plan: PanelPlan, out_dtype, pair: bool) -> bool:
     Multi-bucket schedules accumulate read-modify-write in the output
     dtype, so narrowed stores (bf16/f16) and int16 DAC codes require a
     single bucket; the worklist must fit the SMEM budget."""
-    if (3 * len(plan.work_t) + len(plan.start)) * 4 > PANEL_WORK_SMEM_BUDGET:
+    if (4 * len(plan.work_t) + len(plan.start)) * 4 > PANEL_WORK_SMEM_BUDGET:
         return False
     if plan.n_buckets > 1 and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32):
         return False
     return True
 
 
-def _panel_kernel(start_ref, wt_ref, ws0_ref, ws1_ref,
+def _panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
                   seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref, amp_ref,
                   op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
                   clip_ref, *rest, S, T, F, Rs, P, NB, NP, ops_present,
@@ -458,14 +480,14 @@ def _panel_kernel(start_ref, wt_ref, ws0_ref, ws1_ref,
     k1 = start_ref[slot + 1]
 
     def item(k, carry):
-        t = wt_ref[k]
-        base = t * tile
+        base = wt_ref[k] * tile              # ABSOLUTE sample base
         idx = base + rows * 128 + cols
         seg_at, a0 = _tile_walker(idx, base, tile, Rs, *walker_args,
                                   T=T, F=F, ops_present=ops_present,
                                   pair=pair)
         acc = jax.lax.fori_loop(ws0_ref[k], ws1_ref[k], seg_at, a0)
-        sl = pl.ds(t * Rs - p * P, Rs)       # multiple of Rs >= 8
+        # placement is window-relative (wo == wt for full-range plans)
+        sl = pl.ds(wo_ref[k] * Rs - p * P, Rs)   # multiple of Rs >= 8
         if pair:
             re, im = acc
             if accumulate:
@@ -489,7 +511,7 @@ def _panel_kernel(start_ref, wt_ref, ws0_ref, ws1_ref,
 @functools.partial(
     jax.jit, static_argnames=('S', 'T', 'F', 'Rs', 'P', 'NP',
                               'ops_present', 'interpret', 'out_dtype'))
-def _run_panels(start, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
+def _run_panels(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
                 op, pw, sh, q32, args, ext, clip, amp_im=None, scale=None,
                 *, S, T, F, Rs, P, NP,
                 ops_present=tuple(range(N_OPS)), interpret=False,
@@ -504,21 +526,21 @@ def _run_panels(start, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
         if bcast:
             return pl.BlockSpec(
                 (1, 1, 1, k),
-                lambda c, p, b, start, wt, ws0, ws1: (0, 0, 0, 0),
+                lambda c, p, b, *pf: (0, 0, 0, 0),
                 memory_space=pltpu.SMEM)
         return pl.BlockSpec(
             (1, 1, 1, k),
-            lambda c, p, b, start, wt, ws0, ws1: (c, b, 0, 0),
+            lambda c, p, b, *pf: (c, b, 0, 0),
             memory_space=pltpu.SMEM)
 
     def chan_smem(k):
         return pl.BlockSpec(
             (1, 1, 1, k),
-            lambda c, p, b, start, wt, ws0, ws1: (c, 0, 0, 0),
+            lambda c, p, b, *pf: (c, 0, 0, 0),
             memory_space=pltpu.SMEM)
 
     out_spec = pl.BlockSpec(
-        (1, P, 128), lambda c, p, b, start, wt, ws0, ws1: (c, p, 0))
+        (1, P, 128), lambda c, p, b, *pf: (c, p, 0))
     in_specs = [
         smem(S), smem(S), smem(S),                   # seg_lo, seg_hi, nterm
         smem(S * T), smem(S * T),                    # nfac, amp
@@ -540,7 +562,7 @@ def _run_panels(start, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
         in_specs.append(chan_smem(1))                # DAC scale
         operands.append(scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(C, NP, NB),
         in_specs=in_specs,
         out_specs=(out_spec, out_spec) if pair else out_spec,
@@ -554,7 +576,7 @@ def _run_panels(start, wt, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape) if pair else out_shape,
         interpret=interpret,
-    )(start, wt, ws0, ws1, *operands)
+    )(start, wt, wo, ws0, ws1, *operands)
 
 
 def _validate_panel_plan(plan: PanelPlan, dev: DeviceSchedule) -> None:
@@ -568,10 +590,10 @@ def _validate_panel_plan(plan: PanelPlan, dev: DeviceSchedule) -> None:
         raise ValueError(
             f"panel plan bucket_samples {plan.bucket_samples} != "
             f"schedule's {dev.bucket_samples}")
-    if plan.window_samples != dev.n_samples:
+    if plan.window_samples > dev.n_samples:
         raise ValueError(
-            f"panel plan window ({plan.window_samples} samples) != "
-            f"schedule ({dev.n_samples})")
+            f"panel plan window ({plan.window_samples} samples) exceeds "
+            f"the schedule ({dev.n_samples})")
     if plan.n_live and int(plan.work_s1[:plan.n_live].max()) > S:
         raise ValueError(
             "panel plan indexes outside this schedule's segment lists -- "
@@ -602,7 +624,8 @@ def synthesize_panels(dev: DeviceSchedule,
     tensors = dev.tensors[:2] + dev.tensors[3:]
     out = _run_panels(
         jnp.asarray(plan.start), jnp.asarray(plan.work_t),
-        jnp.asarray(plan.work_s0), jnp.asarray(plan.work_s1), *tensors,
+        jnp.asarray(plan.work_o), jnp.asarray(plan.work_s0),
+        jnp.asarray(plan.work_s1), *tensors,
         dev.amp_im, scale,
         S=S, T=T, F=F, Rs=plan.Rs, P=plan.P, NP=plan.n_panels,
         ops_present=dev.ops_present, interpret=interpret,
