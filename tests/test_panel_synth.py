@@ -136,6 +136,72 @@ def test_panels_reject_foreign_plan():
         synthesize_panels(DeviceSchedule(low), plan=plan, interpret=True)
 
 
+def _mesh_or_skip():
+    import jax
+    from waveforms_tpu.parallel.mesh import channel_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    return channel_mesh(n_channel=4, n_time=2)
+
+
+def test_panels_sharded_matches_unsharded():
+    """Panel kernel over a ('channel','time') mesh: per-shard panel
+    segmentations must reproduce the single-device result exactly."""
+    from waveforms_tpu.ops.sparse_synth import synthesize_panels_sharded
+    mesh = _mesh_or_skip()
+    chans = _chans(n=6, seed=8)
+    stop = 6.5536e-5
+    low = lower_schedule(chans, 0.0, stop, FS, bucket_samples=None)
+    dev = DeviceSchedule(low)
+    want = np.asarray(synthesize_sparse(dev, low=low, Rs=8, interpret=True))
+    got = np.asarray(synthesize_panels_sharded(low, mesh, Rs=8,
+                                               interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_panels_sharded_pair_mode():
+    from waveforms_tpu.ops.sparse_synth import synthesize_panels_sharded
+    mesh = _mesh_or_skip()
+    chans = [(0.4 + 0.6j) * c for c in _chans(n=6, seed=9)]
+    stop = 6.5536e-5
+    low = lower_schedule(chans, 0.0, stop, FS, part='complex',
+                         bucket_samples=None)
+    dev = DeviceSchedule(low)
+    want = np.asarray(synthesize_sparse(dev, low=low, Rs=8, interpret=True))
+    got = np.asarray(synthesize_panels_sharded(low, mesh, Rs=8,
+                                               interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_panels_sharded_bucketed():
+    from waveforms_tpu.ops.sparse_synth import synthesize_panels_sharded
+    mesh = _mesh_or_skip()
+    chans = _chans(n=6, pulses=20, span=2.5e-4, seed=2)
+    stop = 2.62144e-4
+    low = lower_schedule(chans, 0.0, stop, FS, bucket_samples=65536)
+    assert low.shape[1] > 1
+    got = np.asarray(synthesize_panels_sharded(low, mesh, Rs=32,
+                                               interpret=True))
+    assert _oracle_worst(chans, got, stop) < 1e-6
+
+
+def test_panels_sharded_int16():
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.sparse_synth import synthesize_panels_sharded
+    mesh = _mesh_or_skip()
+    chans = _chans(n=6, seed=15)
+    stop = 6.5536e-5
+    low = lower_schedule(chans, 0.0, stop, FS, bucket_samples=None)
+    f32 = np.asarray(synthesize_panels_sharded(low, mesh, Rs=8,
+                                               interpret=True))
+    codes = np.asarray(synthesize_panels_sharded(low, mesh, Rs=8,
+                                                 interpret=True,
+                                                 out_dtype=jnp.int16))
+    expected = np.clip(np.round(f32 * 32767.0), -32768, 32767)
+    np.testing.assert_array_equal(codes, expected.astype(np.int16))
+
+
 def test_panel_plan_covers_every_live_subtile():
     """The panel worklist must contain exactly the sparse plan's live
     items (re-segmented, not re-derived)."""

@@ -295,9 +295,8 @@ def test_sparse_sharded_matches_unsharded():
     np.testing.assert_array_equal(got, want)
 
 
-def test_synthesize_on_mesh_routes_sparse(monkeypatch):
+def test_synthesize_on_mesh_routes_panels(monkeypatch):
     import jax
-    import waveforms_tpu.parallel.mesh as mesh_mod
     from waveforms_tpu.ops import sparse_synth
     from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
 
@@ -309,6 +308,36 @@ def test_synthesize_on_mesh_routes_sparse(monkeypatch):
     mesh = channel_mesh(n_channel=4, n_time=2)
 
     calls = []
+    orig = sparse_synth.synthesize_panels_sharded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sparse_synth, 'synthesize_panels_sharded', spy)
+    got = np.asarray(synthesize_on_mesh(chans, 0, stop, FS, mesh,
+                                        interpret=True))
+    assert calls, "expected the panel route to be taken"
+    t = np.arange(0, stop, 1 / FS)
+    for c, w in enumerate(chans):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        assert np.abs(got[c] - oracle).max() / scale < 2e-6, c
+
+
+def test_synthesize_on_mesh_worklist_fallback(monkeypatch):
+    """When a shard's panel worklist exceeds the SMEM budget, the mesh
+    route must fall back to the sharded worklist kernel, not dense."""
+    import jax
+    from waveforms_tpu.ops import sparse_synth
+    from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    chans = _sparse_schedule(6, seed=12)
+    stop = 65.536e-6
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    calls = []
     orig = sparse_synth.synthesize_sparse_sharded
 
     def spy(*a, **kw):
@@ -316,9 +345,10 @@ def test_synthesize_on_mesh_routes_sparse(monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(sparse_synth, 'synthesize_sparse_sharded', spy)
+    monkeypatch.setattr(sparse_synth, 'PANEL_WORK_SMEM_BUDGET', 64)
     got = np.asarray(synthesize_on_mesh(chans, 0, stop, FS, mesh,
                                         interpret=True))
-    assert calls, "expected the sparse worklist route to be taken"
+    assert calls, "expected the worklist fallback to be taken"
     t = np.arange(0, stop, 1 / FS)
     for c, w in enumerate(chans):
         oracle = w(t)
@@ -491,7 +521,8 @@ def test_sharded_work_and_bytes_scale_with_devices():
 
 def test_on_mesh_routing_parity_int16_and_pair(monkeypatch):
     """synthesize_on_mesh must route int16 and pair-mode sparse schedules
-    to the worklist kernel exactly like the single-chip engine."""
+    to the sparse family (panel kernel; single-bucket int16 is eligible)
+    exactly like the single-chip engine."""
     import jax
     import jax.numpy as jnp
     import waveforms_tpu.ops.sparse_synth as sp
@@ -500,13 +531,13 @@ def test_on_mesh_routing_parity_int16_and_pair(monkeypatch):
     if len(jax.devices()) < 8:
         pytest.skip('needs 8 virtual devices')
     calls = []
-    orig = sp.synthesize_sparse_sharded
+    orig = sp.synthesize_panels_sharded
 
     def spy(*a, **kw):
         calls.append(1)
         return orig(*a, **kw)
 
-    monkeypatch.setattr(sp, 'synthesize_sparse_sharded', spy)
+    monkeypatch.setattr(sp, 'synthesize_panels_sharded', spy)
     mesh = channel_mesh(n_channel=4, n_time=2)
     # long quiet span -> genuinely sparse (occupied_fraction < threshold)
     chans = _sparse_schedule(6, seed=12)
@@ -514,7 +545,7 @@ def test_on_mesh_routing_parity_int16_and_pair(monkeypatch):
     got16 = np.asarray(synthesize_on_mesh(chans, 0, stop, FS, mesh,
                                           interpret=True,
                                           out_dtype=jnp.int16))
-    assert calls, "int16 sparse schedule must take the worklist kernel"
+    assert calls, "int16 sparse schedule must take the panel kernel"
     assert got16.dtype == np.int16
     low = lower_schedule(chans, 0, stop, FS)
     want = np.asarray(synthesize_sparse(DeviceSchedule(low), low,

@@ -39,7 +39,8 @@ from .pallas_synth import (DeviceSchedule, _tile_walker,
 __all__ = ['SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
            'synthesize_sparse_sharded', 'SPARSE_OCCUPANCY_THRESHOLD',
            'PanelPlan', 'build_panel_plan', 'synthesize_panels',
-           'panels_eligible']
+           'synthesize_panels_sharded', 'panels_eligible',
+           'PANEL_OCCUPANCY_THRESHOLD']
 
 DEFAULT_SUBTILE_ROWS = 32
 
@@ -723,6 +724,157 @@ def shard_sparse_work(plan: SparsePlan, nc: int, nt: int, cs: int,
         lws1[a, b, p] = ws1[j]
         pos[a, b] += 1
     return (lwc, lwb, lwt, lwo, lws0, lws1), counts, K
+
+
+def shard_panel_work(plan: SparsePlan, nc: int, nt: int, cs: int,
+                     tps: int, nb_local: int, Rs: int,
+                     panel_rows: int = PANEL_ROWS):
+    """Partition a global worklist into per-shard PANEL segmentations.
+
+    Per (channel shard, time shard): group the shard's live subtiles by
+    (local channel, panel, local bucket) exactly like
+    :func:`build_panel_plan`, producing a common-shape ``start`` array
+    (the grid is uniform across shards, so the program stays SPMD) plus
+    slot-ordered local worklist columns.  Returns
+    ``(starts, wt, wo, ws0, ws1), counts, K, P, NP``.
+    """
+    (lwc, lwb, lwt, lwo, lws0, lws1), counts, K = shard_sparse_work(
+        plan, nc, nt, cs, tps, nb_local)
+    n_rows_loc = tps * Rs
+    P = max(Rs, min(panel_rows, n_rows_loc))
+    P = (P // Rs) * Rs
+    NP = -(-n_rows_loc // P)
+    n_slots = cs * NP * nb_local
+    starts = np.zeros((nc, nt, n_slots + 1), np.int64)
+    for a in range(nc):
+        for b in range(nt):
+            n = int(counts[a, b])
+            if not n:
+                continue
+            slot = ((lwc[a, b, :n].astype(np.int64) * NP
+                     + (lwo[a, b, :n].astype(np.int64) * Rs) // P)
+                    * nb_local + lwb[a, b, :n])
+            order = np.argsort(slot, kind='stable')
+            for col in (lwt, lwo, lws0, lws1, lwc, lwb):
+                col[a, b, :n] = col[a, b, :n][order]
+            np.add.at(starts[a, b], slot[order] + 1, 1)
+            starts[a, b] = np.cumsum(starts[a, b])
+    return ((starts.astype(np.int32), lwt, lwo, lws0, lws1), counts, K, P,
+            NP)
+
+
+def synthesize_panels_sharded(low: LoweredSchedule, mesh,
+                              Rs: int = DEFAULT_SUBTILE_ROWS,
+                              interpret: bool = False,
+                              plan: SparsePlan | None = None,
+                              out_dtype=jnp.float32,
+                              dac_scale=32767.0) -> jax.Array:
+    """Panel-kernel synthesis over a ('channel', 'time') device mesh.
+
+    The multi-chip twin of :func:`synthesize_panels` (and the sharded
+    mirror of the single-chip engine's production route): each device
+    zero-fills and walks only its own (channel block, sample slice)
+    panels from an SMEM-resident local worklist -- no collectives, same
+    1/P work scaling as the worklist path, but without its ~1 us
+    per-live-subtile grid-step cost.  Covers the full output surface
+    (pair, int16, bf16, bucketed) under the same eligibility rules as
+    the single-chip panel kernel, applied per shard.
+    """
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    from ..parallel.mesh import shard_schedule
+
+    C, NB, S, T, F = low.shape
+    pair = low.amp_im is not None
+    scale = validate_out_mode(out_dtype, low.amp_im, C, dac_scale)
+    nc, nt = mesh.shape['channel'], mesh.shape['time']
+    c_pad = -(-C // nc) * nc
+    cs = c_pad // nc
+    tile = Rs * 128
+    if NB > 1:
+        if low.bucket_samples % tile:
+            raise UnsupportedFactor(
+                f"bucket_samples {low.bucket_samples} must be a multiple "
+                f"of the sparse subtile ({tile})")
+        G_b = low.bucket_samples // tile
+        nb_pad = -(-NB // nt) * nt
+        nb_local = nb_pad // nt
+        tps = nb_local * G_b
+        tensors, _ = shard_schedule(low, mesh, nb_pad=nb_pad)
+        bucket_spec = 'time'
+    else:
+        n_rows = -(-low.n_samples // 128)
+        n_tiles = -(-n_rows // Rs)
+        tiles_pad = -(-n_tiles // nt) * nt
+        tps = tiles_pad // nt
+        tensors, _ = shard_schedule(low, mesh)
+        nb_local = 1
+        bucket_spec = None
+
+    if plan is None:
+        plan = build_sparse_plan(low, Rs=Rs)
+    elif plan.Rs != Rs:
+        raise ValueError(f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
+    work_np, counts, K, P, NP = shard_panel_work(plan, nc, nt, cs, tps,
+                                                 nb_local, Rs)
+    n_slots = cs * NP * nb_local
+    if (4 * K + n_slots + 1) * 4 > PANEL_WORK_SMEM_BUDGET:
+        raise UnsupportedFactor(
+            "per-shard panel worklist exceeds the SMEM budget -- use "
+            "synthesize_sparse_sharded")
+    if nb_local > 1 and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32):
+        raise UnsupportedFactor(
+            "narrowed multi-bucket stores are outside the panel kernel's "
+            "budgets -- use synthesize_sparse_sharded")
+    spec3 = P_('channel', 'time', None)
+
+    def put3(a):
+        return jax.device_put(a, NamedSharding(mesh, spec3))
+
+    work = [put3(a) for a in work_np]
+    in_spec = P_('channel', bucket_spec, None, None)
+    chan_spec = P_('channel', None, None, None)
+    local_samples = tps * tile
+    dac = scale is not None
+    scale_t = None
+    if dac:
+        from ..parallel.mesh import _pad_channels
+        scale_t = jax.device_put(_pad_channels(np.asarray(scale), c_pad),
+                                 NamedSharding(mesh, chan_spec))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec3,) * 5 + (in_spec,) * 10
+        + (P_(None, None, None, None), chan_spec)
+        + ((in_spec,) if pair else ())
+        + ((chan_spec,) if dac else ()),
+        out_specs=P_('channel', 'time'),
+        check_vma=False)
+    def run(startl, wtl, wol, ws0l, ws1l, seg_lo, seg_hi, nterm, nfac,
+            amp, op, pw, sh, q32, args, ext, clip, *rest):
+        out = _run_panels(
+            startl.reshape(n_slots + 1), wtl.reshape(K), wol.reshape(K),
+            ws0l.reshape(K), ws1l.reshape(K), seg_lo, seg_hi, nterm, nfac,
+            amp, op, pw, sh, q32, args, ext, clip,
+            rest[0] if pair else None,
+            rest[-1] if dac else None,
+            S=S, T=T, F=F, Rs=Rs, P=P, NP=NP, interpret=interpret,
+            out_dtype=out_dtype)
+        if pair:
+            re, im = out
+            out = (re.astype(jnp.complex64)
+                   + 1j * im.astype(jnp.complex64))
+        return out.reshape(out.shape[0], -1)[:, :local_samples]
+
+    out = run(*work, tensors['seg_lo'], tensors['seg_hi'],
+              tensors['nterm'], tensors['nfac'], tensors['amp'],
+              tensors['op'], tensors['pw'], tensors['sh'], tensors['q32'],
+              tensors['args'], tensors['ext'], tensors['clip'],
+              *((tensors['amp_im'],) if pair else ()),
+              *((scale_t,) if dac else ()))
+    return out[:C, :low.n_samples]
 
 
 def synthesize_sparse_sharded(low: LoweredSchedule, mesh,

@@ -207,18 +207,29 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
 
     Mirrors the single-chip engine's routing for EVERY output surface
     (round-4 parity): pulse-sparse schedules -- real or pair-mode, f32 /
-    bf16 / int16, bucketed or not -- run the sharded sparse worklist
-    kernel below the occupancy threshold; everything else the dense grid.
+    bf16 / int16, bucketed or not -- run the sharded PANEL kernel below
+    the panel occupancy threshold (sharded worklist kernel when a shard's
+    worklist is outside the panel budgets, or between the two
+    thresholds); everything else the dense grid.
     """
     low = lower_schedule(channels, start, stop, sample_rate, part=part)
     if low.pallas_ok and rows_per_tile is None:
-        from ..engine import _sparse_threshold
+        from ..engine import _panel_threshold, _sparse_threshold
         from ..ops.lowering import UnsupportedFactor
         from ..ops.sparse_synth import (build_sparse_plan,
+                                        synthesize_panels_sharded,
                                         synthesize_sparse_sharded)
         try:
             plan = build_sparse_plan(low)
-            if plan.occupied_fraction < _sparse_threshold():
+            occ = plan.occupied_fraction
+            if occ < _panel_threshold():
+                try:
+                    return synthesize_panels_sharded(low, mesh, plan=plan,
+                                                     interpret=interpret,
+                                                     out_dtype=out_dtype)
+                except UnsupportedFactor:
+                    pass               # outside panel budgets: worklist
+            if occ < _sparse_threshold() or occ < _panel_threshold():
                 return synthesize_sparse_sharded(low, mesh, plan=plan,
                                                  interpret=interpret,
                                                  out_dtype=out_dtype)
