@@ -1087,6 +1087,47 @@ def task_hi_tier():
             "max_rel_err": worst, "parity_ok": bool(worst < 1e-9)}
 
 
+def task_panels_int16(which):
+    """Panel kernel with int16 DAC-code stores: halves output bytes, the
+    only lever left once the f32 panel run hits the store roofline.
+    Parity: codes must equal round(f32 * 32767) exactly (int16 is exact
+    on this chip, `int16_parity`), checked on a small window."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_mid_schedule
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import (build_panel_plan,
+                                                synthesize_panels)
+
+    chans = (build_mid_schedule() if which == 'mid' else _sparse_chans())
+    low = lower_schedule(chans, 0.0, 524.288e-6, FS)
+    dev = DeviceSchedule(low)
+    plan = build_panel_plan(low)
+    jax.block_until_ready(dev.tensors)
+
+    # small-window code parity vs the f32 panel output
+    chans_s = (build_mid_schedule(n_channels=8) if which == 'mid'
+               else _sparse_chans(8))
+    low_s = lower_schedule(chans_s, 0.0, 16.384e-6, FS)
+    dev_s = DeviceSchedule(low_s)
+    f32 = np.asarray(synthesize_panels(dev_s, low=low_s))
+    codes_s = np.asarray(synthesize_panels(dev_s, low=low_s,
+                                           out_dtype=jnp.int16))
+    want = np.clip(np.round(f32 * 32767.0), -32768, 32767).astype(np.int16)
+    n_bad = int((codes_s != want).sum())
+
+    def run():
+        return synthesize_panels(dev, plan=plan, out_dtype=jnp.int16)
+
+    med = _measure(run, 'jit__run_panels')
+    n = len(chans) * low.n_samples
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(n / med / 1e9, 1), "n_live": plan.n_live,
+            "code_mismatches": n_bad, "parity_ok": n_bad == 0}
+
+
 def task_suite_routed(name):
     """BASELINE.md row through the ENGINE's own route classifier: time the
     kernel the production entry point picks (round-4 panel routing), with
@@ -1350,6 +1391,11 @@ def pending_tasks(state):
     for np_ in (60, 120, 200):
         tasks.append((f"r4_occ_ladder_{np_}",
                       lambda np_=np_: task_occ_ladder(np_)))
+    # the panel kernel sits AT the f32 store roofline (r4_panel_flagship
+    # 0.827 ms vs 0.818 ms fill): int16 DAC codes halve the output bytes,
+    # the only remaining lever in the store-bound regime
+    tasks.append(("r4_panel_flagship_int16",
+                  lambda: task_panels_int16('flagship')))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 
