@@ -1396,6 +1396,12 @@ def pending_tasks(state):
     # the only remaining lever in the store-bound regime
     tasks.append(("r4_panel_flagship_int16",
                   lambda: task_panels_int16('flagship')))
+    # stack kernel retake 3: the packed single-table layout (int columns
+    # bitcast into one lane-padded f32 table) cuts table streaming 3-4x
+    # vs the r4c separate-table kernel, whose 44 us was table-bound
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4d_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
     return [(k, fn) for k, fn in tasks if k not in state]
 
 

@@ -425,7 +425,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
 
     from .sparse_synth import next_pow2
     metas = []       # static per-group kernel parameters
-    operands = []    # device arrays, 4-5 per group
+    operands = []    # device arrays, 2-3 per group
     vmem = 2 * 2 * 128 * 128 * 4                 # double-buffered out
     hbm = 0
     for g in plan.groups:
@@ -435,7 +435,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         # KS >= 8 keeps every pl.ds strip offset sublane-aligned and the
         # table sublane extents multiples of 8 (Mosaic requires the last
         # two block dims divisible by (8, 128); see the lane padding of
-        # the tables below for the 128 half of that rule)
+        # the table below for the 128 half of that rule)
         KS = min(128, max(8, next_pow2(k0)))
         k_max = -(-k0 // KS) * KS
         pad = k_max - k0
@@ -447,53 +447,55 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         s = np.where(valid, src, 0)
         # F counts the group's LIVE factors (g.ops); the GroupData tables
         # are padded to the schedule-level factor count, so slice to F.
-        # Zero-factor groups (pure DC instances) keep 1-wide dummy q32.
         IW = 4 + F
         AW = 1 + F * W
-        QW = max(4 * F, 1)
-        intt = np.zeros((n_chunks, k_max, IW), np.int32)
-        intt[..., 0] = rb
-        intt[..., 1] = lrt
-        intt[..., 2] = np.where(valid, g.lo[s], 0)
-        intt[..., 3] = np.where(valid, g.hi[s], 0)
-        intt[..., 4:] = g.shift[s][..., :F]
-        argt = np.zeros((n_chunks, k_max, AW), np.float32)
-        argt[..., 0] = np.where(valid, g.amp[s], 0.0)
-        argt[..., 1:] = g.args[s][..., :F, :].reshape(n_chunks, k_max,
-                                                      F * W)
-        q32t = np.zeros((n_chunks, k_max, QW), np.int32)
-        q32t[..., :4 * F] = g.q32[s][..., :F, :].reshape(n_chunks, k_max,
-                                                         4 * F)
-        extt = None
+        QW = 4 * F
         f_ext = next((f for f, op in enumerate(g.ops) if op in _EXT_W),
                      None)
+        EW = _EXT_W[g.ops[f_ext]] if f_ext is not None else 0
+        # ONE packed f32 table per group: int columns (block row, local
+        # row, lo, hi, shifts, q32 turns) ride as raw int32 BITS
+        # (bitcast -- sample indices and fixed-point phase do not survive
+        # an f32 round-trip), float columns (amp, args, pregathered ext
+        # rows) as plain f32.  The first fused-kernel attempt streamed
+        # int/arg/q32/ext as SEPARATE tables, each lane-padded to 128
+        # wide: 3-4x the bytes of the packed layout, and table streaming
+        # -- not evaluation -- dominated its 44 us device time
+        # (r4c_stack_vstack_1000x200k vs the 36 us XLA chain).
+        off_amp = IW
+        off_args = IW + 1
+        off_q = IW + AW
+        off_ext = IW + AW + QW
+        PW = _pad128(off_ext + EW)
+        tab = np.zeros((n_chunks, k_max, PW), np.float32)
+        ints = np.zeros((n_chunks, k_max, IW), np.int32)
+        ints[..., 0] = rb
+        ints[..., 1] = lrt
+        ints[..., 2] = np.where(valid, g.lo[s], 0)
+        ints[..., 3] = np.where(valid, g.hi[s], 0)
+        ints[..., 4:] = g.shift[s][..., :F]
+        tab[..., :IW] = ints.view(np.float32)
+        tab[..., off_amp] = np.where(valid, g.amp[s], 0.0)
+        tab[..., off_args:off_q] = g.args[s][..., :F, :].reshape(
+            n_chunks, k_max, F * W)
+        if F:
+            q = np.ascontiguousarray(
+                g.q32[s][..., :F, :].astype(np.int32)
+                .reshape(n_chunks, k_max, 4 * F))
+            tab[..., off_q:off_ext] = q.view(np.float32)
         if f_ext is not None:
-            EW = _EXT_W[g.ops[f_ext]]
             off = g.args[s, f_ext, 7].astype(np.int64)
             cols = off[..., None] + np.arange(EW)
             ok = (cols >= 0) & (cols < len(ext_np))
-            extt = np.where(ok, ext_np[np.clip(cols, 0, len(ext_np) - 1)],
-                            0.0).astype(np.float32)
-        # lane-pad every VMEM table to a multiple of 128: Mosaic tiles
-        # VMEM in (8, 128) anyway (the kernel's column reads are offsets
-        # into the same padded tile either way), and real-TPU lowering
-        # REJECTS blocks whose minor dim is not a multiple of 128 -- the
-        # vmem estimate below already charged the padded width
-        intt = np.pad(intt, ((0, 0), (0, 0), (0, _pad128(IW) - IW)))
-        argt = np.pad(argt, ((0, 0), (0, 0), (0, _pad128(AW) - AW)))
-        q32t = np.pad(q32t, ((0, 0), (0, 0), (0, _pad128(QW) - QW)))
-        if extt is not None:
-            ew = extt.shape[-1]
-            extt = np.pad(extt, ((0, 0), (0, 0), (0, _pad128(ew) - ew)))
+            tab[..., off_ext:off_ext + EW] = np.where(
+                ok, ext_np[np.clip(cols, 0, len(ext_np) - 1)],
+                0.0).astype(np.float32)
         metas.append(dict(ops=g.ops, powers=g.powers, F=F, W=W, KS=KS,
-                          k_max=k_max, IW=IW, AW=AW, QW=QW,
-                          EW=extt.shape[-1] if extt is not None else 0))
-        vmem += 2 * 4 * k_max * (_pad128(IW) + _pad128(AW) + _pad128(QW)
-                                 + (_pad128(extt.shape[-1])
-                                    if extt is not None else 0))
-        group_ops = [counts.reshape(n_chunks, 1), intt, argt, q32t]
-        if extt is not None:
-            group_ops.append(extt)
+                          k_max=k_max, IW=IW, AW=AW, QW=QW, EW=EW, PW=PW,
+                          off_amp=off_amp, off_args=off_args, off_q=off_q,
+                          off_ext=off_ext))
+        vmem += 2 * 4 * k_max * PW
+        group_ops = [counts.reshape(n_chunks, 1), tab]
         hbm += sum(a.nbytes for a in group_ops)
         operands.append([jnp.asarray(a) for a in group_ops])
     if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
@@ -504,42 +506,43 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         acc = jnp.zeros((128, 128), jnp.float32)
         r = 0
         for meta in metas:
-            F, W, KS = meta['F'], meta['W'], meta['KS']
-            IW, AW, EW = meta['IW'], meta['AW'], meta['EW']
-            cnt_ref, int_ref, arg_ref, q_ref = refs[r:r + 4]
-            ext_ref = refs[r + 4] if EW else None
-            r += 4 + bool(EW)
+            KS = meta['KS']
+            cnt_ref, tab_ref = refs[r:r + 2]
+            r += 2
             # the counts column rides whole in SMEM (block == array shape;
             # a (1, 1) block over (n_chunks, 1) violates Mosaic's
             # divisible-or-full block rule whenever n_chunks > 1)
             cnt = cnt_ref[pl.program_id(0), 0]
             lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
 
-            def strip(j, acc, int_ref=int_ref, arg_ref=arg_ref,
-                      q_ref=q_ref, ext_ref=ext_ref, meta=meta, lane=lane):
+            def strip(j, acc, tab_ref=tab_ref, meta=meta, lane=lane):
                 F, W, KS = meta['F'], meta['W'], meta['KS']
-                # ref loads at a dynamic sublane offset (Mosaic has no
+                # ref load at a dynamic sublane offset (Mosaic has no
                 # value-level dynamic_slice; pl.ds on the ref is the
                 # supported form)
-                sl = pl.ds(j * KS, KS)
-                it = int_ref[0, sl, :]
-                at = arg_ref[0, sl, :]
-                qt = q_ref[0, sl, :]
-                et = ext_ref[0, sl, :] if ext_ref is not None else None
-                idx = it[:, 0:1] * 128 + lane
-                prod = jnp.broadcast_to(at[:, 0:1], (KS, 128))
+                tt = tab_ref[0, pl.ds(j * KS, KS), :]
+
+                def icol(c):
+                    return jax.lax.bitcast_convert_type(tt[:, c:c + 1],
+                                                        jnp.int32)
+
+                idx = icol(0) * 128 + lane
+                prod = jnp.broadcast_to(tt[:, meta['off_amp']:
+                                           meta['off_amp'] + 1], (KS, 128))
                 for f, (op_code, power) in enumerate(zip(meta['ops'],
                                                          meta['powers'])):
-                    di = idx - it[:, 4 + f:5 + f]
+                    di = idx - icol(4 + f)
 
-                    def arg(k, f=f, at=at):
-                        return at[:, 1 + f * W + k:2 + f * W + k]
+                    def arg(k, f=f):
+                        c = meta['off_args'] + f * W + k
+                        return tt[:, c:c + 1]
 
-                    def q32(jq, f=f, qt=qt):
-                        return qt[:, 4 * f + jq:4 * f + jq + 1]
+                    def q32(jq, f=f):
+                        return icol(meta['off_q'] + 4 * f + jq)
 
-                    def eread(k, et=et):
-                        return et[:, k:k + 1]
+                    def eread(k):
+                        c = meta['off_ext'] + k
+                        return tt[:, c:c + 1]
 
                     val = op_builders(di, arg, q32, eread)[op_code]()
                     if power != 1:
@@ -549,9 +552,9 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                             v = v * val
                         val = 1.0 / v if power < 0 else v
                     prod = prod * val
-                mask = (idx >= it[:, 2:3]) & (idx < it[:, 3:4])
+                mask = (idx >= icol(2)) & (idx < icol(3))
                 vals = jnp.where(mask, prod, 0.0)
-                onehot = (it[:, 1:2] == lane).astype(jnp.float32)
+                onehot = (icol(1) == lane).astype(jnp.float32)
                 return acc + jax.lax.dot_general(
                     onehot, vals, (((0,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
@@ -566,10 +569,9 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     for meta, group_ops in zip(metas, operands):
         in_specs.append(pl.BlockSpec((n_chunks, 1), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
-        for a in group_ops[1:]:          # lane-padded (n_chunks, k_max, *)
-            in_specs.append(pl.BlockSpec((1,) + a.shape[1:],
-                                         lambda i: (i, 0, 0),
-                                         memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1,) + group_ops[1].shape[1:],
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
         flat_ops.extend(group_ops)
 
     call = pl.pallas_call(
