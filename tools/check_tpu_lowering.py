@@ -193,6 +193,21 @@ def check_panels():
                        jnp.asarray(plan.work_s0),
                        jnp.asarray(plan.work_s1), *tensors,
                        dev.amp_im, None)
+        if part == 'real' and bs is None:
+            # int16 DAC codes (single-bucket only): the f32-scratch +
+            # static convert-store path (dynamic int16 sub-stores crash
+            # the real Mosaic compile)
+            fi = jax.jit(functools.partial(
+                _run_panels, S=S, T=T, F=F, Rs=plan.Rs, P=plan.P,
+                NP=plan.n_panels, ops_present=dev.ops_present,
+                out_dtype=jnp.int16))
+            scale = jnp.full((C, 1, 1, 1), 32767.0, jnp.float32)
+            lowers_for_tpu(fi, jnp.asarray(plan.start),
+                           jnp.asarray(plan.work_t),
+                           jnp.asarray(plan.work_o),
+                           jnp.asarray(plan.work_s0),
+                           jnp.asarray(plan.work_s1), *tensors,
+                           None, scale)
 
 
 def check_play_many():

@@ -1402,7 +1402,11 @@ def pending_tasks(state):
     for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
         tasks.append((f"r4d_stack_{row}",
                       lambda row=row: task_stack_row(row)))
-    return [(k, fn) for k, fn in tasks if k not in state]
+    todo = [(k, fn) for k, fn in tasks if k not in state]
+    # a crashing task must not starve fresh ones: run least-failed first
+    # (stable within a failure count, so the authored order still holds)
+    fails = state.get('_failures', {})
+    return sorted(todo, key=lambda kv: fails.get(kv[0], 0))
 
 
 def main():

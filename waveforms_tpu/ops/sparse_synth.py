@@ -450,11 +450,17 @@ def _panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
                   op_ref, pw_ref, sh_ref, q32_ref, args_ref, ext_ref,
                   clip_ref, *rest, S, T, F, Rs, P, NB, NP, ops_present,
                   pair=False, dac=False):
-    scale_ref = amp2_ref = None
+    scale_ref = amp2_ref = scratch_ref = None
     if pair:
         amp2_ref, out_ref, out2_ref = rest
     elif dac:
-        scale_ref, out_ref = rest
+        # int16 stores at dynamic sub-panel offsets crash the Mosaic
+        # compiler (packed-dtype masked store; real-compile only -- the
+        # interpreter accepts them).  DAC mode therefore accumulates in
+        # an f32 VMEM scratch panel and converts once per panel with a
+        # single full-block static store.  Eligibility pins NB == 1, so
+        # each panel is exactly one grid step.
+        scale_ref, out_ref, scratch_ref = rest
     else:
         (out_ref,) = rest
     c = pl.program_id(0)
@@ -464,10 +470,12 @@ def _panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
 
     @pl.when(b == 0)
     def _zero_panel():
-        z = jnp.zeros((P, 128), out_ref.dtype)
-        out_ref[0] = z
-        if pair:
-            out2_ref[0] = jnp.zeros((P, 128), out2_ref.dtype)
+        if dac:
+            scratch_ref[...] = jnp.zeros((P, 128), jnp.float32)
+        else:
+            out_ref[0] = jnp.zeros((P, 128), out_ref.dtype)
+            if pair:
+                out2_ref[0] = jnp.zeros((P, 128), out2_ref.dtype)
 
     tile = Rs * 128
     rows = jax.lax.broadcasted_iota(jnp.int32, (Rs, 128), 0)
@@ -497,9 +505,7 @@ def _panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
             out_ref[0, sl, :] = re.astype(out_ref.dtype)
             out2_ref[0, sl, :] = im.astype(out2_ref.dtype)
         elif dac:
-            code = jnp.round(acc * scale_ref[0, 0, 0, 0])
-            out_ref[0, sl, :] = jnp.clip(code, -32768.0,
-                                         32767.0).astype(out_ref.dtype)
+            scratch_ref[sl, :] = acc
         else:
             if accumulate:
                 acc = out_ref[0, sl, :].astype(jnp.float32) + acc
@@ -507,6 +513,9 @@ def _panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
         return carry
 
     jax.lax.fori_loop(k0, k1, item, 0)
+    if dac:
+        code = jnp.round(scratch_ref[...] * scale_ref[0, 0, 0, 0])
+        out_ref[0] = jnp.clip(code, -32768.0, 32767.0).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -567,6 +576,8 @@ def _run_panels(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
         grid=(C, NP, NB),
         in_specs=in_specs,
         out_specs=(out_spec, out_spec) if pair else out_spec,
+        scratch_shapes=(
+            [pltpu.VMEM((P, 128), jnp.float32)] if dac else []),
     )
     kernel = functools.partial(_panel_kernel, S=S, T=T, F=F, Rs=Rs, P=P,
                                NB=NB, NP=NP, ops_present=ops_present,
