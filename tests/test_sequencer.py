@@ -232,3 +232,55 @@ def test_play_many_matches_single_shots():
         np.testing.assert_array_equal(
             outs_s[i], np.asarray(seq.play_sparse(int(k), Rs=8,
                                                   interpret=True)))
+
+
+def test_play_packed_matches_play():
+    """Shot-packed panel playback == per-shot plays (round 4: one kernel
+    launch for the whole sequence; grid steps scale with output panels,
+    not shots)."""
+    lows = build_lows()
+    seq = Sequencer(lows)
+    ks = np.array([2, 0, 1, 2, 1])
+    outs = np.asarray(seq.play_packed(ks, Rs=8, interpret=True))
+    assert outs.shape == (5, seq.shape[0], seq.n_samples)
+    for i, k in enumerate(ks):
+        np.testing.assert_array_equal(
+            outs[i], np.asarray(seq.play(int(k), rows_per_tile=8,
+                                         interpret=True)))
+
+
+def test_play_packed_traced_ks_and_clamp():
+    """ks may be traced (measurement feedback); out-of-range indices clamp
+    to the table edges exactly like play()."""
+    seq = Sequencer(build_lows())
+
+    @jax.jit
+    def run(ks):
+        return seq.play_packed(ks, Rs=8, interpret=True)
+
+    got = np.asarray(run(jnp.asarray([1, 99, -3], jnp.int32)))
+    for i, k in enumerate([1, 2, 0]):
+        np.testing.assert_array_equal(
+            got[i], np.asarray(seq.play(k, rows_per_tile=8,
+                                        interpret=True)))
+
+
+def test_play_packed_int16_codes():
+    seq = Sequencer(build_lows())
+    ks = np.array([0, 2])
+    f32 = np.asarray(seq.play_packed(ks, Rs=8, interpret=True))
+    codes = np.asarray(seq.play_packed(ks, Rs=8, interpret=True,
+                                       out_dtype=jnp.int16))
+    want = np.clip(np.round(f32 * 32767.0), -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(codes, want)
+
+
+def test_play_packed_rejects_unsupported_tables():
+    from waveforms_tpu.ops.lowering import UnsupportedFactor
+    lows_c = build_lows(part='complex')
+    with pytest.raises(UnsupportedFactor, match='real-only'):
+        Sequencer(lows_c).play_packed(np.array([0]), interpret=True)
+    lows_b = [lower_schedule([gaussian(100e-9) >> 0.3e-6], 0, SPAN, FS,
+                             bucket_samples=1024) for _ in range(2)]
+    with pytest.raises(UnsupportedFactor, match='single-bucket'):
+        Sequencer(lows_b).play_packed(np.array([0]), interpret=True)

@@ -224,6 +224,9 @@ def check_play_many():
     lowers_for_tpu(jax.jit(lambda k: seq.play_many(k, rows_per_tile=64)),
                    ks)
     lowers_for_tpu(jax.jit(lambda k: seq.play_many(k, sparse=True)), ks)
+    lowers_for_tpu(jax.jit(lambda k: seq.play_packed(k)), ks)
+    lowers_for_tpu(jax.jit(lambda k: seq.play_packed(
+        k, out_dtype=jnp.int16)), ks)
 
 
 CHECKS = {

@@ -667,6 +667,51 @@ def task_seq_amortized(n_shots=100):
             "parity_ok": bool(diff < 1e-6)}
 
 
+def task_seq_packed(n_shots=100, Rs=8, out16=False):
+    """Shot-PACKED playback on silicon: the whole sequence rides one
+    panel-kernel launch (grid steps ~ output panels, not shots), so both
+    the per-shot step machinery AND the full-tile factor math of the
+    vmapped play_many path disappear.  Parity vs play() per shot."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build('readme_demo_10k')
+    low = lower_schedule(chans, start, stop, fs)
+    seq = Sequencer([low, low])
+    ks = jnp.asarray(np.arange(n_shots) % 2, jnp.int32)
+    dt = jnp.int16 if out16 else None
+
+    @jax.jit
+    def play_shots(ks):
+        return seq.play_packed(ks, Rs=Rs, out_dtype=dt)
+
+    out = play_shots(ks)
+    out.block_until_ready()
+    a = np.asarray(out[0]).astype(np.float64)
+    b = np.asarray(out[1]).astype(np.float64)
+    single0 = np.asarray(seq.play(0)).astype(np.float64)
+    single1 = np.asarray(seq.play(1)).astype(np.float64)
+    if out16:
+        single0 = np.clip(np.round(single0 * 32767.0), -32768, 32767)
+        single1 = np.clip(np.round(single1 * 32767.0), -32768, 32767)
+    diff = max(float(np.abs(a - single0).max()),
+               float(np.abs(b - single1).max()))
+    med = profile_median(lambda: play_shots(ks), 'jit_play_shots')
+    n = n_shots * len(chans) * low.n_samples
+    return {"n_shots": n_shots, "Rs": Rs, "int16": out16,
+            "device_ms": round(med * 1e3, 3),
+            "per_shot_us": round(med / n_shots * 1e6, 3),
+            "gsps": round(n / med / 1e9, 3),
+            "max_abs_diff_vs_single": diff,
+            "parity_ok": bool(diff < (1.0 if out16 else 1e-6))}
+
+
 def task_pair_planes_parity():
     """Pair-mode sparse pinned on silicon WITHOUT complex64 transfers:
     the kernel's two f32 planes read back separately and compared against
@@ -1402,6 +1447,17 @@ def pending_tasks(state):
     for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
         tasks.append((f"r4d_stack_{row}",
                       lambda row=row: task_stack_row(row)))
+    # shot-packed sequence playback (play_packed): one panel launch for
+    # the whole sequence -- the amortized-shot ask's real answer (the
+    # vmapped play_many still paid ~2.5 us/shot of per-step machinery +
+    # full-tile factor math; r4_seq_amortized)
+    tasks.append(("r4_seq_packed", lambda: task_seq_packed(100, Rs=8)))
+    tasks.append(("r4_seq_packed_Rs32",
+                  lambda: task_seq_packed(100, Rs=32)))
+    tasks.append(("r4_seq_packed_1000",
+                  lambda: task_seq_packed(1000, Rs=8)))
+    tasks.append(("r4_seq_packed_int16",
+                  lambda: task_seq_packed(1000, Rs=8, out16=True)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -93,9 +93,40 @@ class Sequencer:
         for i, o in enumerate(self.ops_present):
             remap[o] = i
 
-        e_max = max((int(low.ext.size) if low.ext is not None else 0)
-                    for low in schedules)
-        E = max(-(-max(e_max, 1) // 256) * 256, 256)
+        # merge per-schedule ext side-buffers into ONE table-wide buffer
+        # (dedup identical blocks, like lowering._merge_channel_ext does
+        # across channels) and rewrite each schedule's ext-offset args to
+        # point into it.  Every schedule then reads the SAME buffer:
+        # play() gathers stay trivially correct, and packed playback
+        # (play_packed) can serve many shots from one SMEM-resident ext
+        # block.
+        from .lowering import (OP_DRAG_SIN, OP_DRAG_SINX, PALLAS_EXT_MAX)
+        ext_merged: list = []
+        ext_seen: dict = {}
+        self._args_rw = []
+        for low in schedules:
+            a = np.array(low.args, copy=True)   # keep lowering's f32
+            src = np.asarray(low.ext if low.ext is not None else [],
+                             np.float64)
+            for pos in np.argwhere(
+                    np.isin(low.op, (OP_DRAG_SIN, OP_DRAG_SINX))):
+                p = tuple(pos)
+                off, ln = int(a[p + (7,)]), int(a[p + (8,)])
+                block = src[off:off + ln]
+                key = block.tobytes()
+                goff = ext_seen.get(key)
+                if goff is None:
+                    goff = len(ext_merged)
+                    ext_merged.extend(block.tolist())
+                    ext_seen[key] = goff
+                a[p + (7,)] = goff
+            self._args_rw.append(a)
+        if len(ext_merged) > PALLAS_EXT_MAX:
+            raise UnsupportedFactor(
+                f"merged sequence ext buffer ({len(ext_merged)} floats) "
+                f"exceeds the kernel budget ({PALLAS_EXT_MAX})")
+        self._ext_merged = np.asarray(ext_merged, np.float32)
+        E = max(-(-max(len(ext_merged), 1) // 256) * 256, 256)
 
         def stack(get, shape, dtype=None, fill=0):
             out = np.stack([_pad_to(np.asarray(get(low)), shape, fill)
@@ -125,18 +156,29 @@ class Sequencer:
                 -1, C, NB, 1, Sb * T * F),
             stack(lambda l: l.q32, (C, NB, Sb, T, F, 4)).reshape(
                 -1, C, NB, 1, Sb * T * F * 4),
-            stack(lambda l: l.args, (C, NB, Sb, T, F, W_ARGS)).reshape(
+            jnp.asarray(np.stack(
+                [_pad_to(a, (C, NB, Sb, T, F, W_ARGS))
+                 for a in self._args_rw])).reshape(
                 -1, C, NB, 1, Sb * T * F * W_ARGS),
-            stack(lambda l: (np.pad(
-                np.asarray(l.ext if l.ext is not None else np.zeros(0),
-                           np.float32), (0, E - (l.ext.size if l.ext is not
-                                                 None else 0)))), (E,)
-                  ).reshape(-1, 1, 1, 1, E),
+            jnp.asarray(np.broadcast_to(
+                np.pad(self._ext_merged,
+                       (0, E - self._ext_merged.size)),
+                (len(schedules), E)).copy()).reshape(-1, 1, 1, 1, E),
             stack(lambda l: np.stack([l.clip_min, l.clip_max], 1),
                   (C, 2)).reshape(-1, C, 1, 1, 2),
         )
         self.amp_im = (stack(lambda l: l.amp_im, (C, NB, Sb, T)).reshape(
             -1, C, NB, 1, Sb * T) if self.pair else None)
+
+        # shot-packed playback (play_packed) gate: one grid step serves
+        # MANY shots, so the per-channel clip pair must be table-uniform
+        # (ext is always shared -- merged above)
+        self._clip_uniform = all(
+            np.array_equal(low.clip_min, first.clip_min)
+            and np.array_equal(low.clip_max, first.clip_max)
+            for low in schedules)
+        self._packed_tensors_cache = None
+        self._packed_plans = {}
 
     def describe(self) -> str:
         """One-line table summary (debugging / logging aid)."""
@@ -286,3 +328,173 @@ class Sequencer:
                           ops_present=self.ops_present,
                           interpret=interpret)
         return out.reshape(C, -1)[:, :self.n_samples]
+
+    # ------------------------------------------------------------------
+    # Shot-packed playback: the whole shot sequence rides ONE panel-kernel
+    # launch.  play_many amortizes the DISPATCH (one jit call) but still
+    # pays one grid step per shot (~2.5 us of step machinery + full-tile
+    # factor evaluation on the dev v5e, benchmarks r4_seq_amortized); here
+    # shots pack along the panel ROW axis, so grid steps scale with output
+    # panels (a few) and factor math runs only on each shot's live
+    # subtiles.  The descriptor tables concatenate along the SEGMENT axis
+    # once (device-resident, like AWG waveform memory); per shot only the
+    # worklist's segment RANGES change, gathered from a per-schedule table
+    # by the (traced) shot indices -- so ks may come from measurement
+    # feedback and the kernel still compiles exactly once.
+    # ------------------------------------------------------------------
+
+    def _packed_tensors(self):
+        """Descriptor tensors concatenated along the segment axis:
+        schedule ``k`` occupies segment rows [k*Sb, (k+1)*Sb)."""
+        import jax.numpy as jnp
+        if self._packed_tensors_cache is not None:
+            return self._packed_tensors_cache
+        C, NB, Sb, T, F = self.shape
+        K = self.n_schedules
+
+        def seg_axis(t, trail):
+            # (K, C, NB, 1, Sb*trail) -> (C, NB, 1, (K*Sb)*trail)
+            x = t.reshape(K, C, NB, Sb, trail)
+            x = jnp.transpose(x, (1, 2, 0, 3, 4))
+            return x.reshape(C, NB, 1, K * Sb * trail)
+
+        t = self.tensors                    # hmax (t[2]) is not needed:
+        packed = (                          # packed items carry explicit
+            seg_axis(t[0], 1),              # per-item segment ranges
+            seg_axis(t[1], 1), seg_axis(t[3], 1),
+            seg_axis(t[4], T), seg_axis(t[5], T),
+            seg_axis(t[6], T * F), seg_axis(t[7], T * F),
+            seg_axis(t[8], T * F), seg_axis(t[9], T * F * 4),
+            seg_axis(t[10], T * F * W_ARGS),
+            t[11][0],                       # ext (uniform; gated)
+            t[12][0],                       # clip (uniform; gated)
+        )
+        self._packed_tensors_cache = packed
+        return packed
+
+    def _packed_plan(self, n_shots: int, Rs: int):
+        """Static worklist for an n_shots packed launch (cached).
+
+        Items enumerate (channel, shot, union-live subtile): a subtile is
+        in the union when ANY table schedule has segments overlapping it,
+        so the item list is independent of which schedule each shot plays
+        -- only the per-item segment ranges (``rng0``/``rng1``, indexed by
+        schedule) vary, and those gather inside jit."""
+        key = (n_shots, Rs)
+        cached = self._packed_plans.get(key)
+        if cached is not None:
+            return cached
+        import jax.numpy as jnp
+
+        from types import SimpleNamespace
+        from .sparse_synth import (PANEL_ROWS, PANEL_WORK_SMEM_BUDGET,
+                                   next_pow2)
+        C, NB, Sb, T, F = self.shape
+        tile = Rs * 128
+        n_rows_shot = -(-self.n_samples // 128)
+        tps = -(-n_rows_shot // Rs)               # subtiles per shot
+        bases = np.arange(tps, dtype=np.int64) * tile
+        r0 = np.zeros((self.n_schedules, C, tps), np.int32)
+        r1 = np.zeros((self.n_schedules, C, tps), np.int32)
+        for k, v in enumerate(self._plan_views):
+            for c in range(C):
+                lo = np.asarray(v.seg_lo[c, 0], np.int64)
+                hi = np.asarray(v.seg_hi[c, 0], np.int64)
+                hmax = np.maximum.accumulate(hi)
+                s0 = np.searchsorted(hmax, bases, side='right')
+                s1 = np.maximum(
+                    np.searchsorted(lo, bases + tile, side='left'), s0)
+                r0[k, c] = k * Sb + s0
+                r1[k, c] = k * Sb + s1
+        live = (r1 > r0).any(axis=0)              # (C, tps) union
+        cs, ts = np.nonzero(live)
+        n_union = len(cs)
+        s_idx = np.repeat(np.arange(n_shots), n_union)
+        c_arr = np.tile(cs, n_shots)
+        t_arr = np.tile(ts, n_shots)
+        wo = s_idx * tps + t_arr                  # shot-major output rows
+        total_rows = max(n_shots * tps * Rs, Rs)
+        P = max(Rs, min(PANEL_ROWS, total_rows))
+        P = (P // Rs) * Rs
+        NP = -(-total_rows // P)
+        slot = c_arr * NP + (wo * Rs) // P        # NB == 1
+        order = np.argsort(slot, kind='stable')
+        n_items = n_shots * n_union
+        Kw = next_pow2(n_items)
+        if (4 * Kw + C * NP + 1) * 4 > PANEL_WORK_SMEM_BUDGET:
+            raise UnsupportedFactor(
+                f"packed worklist ({n_items} items) exceeds the panel "
+                "kernel's SMEM budget -- play in smaller shot chunks")
+        start = np.zeros(C * NP + 1, np.int64)
+        np.add.at(start, slot + 1, 1)
+        start = np.cumsum(start)
+        pad = Kw - n_items
+
+        def col(a):
+            return jnp.asarray(np.concatenate(
+                [np.asarray(a)[order],
+                 np.zeros(pad, np.int64)]).astype(np.int32))
+
+        plan = SimpleNamespace(
+            start=jnp.asarray(start.astype(np.int32)),
+            wt=col(t_arr), wo=col(wo),
+            shot_of=jnp.asarray(s_idx[order].astype(np.int32)),
+            rng0=jnp.asarray(r0[:, c_arr[order], t_arr[order]]),
+            rng1=jnp.asarray(r1[:, c_arr[order], t_arr[order]]),
+            pad=pad, n_items=n_items, n_union=n_union,
+            P=P, NP=NP, tps=tps, Rs=Rs)
+        self._packed_plans[key] = plan
+        return plan
+
+    def play_packed(self, ks, Rs: int = 8, interpret: bool = False,
+                    out_dtype=None, dac_scale=32767.0):
+        """Synthesize the shot sequence ``ks`` in ONE kernel launch
+        -> (len(ks), C, N).
+
+        Real single-bucket tables with uniform ext/clip only.  ``ks`` may
+        be traced (measurement-dependent); out-of-range indices clamp to
+        the table edges like :meth:`play`.  ``out_dtype=jnp.int16`` emits
+        exact DAC codes (halves the result bytes -- size big shot batches
+        with it).  Memory: the result is (n_shots, C, N)."""
+        import jax.numpy as jnp
+
+        from .lowering import PALLAS_SMEM_BUDGET, _pallas_desc_bytes
+        from .pallas_synth import dac_scale_tensor
+        from .sparse_synth import _run_panels
+
+        if out_dtype is None:
+            out_dtype = jnp.float32
+        if self.pair:
+            raise UnsupportedFactor("packed sequence play is real-only")
+        C, NB, Sb, T, F = self.shape
+        if NB != 1:
+            raise UnsupportedFactor("packed sequence play is single-bucket")
+        if not self._clip_uniform:
+            raise UnsupportedFactor(
+                "packed sequence play needs uniform clip rails")
+        if _pallas_desc_bytes(self.n_schedules * Sb, T, F) \
+                > PALLAS_SMEM_BUDGET:
+            raise UnsupportedFactor(
+                "concatenated descriptor table exceeds the kernel SMEM "
+                "budget -- fewer/smaller schedules per table")
+        ks = jnp.asarray(ks, jnp.int32)
+        n_shots = int(ks.shape[0])
+        plan = self._packed_plan(n_shots, Rs)
+        scale = dac_scale_tensor(out_dtype, dac_scale, C)
+        # per-item segment ranges: schedule ks[shot]'s range for this
+        # item's subtile, offset into the segment-concatenated table
+        sched = jnp.clip(ks, 0, self.n_schedules - 1)[plan.shot_of]
+        cols = jnp.arange(plan.n_items, dtype=jnp.int32)
+        zpad = jnp.zeros(plan.pad, jnp.int32)
+        ws0 = jnp.concatenate([plan.rng0[sched, cols], zpad])
+        ws1 = jnp.concatenate([plan.rng1[sched, cols], zpad])
+        out = _run_panels(
+            plan.start, plan.wt, plan.wo, ws0, ws1,
+            *self._packed_tensors(), None, scale,
+            S=self.n_schedules * Sb, T=T, F=F, Rs=Rs, P=plan.P,
+            NP=plan.NP, ops_present=self.ops_present,
+            interpret=interpret, out_dtype=out_dtype)
+        rows_shot = plan.tps * Rs
+        out = out.reshape(C, -1)[:, :n_shots * rows_shot * 128]
+        out = out.reshape(C, n_shots, rows_shot * 128)[..., :self.n_samples]
+        return jnp.transpose(out, (1, 0, 2))
