@@ -137,3 +137,31 @@ def test_linear_chirp_hi_tier_1M_samples():
     from bench import build_dense_schedule
     chans = build_dense_schedule(n_channels=1, duration=5.24288e-4)
     _check(chans, span=5.24288e-4, tol=2e-9)
+
+
+def test_hi_panels_match_oracle_and_dense():
+    """Panel-kernel hi tier (round 4): sparse schedules keep the <=1e-9
+    contract while factor math scales with occupancy."""
+    from waveforms_tpu.ops.hi_synth import (synthesize_hi_panels,
+                                            synthesize_hi_routed)
+    rng = np.random.default_rng(3)
+    chans = []
+    for c in range(3):
+        wv = sh.zero()
+        for _ in range(4):
+            wv = wv + ((sh.gaussian(3e-8) >> float(rng.uniform(0, 7e-6)))
+                       * sh.cos(2 * np.pi * (1e8 + 1e6 * c), 0.3))
+        chans.append(wv)
+    low = lower_schedule(chans, 0.0, SPAN, FS, keep_f64=True)
+    out = synthesize_hi_panels(low)
+    ref = engine.synthesize(chans, 0.0, SPAN, FS, engine='numpy')
+    scale = max(np.max(np.abs(ref)), 1e-30)
+    assert np.max(np.abs(out - ref)) / scale < TOL
+    # panel result == dense hi result bit-for-bit (same walker, same df
+    # math; only the iteration order over subtiles differs -- each output
+    # sample is still produced by exactly one walk)
+    dense = synthesize_hi(low)
+    np.testing.assert_array_equal(out, dense)
+    # the router picks panels for this occupancy
+    routed = synthesize_hi_routed(low)
+    np.testing.assert_array_equal(routed, out)

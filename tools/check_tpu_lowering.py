@@ -133,6 +133,23 @@ def check_hi_including_chirp():
         lowers_for_tpu(f, jnp.zeros((1, 1, 1, 1), jnp.int32),
                        *dev.tensors)
 
+    # hi panel kernel (round 4): single-bucket sparse route
+    from waveforms_tpu.ops.hi_synth import _run_panels_hi
+    from waveforms_tpu.ops.sparse_synth import build_panel_plan
+    low = lower_schedule([sh.gaussian(4e-7) * sh.cos(2 * np.pi * 3e7),
+                          sh.gaussian(2e-7) >> 2e-5], 0.0, 3.2768e-5, FS,
+                         keep_f64=True)
+    dev = HiSchedule(low)
+    plan = build_panel_plan(low)
+    C, NB, S, T, F = dev.shape
+    fp = jax.jit(functools.partial(
+        _run_panels_hi, S=S, T=T, F=F, Rs=plan.Rs, P=plan.P,
+        NP=plan.n_panels, ops_present=dev.ops_present))
+    lowers_for_tpu(fp, jnp.asarray(plan.start), jnp.asarray(plan.work_t),
+                   jnp.asarray(plan.work_o), jnp.asarray(plan.work_s0),
+                   jnp.asarray(plan.work_s1),
+                   *(dev.tensors[:2] + dev.tensors[3:]))
+
 
 def check_stack_including_ext():
     from waveforms_tpu.core import WaveVStack

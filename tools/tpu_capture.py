@@ -667,6 +667,56 @@ def task_seq_amortized(n_shots=100):
             "parity_ok": bool(diff < 1e-6)}
 
 
+def task_hi_panels(which='flagship'):
+    """Hi (double-f32) tier through the PANEL kernel on silicon: factor
+    math scales with occupancy, so sparse production schedules keep the
+    <=1e-9 contract far above the dense hi grid's 3.6 GS/s
+    (r4_hi_tier).  Parity on a readback-safe window first."""
+    import jax
+
+    from bench import build_mid_schedule
+    from waveforms_tpu.ops.hi_synth import (HiSchedule, _run_panels_hi,
+                                            synthesize_hi_panels)
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sparse_synth import build_panel_plan
+
+    chans = (build_mid_schedule() if which == 'mid' else _sparse_chans())
+    # small-window parity vs the f64 oracle
+    chans_s = (build_mid_schedule(n_channels=8) if which == 'mid'
+               else _sparse_chans(8))
+    stop_s = 16.384e-6
+    low_s = lower_schedule(chans_s, 0.0, stop_s, FS, keep_f64=True)
+    out = synthesize_hi_panels(low_s, interpret=False)
+    t = np.arange(0.0, stop_s, 1 / FS)
+    worst = 0.0
+    for c, w in enumerate(chans_s):
+        oracle = np.real(w(t))
+        scale = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst, float(np.abs(out[c] - oracle).max() / scale))
+
+    low = lower_schedule(chans, 0.0, 524.288e-6, FS, keep_f64=True)
+    dev = HiSchedule(low)
+    plan = build_panel_plan(low)
+    jax.block_until_ready(dev.tensors)
+    tensors = dev.tensors[:2] + dev.tensors[3:]
+    import jax.numpy as jnp
+    C, NB, S, T, F = dev.shape
+
+    def run():
+        return _run_panels_hi(
+            jnp.asarray(plan.start), jnp.asarray(plan.work_t),
+            jnp.asarray(plan.work_o), jnp.asarray(plan.work_s0),
+            jnp.asarray(plan.work_s1), *tensors,
+            S=S, T=T, F=F, Rs=plan.Rs, P=plan.P, NP=plan.n_panels,
+            ops_present=dev.ops_present, interpret=False)
+
+    med = _measure(run, 'jit__run_panels_hi')
+    n = len(chans) * low.n_samples
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(n / med / 1e9, 2), "n_live": plan.n_live,
+            "max_rel_err": worst, "parity_ok": bool(worst < 1e-9)}
+
+
 def task_seq_packed(n_shots=100, Rs=8, out16=False):
     """Shot-PACKED playback on silicon: the whole sequence rides one
     panel-kernel launch (grid steps ~ output panels, not shots), so both
@@ -1458,6 +1508,10 @@ def pending_tasks(state):
                   lambda: task_seq_packed(1000, Rs=8)))
     tasks.append(("r4_seq_packed_int16",
                   lambda: task_seq_packed(1000, Rs=8, out16=True)))
+    # hi tier through the panel kernel: the <=1e-9 contract at
+    # occupancy-scaled speed (the dense hi grid is the occupancy-1 floor)
+    tasks.append(("r4_hi_panel_flagship", lambda: task_hi_panels()))
+    tasks.append(("r4_hi_panel_mid", lambda: task_hi_panels('mid')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

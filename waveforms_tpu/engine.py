@@ -208,13 +208,13 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
             except Exception:
                 pass
             if engine != 'auto' or on_tpu:
-                from .ops.hi_synth import synthesize_hi
+                from .ops.hi_synth import synthesize_hi_routed
                 try:
                     low = lower_schedule(channels, start, stop,
                                          sample_rate, part=part,
                                          bucket_samples=bucket_samples,
                                          keep_f64=True)
-                    return synthesize_hi(low)
+                    return synthesize_hi_routed(low)
                 except UnsupportedFactor:
                     if engine != 'auto':
                         raise

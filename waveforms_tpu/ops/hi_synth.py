@@ -43,7 +43,8 @@ from .lowering import (OP_COS, OP_DRAG, OP_EXP, OP_GAUSSIAN, OP_LINEAR,
                        OP_LINEARCHIRP, OP_SINC, W_ARGS, LoweredSchedule,
                        UnsupportedFactor)
 
-__all__ = ['synthesize_hi', 'HI_OPS']
+__all__ = ['synthesize_hi', 'synthesize_hi_panels', 'synthesize_hi_routed',
+           'HI_OPS']
 
 HI_OPS = frozenset({OP_LINEAR, OP_GAUSSIAN, OP_COS, OP_EXP, OP_SINC,
                     OP_DRAG, OP_LINEARCHIRP})
@@ -339,6 +340,147 @@ def _run_kernel_hi(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp,
         interpret=interpret,
     )(row0, seg_lo, seg_hi, s0t, s1t, nterm, nfac, amp, amp_lo, op, pw,
       sh, q32, args, args_lo, clip)
+
+
+def _hi_panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
+                     seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref, amp_ref,
+                     amplo_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
+                     argslo_ref, clip_ref, out_ref, out2_ref,
+                     *, S, T, F, Rs, P, NP, ops_present):
+    """Panel-kernel analog for the hi tier (see sparse_synth._panel_kernel):
+    one fat grid step per (channel, panel), zero-filled (hi, lo) planes,
+    all the slot's live subtiles walked from the SMEM-resident worklist.
+    Single-bucket schedules only (bucketed hi runs the dense grid)."""
+    c = pl.program_id(0)
+    p = pl.program_id(1)
+    out_ref[0] = jnp.zeros((P, 128), jnp.float32)
+    out2_ref[0] = jnp.zeros((P, 128), jnp.float32)
+    tile = Rs * 128
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Rs, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Rs, 128), 1)
+    slot = c * NP + p
+    k0 = start_ref[slot]
+    k1 = start_ref[slot + 1]
+
+    def item(k, carry):
+        base = wt_ref[k] * tile
+        idx = base + rows * 128 + cols
+        seg_at, a0 = _tile_walker_hi(
+            idx, base, tile, Rs, seg_lo_ref, seg_hi_ref, nterm_ref,
+            nfac_ref, amp_ref, amplo_ref, op_ref, pw_ref, sh_ref, q32_ref,
+            args_ref, argslo_ref, clip_ref, T=T, F=F,
+            ops_present=ops_present)
+        acc = jax.lax.fori_loop(ws0_ref[k], ws1_ref[k], seg_at, a0)
+        sl = pl.ds(wo_ref[k] * Rs - p * P, Rs)
+        out_ref[0, sl, :] = acc[0]
+        out2_ref[0, sl, :] = acc[1]
+        return carry
+
+    jax.lax.fori_loop(k0, k1, item, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('S', 'T', 'F', 'Rs', 'P', 'NP',
+                                    'ops_present', 'interpret'))
+def _run_panels_hi(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac,
+                   amp, amp_lo, op, pw, sh, q32, args, args_lo, clip, *,
+                   S, T, F, Rs, P, NP, ops_present, interpret=False):
+    C = seg_lo.shape[0]
+
+    def smem(k, bcast=False):
+        if bcast:
+            return pl.BlockSpec(
+                (1, 1, 1, k), lambda c, p, *pf: (0, 0, 0, 0),
+                memory_space=pltpu.SMEM)
+        return pl.BlockSpec(
+            (1, 1, 1, k), lambda c, p, *pf: (c, 0, 0, 0),
+            memory_space=pltpu.SMEM)
+
+    out_spec = pl.BlockSpec((1, P, 128), lambda c, p, *pf: (c, p, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(C, NP),
+        in_specs=[
+            smem(S), smem(S), smem(S),               # seg_lo, seg_hi, nterm
+            smem(S * T), smem(S * T), smem(S * T),   # nfac, amp, amp_lo
+            smem(S * T * F), smem(S * T * F),        # op, power
+            smem(S * T * F), smem(S * T * F * 4),    # shift_hi, q32
+            smem(S * T * F * W_ARGS),                # args
+            smem(S * T * F * W_ARGS),                # args_lo
+            pl.BlockSpec((1, 1, 1, 2), lambda c, p, *pf: (c, 0, 0, 0),
+                         memory_space=pltpu.SMEM),   # clip
+        ],
+        out_specs=(out_spec, out_spec),
+    )
+    kernel = functools.partial(_hi_panel_kernel, S=S, T=T, F=F, Rs=Rs,
+                               P=P, NP=NP, ops_present=ops_present)
+    out_shape = jax.ShapeDtypeStruct((C, NP * P, 128), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, amp_lo,
+      op, pw, sh, q32, args, args_lo, clip)
+
+
+def synthesize_hi_panels(dev, low=None, plan=None, Rs=32,
+                         interpret: bool | None = None,
+                         combine: bool = True):
+    """Panel-kernel hi-tier synthesis (sparse/mid-occupancy schedules).
+
+    Same contract as :func:`synthesize_hi`; single-bucket real schedules
+    whose worklist fits the panel SMEM budget.  The (hi, lo) planes are
+    stored per live subtile only, so factor math scales with occupancy
+    exactly like the f32 panel kernel (162 vs 29 GS/s on v5e)."""
+    from .sparse_synth import build_panel_plan, panels_eligible
+    if not isinstance(dev, HiSchedule):
+        low = low or dev
+        dev = HiSchedule(dev)
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    C, NB, S, T, F = dev.shape
+    if NB != 1:
+        raise UnsupportedFactor("hi panel synthesis is single-bucket; "
+                                "bucketed schedules run the dense hi grid")
+    if plan is None:
+        if low is None:
+            raise ValueError("synthesize_hi_panels needs `low` or `plan`")
+        plan = build_panel_plan(low, Rs=Rs)
+    if not panels_eligible(plan, jnp.float32, False):
+        raise UnsupportedFactor("worklist exceeds the panel SMEM budget")
+    tensors = dev.tensors[:2] + dev.tensors[3:]
+    hi, lo = _run_panels_hi(
+        jnp.asarray(plan.start), jnp.asarray(plan.work_t),
+        jnp.asarray(plan.work_o), jnp.asarray(plan.work_s0),
+        jnp.asarray(plan.work_s1), *tensors,
+        S=S, T=T, F=F, Rs=plan.Rs, P=plan.P, NP=plan.n_panels,
+        ops_present=dev.ops_present, interpret=interpret)
+    hi = hi.reshape(C, -1)[:, :plan.window_samples]
+    lo = lo.reshape(C, -1)[:, :plan.window_samples]
+    if not combine:
+        return hi, lo
+    return (np.asarray(hi).astype(np.float64)
+            + np.asarray(lo).astype(np.float64))
+
+
+def synthesize_hi_routed(low, combine: bool = True):
+    """Occupancy-routed hi tier: panel kernel below the panel threshold
+    (the same crossover the f32 engine uses), dense hi grid otherwise."""
+    if low.shape[1] == 1 and low.pallas_ok and low.amp_im is None:
+        from ..engine import _panel_threshold
+        from .sparse_synth import (build_panel_plan, build_sparse_plan,
+                                   panels_eligible)
+        try:
+            sp = build_sparse_plan(low)
+            if sp.occupied_fraction < _panel_threshold():
+                pp = build_panel_plan(low, base=sp)
+                if panels_eligible(pp, jnp.float32, False):
+                    return synthesize_hi_panels(low, plan=pp,
+                                                combine=combine)
+        except UnsupportedFactor:
+            pass
+    return synthesize_hi(low, combine=combine)
 
 
 class HiSchedule:
