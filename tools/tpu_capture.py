@@ -667,6 +667,36 @@ def task_seq_amortized(n_shots=100):
             "parity_ok": bool(diff < 1e-6)}
 
 
+def task_stack_cost_probe(row='vstack_1000x200k'):
+    """Decompose the fused stack kernel's device time: full vs eval-only
+    (no scatter dot) vs scatter-only (no factor math).  Three redesigns
+    in a row assumed the wrong bound (dispatch chain, then table
+    streaming); this measures it."""
+    import importlib
+
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    plan = build_stack_plan(low)
+    res = {"n_narrow": plan.n_narrow}
+    for name, probe in (("full_ms", None), ("eval_ms", 'eval'),
+                        ("scatter_ms", 'scatter')):
+        runner = _build_kernel_runner(plan, low, False, probe=probe)
+        if runner is None:
+            res[name] = None
+            continue
+        jax.block_until_ready(runner())
+        res[name] = round(
+            profile_median(runner, 'jit_run_stack_kernel') * 1e3, 4)
+    return res
+
+
 def task_hi_panels(which='flagship'):
     """Hi (double-f32) tier through the PANEL kernel on silicon: factor
     math scales with occupancy, so sparse production schedules keep the
@@ -1512,6 +1542,11 @@ def pending_tasks(state):
     # occupancy-scaled speed (the dense hi grid is the occupancy-1 floor)
     tasks.append(("r4_hi_panel_flagship", lambda: task_hi_panels()))
     tasks.append(("r4_hi_panel_mid", lambda: task_hi_panels('mid')))
+    # stack kernel: measure the actual bound before redesign #4
+    tasks.append(("r4_stack_cost_probe",
+                  lambda: task_stack_cost_probe('vstack_1000x200k')))
+    tasks.append(("r4_stack_cost_probe_overlap",
+                  lambda: task_stack_cost_probe('overlap100_drag_2200')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -395,7 +395,7 @@ def _pad128(x: int) -> int:
 
 
 def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
-                         interpret: bool):
+                         interpret: bool, probe: str | None = None):
     """The whole batched path as ONE Pallas kernel (cached on the plan).
 
     The XLA runner's per-group op chain (eval fusions + one-hot einsums +
@@ -414,6 +414,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     Returns None when the plan needs the XLA runner (too many structure
     groups, two ext factors in one term, or tables past the VMEM/HBM
     budgets).
+
+    ``probe`` builds cost-decomposition variants for on-chip timing (the
+    outputs are WRONG by construction): 'eval' skips the one-hot dot
+    (tables + factor math only), 'scatter' skips the factor math
+    (tables + mask + dot only).
     """
     if not _kernel_runner_viable(plan):
         return None
@@ -529,8 +534,9 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                 idx = icol(0) * 128 + lane
                 prod = jnp.broadcast_to(tt[:, meta['off_amp']:
                                            meta['off_amp'] + 1], (KS, 128))
-                for f, (op_code, power) in enumerate(zip(meta['ops'],
-                                                         meta['powers'])):
+                factors = () if probe == 'scatter' else zip(meta['ops'],
+                                                            meta['powers'])
+                for f, (op_code, power) in enumerate(factors):
                     di = idx - icol(4 + f)
 
                     def arg(k, f=f):
@@ -554,6 +560,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                     prod = prod * val
                 mask = (idx >= icol(2)) & (idx < icol(3))
                 vals = jnp.where(mask, prod, 0.0)
+                if probe == 'eval':
+                    # probe: no scatter dot (row-sum keeps acc's shape and
+                    # data-depends on every evaluated lane)
+                    return acc + jnp.broadcast_to(
+                        jnp.sum(vals, axis=0, keepdims=True), acc.shape)
                 onehot = (icol(1) == lane).astype(jnp.float32)
                 return acc + jax.lax.dot_general(
                     onehot, vals, (((0,), (0,)), ((), ())),
