@@ -241,12 +241,14 @@ def main():
     except Exception:
         pass                               # dense-only headline
 
-    panel_s = None
+    panel_s = panel16_s = None
     panel_raw = []
+    panel16_raw = []
     try:
         from waveforms_tpu.ops.sparse_synth import build_panel_plan, \
             panels_eligible, synthesize_panels
         acc = 0.0
+        acc16 = 0.0
         for w_lo, w_hi in ((0, half_t), (half_t, n_tiles)):
             pplan = build_panel_plan(low, Rs=Rs, tile_window=(w_lo, w_hi))
             if not panels_eligible(pplan, np.float32, False):
@@ -260,7 +262,25 @@ def main():
                     for _ in range(2)]
             panel_raw.extend(meds)
             acc += min(meds)
+            if acc16 is not None:
+                # int16 DAC codes: the AWG deployment format (exact
+                # round(f32 * scale) codes, code-parity-pinned on chip --
+                # tpu_state.json r4_panel_flagship_int16); halved store
+                # bytes lift the store-bound flagship 162 -> 281 GS/s
+                try:
+                    def prun16():
+                        return synthesize_panels(dev, plan=pplan,
+                                                 out_dtype=jnp.int16)
+
+                    prun16().block_until_ready()
+                    meds16 = [measure_device(prun16, 'jit__run_panels',
+                                             reps=5) for _ in range(2)]
+                    panel16_raw.extend(meds16)
+                    acc16 += min(meds16)
+                except Exception:
+                    acc16 = None
         panel_s = acc
+        panel16_s = acc16
     except Exception:
         pass                               # headline without the panel row
 
@@ -371,9 +391,14 @@ def main():
         **({"panel_kernel_gsps":
             round(128 * TOTAL_SAMPLES / panel_s / 1e9, 2)}
            if panel_s else {}),
+        **({"flagship_int16_gsps":
+            round(128 * TOTAL_SAMPLES / panel16_s / 1e9, 2)}
+           if panel16_s else {}),
         "window_raw_s": {"grid": [round(s, 6) for s in dense_raw],
                          "sparse": [round(s, 6) for s in sparse_raw],
-                         "panel": [round(s, 6) for s in panel_raw]},
+                         "panel": [round(s, 6) for s in panel_raw],
+                         "panel_int16": [round(s, 6)
+                                         for s in panel16_raw]},
         "headline_policy": "flagship = sum over 2 windows of min(best-of-2 "
                            "median-of-5 device events) per kernel, then "
                            "min(grid, sparse, panel); kernels are "

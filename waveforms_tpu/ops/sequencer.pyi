@@ -29,3 +29,6 @@ class Sequencer:
                   sparse: bool = ..., Rs: int = ...,
                   interpret: bool = ...,
                   out_dtype: Any = ...) -> jax.Array: ...
+    def play_packed(self, ks: Sequence[int] | jax.Array, Rs: int = ...,
+                    interpret: bool = ..., out_dtype: Any = ...,
+                    dac_scale: float = ...) -> jax.Array: ...
