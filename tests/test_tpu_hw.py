@@ -304,3 +304,51 @@ def test_compiled_sparse_pair_and_int16():
         scale = max(np.abs(oracle).max(), 1e-30)
         assert np.abs(re_i[c] - oracle.real).max() / scale < 1e-5, c
         assert np.abs(im_i[c] - oracle.imag).max() / scale < 1e-5, c
+
+
+@requires_tpu
+def test_packed_sequence_play_on_chip():
+    """Shot-packed playback ON SILICON == per-shot plays (round 4: one
+    panel launch per sequence; the amortized-shot surface)."""
+    _tpu_or_skip()
+    import jax.numpy as jnp
+
+    from waveforms_tpu import cosPulse, gaussian
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+
+    fs, span = 2e9, 4.096e-6
+    lows = [lower_schedule([gaussian(200e-9) >> 1e-6], 0, span, fs),
+            lower_schedule([cosPulse(160e-9) >> 2e-6], 0, span, fs)]
+    seq = Sequencer(lows)
+    ks = jnp.asarray([1, 0, 1, 1, 0], jnp.int32)
+    outs = np.asarray(seq.play_packed(ks, Rs=8, interpret=False))
+    for i, k in enumerate([1, 0, 1, 1, 0]):
+        single = np.asarray(seq.play(k))
+        assert np.abs(outs[i] - single).max() == 0.0, i
+
+
+@requires_tpu
+def test_hi_panels_on_chip():
+    """Hi-tier panel kernel ON SILICON keeps the <=1e-9 contract."""
+    _tpu_or_skip()
+    from waveforms_tpu import cos, gaussian, zero
+    from waveforms_tpu.ops.hi_synth import synthesize_hi_panels
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    fs, span = 2e9, 16.384e-6
+    rng = np.random.default_rng(5)
+    chans = []
+    for c in range(4):
+        wv = zero()
+        for _ in range(3):
+            wv = wv + ((gaussian(60e-9) >> float(rng.uniform(0, 15e-6)))
+                       * cos(2 * np.pi * (1e8 + 1e6 * c), 0.3))
+        chans.append(wv)
+    low = lower_schedule(chans, 0.0, span, fs, keep_f64=True)
+    out = synthesize_hi_panels(low, interpret=False)
+    t = np.arange(0.0, span, 1 / fs)
+    for c, w in enumerate(chans):
+        oracle = w(t)
+        scale = max(np.abs(oracle).max(), 1e-30)
+        assert np.abs(out[c] - oracle).max() / scale < 1e-9, c

@@ -667,6 +667,48 @@ def task_seq_amortized(n_shots=100):
             "parity_ok": bool(diff < 1e-6)}
 
 
+def task_tiny_race(row='readme_demo_10k'):
+    """Panel vs dense(fine) on a TINY schedule, same chip window: dense
+    pads 79 rows to its R=128 tile, panel walks 2 live subtiles in one
+    step.  Decides the small-schedule side of the routing threshold."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,
+                                                default_rows_per_tile,
+                                                synthesize_device)
+    from waveforms_tpu.ops.sparse_synth import (build_panel_plan,
+                                                synthesize_panels)
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    dev = DeviceSchedule(low)
+    jax.block_until_ready(dev.tensors)
+    R = default_rows_per_tile(dev.n_samples, dev.bucket_samples,
+                              dev.shape[1])
+    plan = build_panel_plan(low)
+
+    def drun():
+        return synthesize_device(dev, rows_per_tile=R)
+
+    def prun():
+        return synthesize_panels(dev, plan=plan)
+
+    np.testing.assert_allclose(np.asarray(prun()), np.asarray(drun()),
+                               rtol=0, atol=1e-5)
+    d = profile_median(drun, 'jit__run_kernel')
+    p = profile_median(prun, 'jit__run_panels')
+    n = len(chans) * low.n_samples
+    return {"dense_us": round(d * 1e6, 2), "panel_us": round(p * 1e6, 2),
+            "dense_gsps": round(n / d / 1e9, 3),
+            "panel_gsps": round(n / p / 1e9, 3),
+            "n_live": plan.n_live, "R": R}
+
+
 def task_stack_cost_probe(row='vstack_1000x200k'):
     """Decompose the fused stack kernel's device time: full vs eval-only
     (no scatter dot) vs scatter-only (no factor math).  Three redesigns
@@ -710,10 +752,26 @@ def task_hi_panels(which='flagship'):
     from waveforms_tpu.ops.lowering import lower_schedule
     from waveforms_tpu.ops.sparse_synth import build_panel_plan
 
-    chans = (build_mid_schedule() if which == 'mid' else _sparse_chans())
+    def hi_sparse(n=128, dur=5.2e-4, seed=0):
+        # flagship-occupancy schedule from the HI_OPS set (the bench
+        # flagship's Z channels use erf-edged squares, excluded from the
+        # hi tier by design): 3 short gaussian x cos pulses per channel
+        from waveforms_tpu import cos, gaussian, zero
+        rng = np.random.default_rng(seed)
+        chans = []
+        for c in range(n):
+            wv = zero()
+            for _ in range(3):
+                wv = wv + ((gaussian(60e-9)
+                            >> float(rng.uniform(1e-6, dur * 0.95)))
+                           * cos(2 * np.pi * (1e8 + 1e6 * c), 0.3))
+            chans.append(wv)
+        return chans
+
+    chans = (build_mid_schedule() if which == 'mid' else hi_sparse())
     # small-window parity vs the f64 oracle
-    chans_s = (build_mid_schedule(n_channels=8) if which == 'mid'
-               else _sparse_chans(8))
+    chans_s = (build_mid_schedule(n_channels=8, duration=1.6e-5)
+               if which == 'mid' else hi_sparse(8, dur=1.6e-5, seed=1))
     stop_s = 16.384e-6
     low_s = lower_schedule(chans_s, 0.0, stop_s, FS, keep_f64=True)
     out = synthesize_hi_panels(low_s, interpret=False)
@@ -1547,6 +1605,13 @@ def pending_tasks(state):
                   lambda: task_stack_cost_probe('vstack_1000x200k')))
     tasks.append(("r4_stack_cost_probe_overlap",
                   lambda: task_stack_cost_probe('overlap100_drag_2200')))
+    # tiny-schedule crossover: the routed readme row (10.7 us, dense) vs
+    # the earlier 4.4 us suggests a degraded window -- remeasure the
+    # routed path and race panel-vs-dense head-to-head on the same window
+    tasks.append(("r4_tiny_race_readme", task_tiny_race))
+    for row in ('readme_demo_10k', 'xy_z_pair_200k'):
+        tasks.append((f"r4p2_suite_{row}",
+                      lambda row=row: task_suite_routed(row)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

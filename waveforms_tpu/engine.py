@@ -150,6 +150,18 @@ def classify_pallas_route(low, force=None):
                 raise
     if sparse_plan is not None:
         occ = sparse_plan.occupied_fraction
+        # the dense grid pads the row count to its tile height (R), and
+        # padding rows are REAL evaluated work; for short windows (the
+        # readme-demo class: 79 rows padded to 256) that triples dense's
+        # cost, so the crossover must compare live subtiles against the
+        # PADDED tile count (r4p_suite_readme_demo_10k: dense 10.7 us via
+        # the unpadded ratio; the panel run is ~1 step)
+        from .ops.pallas_synth import default_rows_per_tile
+        NB = low.shape[1]
+        R = default_rows_per_tile(low.n_samples, low.bucket_samples, NB)
+        n_rows = -(-low.n_samples // 128)
+        padded_rows = -(-n_rows // R) * R
+        occ *= n_rows / padded_rows
         pair = low.amp_im is not None
         if force in ('sparse', 'panel') or occ < _panel_threshold():
             panel_plan = build_panel_plan(low, base=sparse_plan)
