@@ -83,6 +83,16 @@ def main():
     print(f"play_many: {batch.shape[0]} shots in one dispatch -> "
           f"{batch.shape}")
 
+    # -- shot-PACKED batches: the whole sequence as ONE panel-kernel
+    # launch (grid steps scale with output panels, not shots; factor math
+    # runs on live subtiles only).  ks stays traced -- a measurement-
+    # feedback loop compiles once.  Measured 1.75 us/shot vs play_many's
+    # 2.55 on v5e (benchmarks/tpu_state.json r4_seq_packed*) -------------
+    packed = np.asarray(seq.play_packed(shots[:8], Rs=8,
+                                        interpret=interpret))
+    assert np.array_equal(packed, batch), "packed must match play_many"
+    print(f"play_packed: {packed.shape[0]} shots in one kernel launch")
+
 
 if __name__ == '__main__':
     main()

@@ -728,7 +728,8 @@ def task_stack_cost_probe(row='vstack_1000x200k'):
     plan = build_stack_plan(low)
     res = {"n_narrow": plan.n_narrow}
     for name, probe in (("full_ms", None), ("eval_ms", 'eval'),
-                        ("scatter_ms", 'scatter')):
+                        ("scatter_ms", 'scatter'),
+                        ("tables_ms", 'tables')):
         runner = _build_kernel_runner(plan, low, False, probe=probe)
         if runner is None:
             res[name] = None
@@ -1612,6 +1613,13 @@ def pending_tasks(state):
     for row in ('readme_demo_10k', 'xy_z_pair_200k'):
         tasks.append((f"r4p2_suite_{row}",
                       lambda row=row: task_suite_routed(row)))
+    # probe round 2: split the 17.2 us base into table-load vs machinery
+    # (r4_stack_cost_probe: base 17.2, one-hot dot 16.9, factor math 6.0)
+    tasks.append(("r4_stack_cost_probe2",
+                  lambda: task_stack_cost_probe('vstack_1000x200k')))
+    # the routed readme row after the small-schedule panel rule
+    tasks.append(("r4p3_suite_readme_demo_10k",
+                  lambda: task_suite_routed('readme_demo_10k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -162,8 +162,15 @@ def classify_pallas_route(low, force=None):
         n_rows = -(-low.n_samples // 128)
         padded_rows = -(-n_rows // R) * R
         occ *= n_rows / padded_rows
+        # short windows (<= 2 dense steps per channel) prefer panels even
+        # above the at-scale threshold: dense's per-step cost has nothing
+        # to amortize over, while the panel runs the whole channel as one
+        # step (r4_tiny_race_readme: panel 3.25 us vs dense 10.65 us on
+        # the 10k-sample readme demo, reproduced across chip windows)
+        small = padded_rows <= 2 * R
         pair = low.amp_im is not None
-        if force in ('sparse', 'panel') or occ < _panel_threshold():
+        if (force in ('sparse', 'panel') or small
+                or occ < _panel_threshold()):
             panel_plan = build_panel_plan(low, base=sparse_plan)
             if panels_eligible(panel_plan, jnp.float32, pair):
                 return 'panel', panel_plan

@@ -531,6 +531,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                     return jax.lax.bitcast_convert_type(tt[:, c:c + 1],
                                                         jnp.int32)
 
+                if probe == 'tables':
+                    # probe: table load + strip machinery only (the
+                    # row-sum data-depends on the whole loaded block)
+                    return acc + jnp.broadcast_to(
+                        jnp.sum(tt, axis=0, keepdims=True), acc.shape)
                 idx = icol(0) * 128 + lane
                 prod = jnp.broadcast_to(tt[:, meta['off_amp']:
                                            meta['off_amp'] + 1], (KS, 128))
