@@ -1620,6 +1620,14 @@ def pending_tasks(state):
     # the routed readme row after the small-schedule panel rule
     tasks.append(("r4p3_suite_readme_demo_10k",
                   lambda: task_suite_routed('readme_demo_10k')))
+    # stack retake 4: same-support term merge (vstack instances 1999 ->
+    # 1003, blocks 3998 -> 1778) -- the probe says base+dot scale with
+    # blocks, so both should roughly halve
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4e_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
+    tasks.append(("r4_stack_cost_probe3",
+                  lambda: task_stack_cost_probe('vstack_1000x200k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

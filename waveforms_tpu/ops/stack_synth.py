@@ -69,18 +69,24 @@ DEFAULT_ADVANTAGE = 4.0
 
 @dataclass
 class GroupData:
-    """One structure group of narrow pulse instances (host arrays)."""
-    ops: tuple            # per-factor opcode (static)
-    powers: tuple         # per-factor integer power (static)
+    """One structure group of narrow pulse instances (host arrays).
+
+    An instance is a full SEGMENT-support evaluation: the sum over its
+    terms of each term's factor product (same-support terms merge into
+    one instance at plan build).  Factor arrays pack the LIVE factors of
+    every term flat along one axis (TF = sum(term_nfac))."""
+    ops: tuple            # flat per-factor opcode, len TF (static)
+    powers: tuple         # flat per-factor integer power, len TF (static)
+    term_nfac: tuple      # live factors per term (static); len NT
     n_blocks: int         # 128-sample blocks per instance (padded)
-    amp: np.ndarray       # f32[M]
+    amp: np.ndarray       # f32[M, NT] per-term amplitude
     lo: np.ndarray        # i64[M] first sample (clipped, global)
     hi: np.ndarray        # i64[M] one past last sample
     row0: np.ndarray      # i64[M] first 128-row
     chan: np.ndarray      # i64[M]
-    shift: np.ndarray     # i32[M, F]
-    q32: np.ndarray       # i32[M, F, 4]
-    args: np.ndarray      # f32[M, F, W]
+    shift: np.ndarray     # i32[M, TF]
+    q32: np.ndarray       # i32[M, TF, 4]
+    args: np.ndarray      # f32[M, TF, W]
 
 
 @dataclass
@@ -182,7 +188,6 @@ def build_stack_plan(low: LoweredSchedule,
         return None
 
     plan = StackPlan(n_rows=n_rows, n_channels=C, n_samples=low.n_samples)
-    plan.n_narrow = n_narrow
     # kernel cost proxy: each narrow instance forces its covering
     # subtiles' evaluation in the sparse kernel (dense is worse)
     ktiles = (mhi[narrow] - 1) // subtile - mlo[narrow] // subtile + 1
@@ -190,29 +195,88 @@ def build_stack_plan(low: LoweredSchedule,
 
     nk = keep[narrow]
     nlo, nhi = mlo[narrow], mhi[narrow]
-    row0 = nlo >> 7
-    nblk = ((nhi - 1) >> 7) - row0 + 1
-    plan.n_blocks_total = int(nblk.sum())
-    plan.batch_samples = int(nblk.sum()) * 128
 
-    # structure key: live factor opcodes + powers
-    keys = [(tuple(int(o) for o in ops_arr[i, :int(nfac[i])]),
-             tuple(int(p) for p in pw_arr[i, :int(nfac[i])]))
-            for i in nk]
+    # SAME-SUPPORT TERM MERGE: per-term instances sharing (channel, lo,
+    # hi) fuse into ONE multi-term instance (sum of per-term factor
+    # products).  A cosPulse's const + cos terms, or a DRAG's three
+    # quadrature terms, share their segment's support exactly, so this
+    # halves-to-thirds the instance count -- and the probe-measured cost
+    # (r4_stack_cost_probe: table/machinery base 17.2 us + one-hot dot
+    # 16.9 us on vstack_1000x200k) scales with instance BLOCKS, not with
+    # factor math (6.0 us).  Factor tables pack only LIVE factors.
+    sh_f = sh_arr.reshape(M0, F)
+    q_f = q_arr.reshape(M0, F, 4)
+    a_f = a_arr.reshape(M0, F, -1)
+    W = a_f.shape[-1]
+    order2 = np.lexsort((nhi, nlo, ic[nk]))
+    merged: dict = {}           # key -> [amp rows, fac rows, geometry]
+    j = 0
+    n_sorted = len(order2)
+    inst_list = []              # (key, members) in first-seen order
+    while j < n_sorted:
+        k = j
+        a0 = order2[j]
+        while (k + 1 < n_sorted
+               and ic[nk[order2[k + 1]]] == ic[nk[a0]]
+               and nlo[order2[k + 1]] == nlo[a0]
+               and nhi[order2[k + 1]] == nhi[a0]):
+            k += 1
+        members = order2[j:k + 1]
+        # canonical term order inside the instance -> stable group keys
+        term_keys = []
+        for m in members:
+            src_i = nk[m]
+            nf = int(nfac[src_i])
+            term_keys.append((
+                tuple(int(o) for o in ops_arr[src_i, :nf]),
+                tuple(int(p) for p in pw_arr[src_i, :nf]), m))
+        term_keys.sort(key=lambda t: t[:2])
+        key = tuple(t[:2] for t in term_keys)
+        inst_list.append((key, [t[2] for t in term_keys]))
+        j = k + 1
+
     by_key: dict = {}
-    for i, k in enumerate(keys):
-        by_key.setdefault(k, []).append(i)
-    for (kops, kpw), idxs in sorted(by_key.items()):
-        sel = np.asarray(idxs)
-        src = nk[sel]
+    for i, (key, members) in enumerate(inst_list):
+        by_key.setdefault(key, []).append((i, members))
+    plan.n_narrow = len(inst_list)
+    n_blocks_total = 0
+    for key, insts in sorted(by_key.items()):
+        term_nfac = tuple(len(t[0]) for t in key)
+        kops = tuple(o for t in key for o in t[0])
+        kpw = tuple(p for t in key for p in t[1])
+        NT = len(term_nfac)
+        TF = len(kops)
+        M = len(insts)
+        amp_g = np.zeros((M, NT), np.float32)
+        sh_g = np.zeros((M, TF), sh_f.dtype)
+        q_g = np.zeros((M, TF, 4), q_f.dtype)
+        a_g = np.zeros((M, TF, W), a_f.dtype)
+        lo_g = np.zeros(M, np.int64)
+        hi_g = np.zeros(M, np.int64)
+        ch_g = np.zeros(M, np.int64)
+        for r, (i, members) in enumerate(insts):
+            m0 = members[0]
+            lo_g[r], hi_g[r], ch_g[r] = nlo[m0], nhi[m0], ic[nk[m0]]
+            f0 = 0
+            for t, m in enumerate(members):
+                src_i = nk[m]
+                nf = term_nfac[t]
+                amp_g[r, t] = amp_arr[src_i]
+                sh_g[r, f0:f0 + nf] = sh_f[src_i, :nf]
+                q_g[r, f0:f0 + nf] = q_f[src_i, :nf]
+                a_g[r, f0:f0 + nf] = a_f[src_i, :nf]
+                f0 += nf
+        row0_g = lo_g >> 7
+        nblk_g = ((hi_g - 1) >> 7) - row0_g + 1
+        n_blocks_total += int(nblk_g.sum())
         plan.groups.append(GroupData(
-            ops=kops, powers=kpw, n_blocks=int(nblk[sel].max()),
-            amp=amp_arr[src].astype(np.float32),
-            lo=nlo[sel], hi=nhi[sel], row0=row0[sel], chan=ic[src],
-            shift=sh_arr[src].reshape(len(src), F),
-            q32=q_arr[src].reshape(len(src), F, 4),
-            args=a_arr[src].reshape(len(src), F, -1),
+            ops=kops, powers=kpw, term_nfac=term_nfac,
+            n_blocks=int(nblk_g.max()),
+            amp=amp_g, lo=lo_g, hi=hi_g, row0=row0_g, chan=ch_g,
+            shift=sh_g, q32=q_g, args=a_g,
         ))
+    plan.n_blocks_total = n_blocks_total
+    plan.batch_samples = n_blocks_total * 128
 
     # residual schedule: terms belonging to WIDE coalesced instances (and
     # clipped channels) keep the kernel path.  Per segment, wide terms
@@ -260,17 +324,18 @@ def _eval_blocks(g: GroupData, src: np.ndarray, rowblk: np.ndarray,
     """
     pad = src < 0
     s = np.where(pad, 0, src)
-    amp = np.where(pad, 0.0, g.amp[s]).astype(np.float32)
+    amp = np.where(pad[:, None], 0.0, g.amp[s]).astype(np.float32)
     lo = np.where(pad, 0, g.lo[s])
     hi = np.where(pad, 0, g.hi[s])
     NK = len(src)
     idx = (jnp.asarray(rowblk, jnp.int32)[:, None] * 128
            + jnp.arange(128, dtype=jnp.int32)[None, :])      # (NK, 128)
-    args = jnp.asarray(g.args[s])                            # (NK, F, W)
-    q32a = jnp.asarray(g.q32[s])                             # (NK, F, 4)
-    sh = jnp.asarray(g.shift[s])                             # (NK, F)
-    prod = jnp.broadcast_to(jnp.asarray(amp)[:, None], (NK, 128))
-    for f, (op_code, power) in enumerate(zip(g.ops, g.powers)):
+    args = jnp.asarray(g.args[s])                            # (NK, TF, W)
+    q32a = jnp.asarray(g.q32[s])                             # (NK, TF, 4)
+    sh = jnp.asarray(g.shift[s])                             # (NK, TF)
+    ampd = jnp.asarray(amp)                                  # (NK, NT)
+
+    def factor(f):
         di = idx - sh[:, f][:, None]
 
         def arg(k, f=f):
@@ -283,17 +348,27 @@ def _eval_blocks(g: GroupData, src: np.ndarray, rowblk: np.ndarray,
             off = args[:, f, 7].astype(jnp.int32) + k
             return ext[off][:, None]
 
-        val = op_builders(di, arg, q32, eread)[op_code]()
+        val = op_builders(di, arg, q32, eread)[g.ops[f]]()
+        power = g.powers[f]
         if power != 1:
             ap = abs(int(power))
             v = val
             for _ in range(ap - 1):
                 v = v * val
             val = 1.0 / v if power < 0 else v
-        prod = prod * val
+        return val
+
+    seg = jnp.zeros((NK, 128), jnp.float32)
+    f0 = 0
+    for t, nf in enumerate(g.term_nfac):
+        prod = jnp.broadcast_to(ampd[:, t][:, None], (NK, 128))
+        for f in range(f0, f0 + nf):
+            prod = prod * factor(f)
+        seg = prod if t == 0 else seg + prod
+        f0 += nf
     mask = ((idx >= jnp.asarray(lo, jnp.int32)[:, None])
             & (idx < jnp.asarray(hi, jnp.int32)[:, None]))
-    return jnp.where(mask, prod, 0.0)
+    return jnp.where(mask, seg, 0.0)
 
 
 def _chunk_assign(g: GroupData, n_rows: int, n_chunks: int, k_round: int):
@@ -434,7 +509,8 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     vmem = 2 * 2 * 128 * 128 * 4                 # double-buffered out
     hbm = 0
     for g in plan.groups:
-        F = len(g.ops)
+        TF = len(g.ops)
+        NT = len(g.term_nfac)
         W = g.args.shape[-1]
         src, rb, lrt, counts, k0 = _chunk_assign(g, n_rows, n_chunks, 1)
         # KS >= 8 keeps every pl.ds strip offset sublane-aligned and the
@@ -450,11 +526,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             lrt = np.pad(lrt, ((0, 0), (0, pad)), constant_values=128)
         valid = src >= 0
         s = np.where(valid, src, 0)
-        # F counts the group's LIVE factors (g.ops); the GroupData tables
-        # are padded to the schedule-level factor count, so slice to F.
-        IW = 4 + F
-        AW = 1 + F * W
-        QW = 4 * F
+        # factor tables pack every term's LIVE factors flat (TF columns);
+        # per-term amplitudes take NT columns
+        IW = 4 + TF
+        AW = NT + TF * W
+        QW = 4 * TF
         f_ext = next((f for f, op in enumerate(g.ops) if op in _EXT_W),
                      None)
         EW = _EXT_W[g.ops[f_ext]] if f_ext is not None else 0
@@ -468,7 +544,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         # -- not evaluation -- dominated its 44 us device time
         # (r4c_stack_vstack_1000x200k vs the 36 us XLA chain).
         off_amp = IW
-        off_args = IW + 1
+        off_args = IW + NT
         off_q = IW + AW
         off_ext = IW + AW + QW
         PW = _pad128(off_ext + EW)
@@ -478,15 +554,15 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         ints[..., 1] = lrt
         ints[..., 2] = np.where(valid, g.lo[s], 0)
         ints[..., 3] = np.where(valid, g.hi[s], 0)
-        ints[..., 4:] = g.shift[s][..., :F]
+        ints[..., 4:] = g.shift[s]
         tab[..., :IW] = ints.view(np.float32)
-        tab[..., off_amp] = np.where(valid, g.amp[s], 0.0)
-        tab[..., off_args:off_q] = g.args[s][..., :F, :].reshape(
-            n_chunks, k_max, F * W)
-        if F:
+        tab[..., off_amp:off_args] = np.where(valid[..., None],
+                                              g.amp[s], 0.0)
+        tab[..., off_args:off_q] = g.args[s].reshape(
+            n_chunks, k_max, TF * W)
+        if TF:
             q = np.ascontiguousarray(
-                g.q32[s][..., :F, :].astype(np.int32)
-                .reshape(n_chunks, k_max, 4 * F))
+                g.q32[s].astype(np.int32).reshape(n_chunks, k_max, 4 * TF))
             tab[..., off_q:off_ext] = q.view(np.float32)
         if f_ext is not None:
             off = g.args[s, f_ext, 7].astype(np.int64)
@@ -495,7 +571,8 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             tab[..., off_ext:off_ext + EW] = np.where(
                 ok, ext_np[np.clip(cols, 0, len(ext_np) - 1)],
                 0.0).astype(np.float32)
-        metas.append(dict(ops=g.ops, powers=g.powers, F=F, W=W, KS=KS,
+        metas.append(dict(ops=g.ops, powers=g.powers,
+                          term_nfac=g.term_nfac, W=W, KS=KS,
                           k_max=k_max, IW=IW, AW=AW, QW=QW, EW=EW, PW=PW,
                           off_amp=off_amp, off_args=off_args, off_q=off_q,
                           off_ext=off_ext))
@@ -521,7 +598,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
 
             def strip(j, acc, tab_ref=tab_ref, meta=meta, lane=lane):
-                F, W, KS = meta['F'], meta['W'], meta['KS']
+                W, KS = meta['W'], meta['KS']
                 # ref load at a dynamic sublane offset (Mosaic has no
                 # value-level dynamic_slice; pl.ds on the ref is the
                 # supported form)
@@ -537,11 +614,8 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                     return acc + jnp.broadcast_to(
                         jnp.sum(tt, axis=0, keepdims=True), acc.shape)
                 idx = icol(0) * 128 + lane
-                prod = jnp.broadcast_to(tt[:, meta['off_amp']:
-                                           meta['off_amp'] + 1], (KS, 128))
-                factors = () if probe == 'scatter' else zip(meta['ops'],
-                                                            meta['powers'])
-                for f, (op_code, power) in enumerate(factors):
+
+                def factor(f):
                     di = idx - icol(4 + f)
 
                     def arg(k, f=f):
@@ -555,16 +629,31 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                         c = meta['off_ext'] + k
                         return tt[:, c:c + 1]
 
-                    val = op_builders(di, arg, q32, eread)[op_code]()
+                    val = op_builders(di, arg, q32,
+                                      eread)[meta['ops'][f]]()
+                    power = meta['powers'][f]
                     if power != 1:
                         ap = abs(int(power))
                         v = val
                         for _ in range(ap - 1):
                             v = v * val
                         val = 1.0 / v if power < 0 else v
-                    prod = prod * val
+                    return val
+
+                term_nfac = ((0,) * len(meta['term_nfac'])
+                             if probe == 'scatter' else meta['term_nfac'])
+                seg = None
+                f0 = 0
+                for t, nf in enumerate(term_nfac):
+                    prod = jnp.broadcast_to(
+                        tt[:, meta['off_amp'] + t:meta['off_amp'] + t + 1],
+                        (KS, 128))
+                    for f in range(f0, f0 + nf):
+                        prod = prod * factor(f)
+                    seg = prod if seg is None else seg + prod
+                    f0 += nf
                 mask = (idx >= icol(2)) & (idx < icol(3))
-                vals = jnp.where(mask, prod, 0.0)
+                vals = jnp.where(mask, seg, 0.0)
                 if probe == 'eval':
                     # probe: no scatter dot (row-sum keeps acc's shape and
                     # data-depends on every evaluated lane)
