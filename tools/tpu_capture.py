@@ -851,6 +851,54 @@ def task_seq_packed(n_shots=100, Rs=8, out16=False):
             "parity_ok": bool(diff < (1.0 if out16 else 1e-6))}
 
 
+def task_seq_packed_station(n_shots=50, n_sched=16):
+    """Shot-packed playback at LAB SCALE: a table of gate-train schedules
+    (XY pulse trains at per-schedule phases, 2 ch x 200k samples each)
+    played n_shots times in one launch -- the randomized-benchmarking
+    usage pattern.  Per-shot output is panel-kernel territory, so this is
+    the amortized surface at production shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu import cosPulse, mixing, square, zero
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+
+    rng = np.random.default_rng(11)
+    lows = []
+    for k in range(n_sched):
+        xy = zero()
+        for g in range(12):
+            I, _ = mixing(0.5 * cosPulse(30e-9) >> (2e-6 + g * 7.5e-6),
+                          freq=-150e6, phase=float(rng.uniform(0, 6.28)),
+                          DRAGScaling=1e-10)
+            xy += I
+        z = 0.3 * (square(80e-9, edge=10e-9) >> float(
+            rng.uniform(1e-6, 9e-5)))
+        lows.append(lower_schedule([xy, z], 0, 1e-4, 2e9))
+    seq = Sequencer(lows)
+    ks = jnp.asarray(rng.integers(0, n_sched, n_shots), jnp.int32)
+
+    @jax.jit
+    def play_shots(ks):
+        return seq.play_packed(ks, Rs=8)
+
+    out = play_shots(ks)
+    out.block_until_ready()
+    k0 = int(ks[0])
+    diff = float(np.abs(np.asarray(out[0]).astype(np.float64)
+                        - np.asarray(seq.play(k0)).astype(np.float64)
+                        ).max())
+    med = profile_median(lambda: play_shots(ks), 'jit_play_shots')
+    n = n_shots * 2 * seq.n_samples
+    return {"n_shots": n_shots, "n_schedules": n_sched,
+            "device_ms": round(med * 1e3, 3),
+            "per_shot_us": round(med / n_shots * 1e6, 2),
+            "gsps": round(n / med / 1e9, 2),
+            "max_abs_diff_vs_single": diff,
+            "parity_ok": bool(diff < 1e-6)}
+
+
 def task_pair_planes_parity():
     """Pair-mode sparse pinned on silicon WITHOUT complex64 transfers:
     the kernel's two f32 planes read back separately and compared against
@@ -1628,6 +1676,7 @@ def pending_tasks(state):
                       lambda row=row: task_stack_row(row)))
     tasks.append(("r4_stack_cost_probe3",
                   lambda: task_stack_cost_probe('vstack_1000x200k')))
+    tasks.append(("r4_seq_packed_station", task_seq_packed_station))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
