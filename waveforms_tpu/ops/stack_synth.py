@@ -585,7 +585,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
 
     def kernel(*refs):
         out_ref = refs[-1]
-        acc = jnp.zeros((128, 128), jnp.float32)
+        out_ref[0] = jnp.zeros((128, 128), jnp.float32)
         r = 0
         for meta in metas:
             KS = meta['KS']
@@ -597,7 +597,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             cnt = cnt_ref[pl.program_id(0), 0]
             lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
 
-            def strip(j, acc, tab_ref=tab_ref, meta=meta, lane=lane):
+            def strip(j, tab_ref=tab_ref, meta=meta, lane=lane):
                 W, KS = meta['W'], meta['KS']
                 # ref load at a dynamic sublane offset (Mosaic has no
                 # value-level dynamic_slice; pl.ds on the ref is the
@@ -611,8 +611,8 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                 if probe == 'tables':
                     # probe: table load + strip machinery only (the
                     # row-sum data-depends on the whole loaded block)
-                    return acc + jnp.broadcast_to(
-                        jnp.sum(tt, axis=0, keepdims=True), acc.shape)
+                    return jnp.broadcast_to(
+                        jnp.sum(tt, axis=0, keepdims=True), (128, 128))
                 idx = icol(0) * 128 + lane
 
                 def factor(f):
@@ -655,19 +655,27 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                 mask = (idx >= icol(2)) & (idx < icol(3))
                 vals = jnp.where(mask, seg, 0.0)
                 if probe == 'eval':
-                    # probe: no scatter dot (row-sum keeps acc's shape and
-                    # data-depends on every evaluated lane)
-                    return acc + jnp.broadcast_to(
-                        jnp.sum(vals, axis=0, keepdims=True), acc.shape)
+                    # probe: no scatter dot (row-sum keeps the output
+                    # shape and data-depends on every evaluated lane)
+                    return jnp.broadcast_to(
+                        jnp.sum(vals, axis=0, keepdims=True), (128, 128))
                 onehot = (icol(1) == lane).astype(jnp.float32)
-                return acc + jax.lax.dot_general(
+                return jax.lax.dot_general(
                     onehot, vals, (((0,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
 
-            nstrips = (cnt + KS - 1) // KS
-            acc = jax.lax.fori_loop(0, nstrips, strip, acc)
-        out_ref[0] = acc
+            # STATIC unrolled strip walk: a dynamic (SMEM-count-driven)
+            # fori trip count costs ~0.35 us/strip of scalar-unit stalls
+            # (r4_stack_cost_probe2: 13.8 us of the 17.2 us base is
+            # tables+machinery).  k_max/KS is small (1-4); pl.when skips
+            # strips past this chunk's live count, and padding slots are
+            # exact zeros (amp 0, empty [0,0) mask, lrt 128) so a
+            # predicated-in strip of pure padding contributes nothing.
+            for j in range(meta['k_max'] // KS):
+                @pl.when(j * KS < cnt)
+                def _(j=j):
+                    out_ref[0] += strip(j)
 
     in_specs = []
     flat_ops = []
