@@ -212,3 +212,26 @@ def test_panel_plan_covers_every_live_subtile():
     assert int(pp.start[-1]) == pp.n_live
     np.testing.assert_array_equal(np.sort(pp.work_t[:pp.n_live]),
                                   np.sort(sp.work_t[:sp.n_live]))
+
+
+def test_panels_windowed_matches_whole():
+    """Item-balanced windowed panels == single-plan panels (round 4:
+    the over-budget-worklist regime runs as one launch per window)."""
+    from waveforms_tpu.ops import sparse_synth as sp
+
+    chans = _chans()
+    stop = 6.5536e-5
+    low = lower_schedule(chans, 0.0, stop, FS)
+    dev = DeviceSchedule(low)
+    whole = np.asarray(synthesize_panels(dev, low=low, interpret=True))
+    base = sp.build_sparse_plan(low)
+    n_tiles = base.n_tiles
+    plans = [sp.build_panel_plan(low, tile_window=(0, n_tiles // 2)),
+             sp.build_panel_plan(low, tile_window=(n_tiles // 2, n_tiles))]
+    win = np.asarray(sp.synthesize_panels_windowed(dev, low, plans=plans,
+                                                   interpret=True))
+    np.testing.assert_array_equal(win, whole)
+    # the auto splitter covers every live item exactly once
+    auto = sp.plan_panel_windows(low)
+    if auto is not None:
+        assert sum(p.n_live for p in auto) == base.n_live

@@ -1464,7 +1464,22 @@ def task_occ_ladder(n_pulses):
         res["panel_gsps"] = round(n / med / 1e9, 1)
         res["panel_ms"] = round(med * 1e3, 3)
     else:
-        res["panel_gsps"] = None        # outside SMEM budget at this rung
+        # outside the SMEM budget at this rung: WINDOWED panels (round
+        # 4: item-balanced tile windows, one launch each)
+        from waveforms_tpu.ops.sparse_synth import plan_panel_windows
+        plans = plan_panel_windows(low)
+        if plans is None:
+            res["panel_gsps"] = None
+        else:
+            total = 0.0
+            for p in plans:
+                def prun(p=p):
+                    return synthesize_panels(dev, plan=p)
+
+                total += _measure(prun, 'jit__run_panels')
+            res["panel_windows"] = len(plans)
+            res["panel_gsps"] = round(n / total / 1e9, 1)
+            res["panel_ms"] = round(total * 1e3, 3)
     R = 256
     drun, _, _ = _kernel_runner(chans, 0.0, dur, R)
     med = _measure(drun, 'jit__run_kernel')
@@ -1677,6 +1692,11 @@ def pending_tasks(state):
     tasks.append(("r4_stack_cost_probe3",
                   lambda: task_stack_cost_probe('vstack_1000x200k')))
     tasks.append(("r4_seq_packed_station", task_seq_packed_station))
+    # windowed-panel rungs: the 120/200-pulse ladder rows where the
+    # whole-window worklist was over budget (panel_gsps null)
+    for np_ in (120, 200):
+        tasks.append((f"r4w_occ_ladder_{np_}",
+                      lambda np_=np_: task_occ_ladder(np_)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -109,6 +109,10 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
     if kind == 'panel':
         return synthesize_panels(DeviceSchedule(low), plan=plan,
                                  interpret=interpret)
+    if kind == 'panel-windowed':
+        from .ops.sparse_synth import synthesize_panels_windowed
+        return synthesize_panels_windowed(DeviceSchedule(low), low,
+                                          plans=plan, interpret=interpret)
     if kind == 'sparse':
         return synthesize_sparse(DeviceSchedule(low), plan=plan,
                                  interpret=interpret)
@@ -174,6 +178,10 @@ def classify_pallas_route(low, force=None):
             panel_plan = build_panel_plan(low, base=sparse_plan)
             if panels_eligible(panel_plan, jnp.float32, pair):
                 return 'panel', panel_plan
+            from .ops.sparse_synth import plan_panel_windows
+            windows = plan_panel_windows(low, base=sparse_plan)
+            if windows is not None:
+                return 'panel-windowed', windows
             if force == 'panel':
                 raise UnsupportedFactor(
                     "schedule is outside the panel kernel's budgets "

@@ -40,6 +40,7 @@ __all__ = ['SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
            'synthesize_sparse_sharded', 'SPARSE_OCCUPANCY_THRESHOLD',
            'PanelPlan', 'build_panel_plan', 'synthesize_panels',
            'synthesize_panels_sharded', 'panels_eligible',
+           'plan_panel_windows', 'synthesize_panels_windowed',
            'PANEL_OCCUPANCY_THRESHOLD']
 
 DEFAULT_SUBTILE_ROWS = 32
@@ -610,6 +611,71 @@ def _validate_panel_plan(plan: PanelPlan, dev: DeviceSchedule) -> None:
         raise ValueError(
             "panel plan indexes outside this schedule's segment lists -- "
             "it was built from a different lowering")
+
+
+def plan_panel_windows(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
+                       base: SparsePlan | None = None,
+                       max_windows: int = 16) -> list[PanelPlan] | None:
+    """Split a schedule whose worklist exceeds the panel SMEM budget into
+    item-balanced tile windows, each an eligible PanelPlan.
+
+    Boundaries come from the CUMULATIVE live-item count (not even tile
+    splits), so clustered schedules don't produce one over-budget window.
+    Returns None when the schedule can't be windowed (would need more
+    than ``max_windows``, or a single subtile column is over budget)."""
+    if base is None:
+        base = build_sparse_plan(low, Rs=Rs)
+    # 7500 items/window: next_pow2 -> 8192 padded slots = 128 KiB of the
+    # 256 KiB worklist budget, leaving room for the start table and
+    # boundary-tile spill (eligibility is re-checked per window)
+    per_window = 7500
+    n_windows = -(-base.n_live // per_window)
+    if n_windows > max_windows:
+        return None
+    # items sorted by output tile; cut where the running count crosses
+    # the per-window budget, snapping to tile boundaries
+    wo = np.sort(base.work_o[:base.n_live])
+    bounds = [0]
+    for w in range(1, n_windows):
+        t = int(wo[min(w * per_window, base.n_live - 1)])
+        bounds.append(min(max(t, bounds[-1] + 1), base.n_tiles))
+    bounds.append(base.n_tiles)
+    plans = []
+    for lo_t, hi_t in zip(bounds[:-1], bounds[1:]):
+        if hi_t <= lo_t:
+            continue
+        p = build_panel_plan(low, Rs=Rs, tile_window=(lo_t, hi_t))
+        if not panels_eligible(p, jnp.float32, low.amp_im is not None):
+            return None          # a single column over budget: give up
+        plans.append(p)
+    return plans or None
+
+
+def synthesize_panels_windowed(dev: DeviceSchedule,
+                               low: LoweredSchedule,
+                               plans: list[PanelPlan] | None = None,
+                               Rs: int = DEFAULT_SUBTILE_ROWS,
+                               interpret: bool = False,
+                               out_dtype=jnp.float32,
+                               dac_scale=32767.0,
+                               combine_pair: bool = True):
+    """Panel synthesis as a sequence of tile windows (one kernel launch
+    per window, outputs concatenated along the sample axis).  Extends
+    panel coverage to schedules whose whole-window worklist exceeds the
+    SMEM budget (the 0.3-0.5 occupancy x large-window regime where the
+    dense grid measures 5-12 GS/s, r4_occ_ladder_*)."""
+    if plans is None:
+        plans = plan_panel_windows(low, Rs=Rs)
+        if plans is None:
+            raise UnsupportedFactor(
+                "schedule cannot be windowed under the panel SMEM budget")
+    outs = [synthesize_panels(dev, plan=p, interpret=interpret,
+                              out_dtype=out_dtype, dac_scale=dac_scale,
+                              combine_pair=combine_pair) for p in plans]
+    if isinstance(outs[0], tuple):        # pair planes (combine_pair=False)
+        return (jnp.concatenate([o[0] for o in outs], axis=-1),
+                jnp.concatenate([o[1] for o in outs], axis=-1))
+    return jnp.concatenate(outs, axis=-1)
 
 
 def synthesize_panels(dev: DeviceSchedule,
