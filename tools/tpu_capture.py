@@ -729,7 +729,8 @@ def task_stack_cost_probe(row='vstack_1000x200k'):
     res = {"n_narrow": plan.n_narrow}
     for name, probe in (("full_ms", None), ("eval_ms", 'eval'),
                         ("scatter_ms", 'scatter'),
-                        ("tables_ms", 'tables')):
+                        ("tables_ms", 'tables'),
+                        ("floor_ms", 'floor')):
         runner = _build_kernel_runner(plan, low, False, probe=probe)
         if runner is None:
             res[name] = None
@@ -1697,6 +1698,13 @@ def pending_tasks(state):
     for np_ in (120, 200):
         tasks.append((f"r4w_occ_ladder_{np_}",
                       lambda np_=np_: task_occ_ladder(np_)))
+    # probe 4 adds the 'floor' variant (launch structure with zero strip
+    # work) and retimes the rows after the static strip unroll
+    tasks.append(("r4_stack_cost_probe4",
+                  lambda: task_stack_cost_probe('vstack_1000x200k')))
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4f_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -586,6 +586,10 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     def kernel(*refs):
         out_ref = refs[-1]
         out_ref[0] = jnp.zeros((128, 128), jnp.float32)
+        if probe == 'floor':
+            # probe: grid + operand block fetches + epilogue only -- the
+            # cost of the launch STRUCTURE with zero strip work
+            return
         r = 0
         for meta in metas:
             KS = meta['KS']
