@@ -284,3 +284,25 @@ def test_play_packed_rejects_unsupported_tables():
                              bucket_samples=1024) for _ in range(2)]
     with pytest.raises(UnsupportedFactor, match='single-bucket'):
         Sequencer(lows_b).play_packed(np.array([0]), interpret=True)
+
+
+def test_play_replay_matches_play():
+    """Waveform-memory replay (round 4): palette gathers == per-shot
+    plays, bitwise (the palette IS play()'s output)."""
+    seq = Sequencer(build_lows())
+    ks = np.array([2, 0, 1, 1])
+    outs = np.asarray(seq.play_replay(ks, interpret=True))
+    for i, k in enumerate(ks):
+        np.testing.assert_array_equal(
+            outs[i], np.asarray(seq.play(int(k), interpret=True)))
+    # traced ks + clamp semantics
+    got = np.asarray(jax.jit(lambda k: seq.play_replay(k, interpret=True))(
+        jnp.asarray([99, -1], jnp.int32)))
+    np.testing.assert_array_equal(got[0], np.asarray(
+        seq.play(2, interpret=True)))
+    np.testing.assert_array_equal(got[1], np.asarray(
+        seq.play(0, interpret=True)))
+    # palette budget gate
+    from waveforms_tpu.ops.lowering import UnsupportedFactor
+    with pytest.raises(UnsupportedFactor, match='palette'):
+        seq.play_replay(ks, max_palette_bytes=16)

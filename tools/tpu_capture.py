@@ -852,6 +852,41 @@ def task_seq_packed(n_shots=100, Rs=8, out16=False):
             "parity_ok": bool(diff < (1.0 if out16 else 1e-6))}
 
 
+def task_seq_replay(n_shots=1000):
+    """Waveform-memory replay ON SILICON: the table synthesizes once into
+    a device palette; each shot is a palette row gather.  Per-shot device
+    cost = one row copy, the true AWG-replay floor."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build('readme_demo_10k')
+    low = lower_schedule(chans, start, stop, fs)
+    seq = Sequencer([low, low])
+    ks = jnp.asarray(np.arange(n_shots) % 2, jnp.int32)
+    seq.play_replay(ks[:1]).block_until_ready()   # palette + compile
+
+    @jax.jit
+    def replay(ks):
+        return seq.play_replay(ks)
+
+    out = replay(ks)
+    out.block_until_ready()
+    diff = float(np.abs(np.asarray(out[0]).astype(np.float64)
+                        - np.asarray(seq.play(0)).astype(np.float64)).max())
+    med = profile_median(lambda: replay(ks), 'jit_replay')
+    n = n_shots * len(chans) * low.n_samples
+    return {"n_shots": n_shots, "device_ms": round(med * 1e3, 4),
+            "per_shot_us": round(med / n_shots * 1e6, 4),
+            "gsps": round(n / med / 1e9, 2),
+            "max_abs_diff_vs_single": diff, "parity_ok": bool(diff == 0.0)}
+
+
 def task_seq_packed_station(n_shots=50, n_sched=16):
     """Shot-packed playback at LAB SCALE: a table of gate-train schedules
     (XY pulse trains at per-schedule phases, 2 ch x 200k samples each)
@@ -1705,6 +1740,9 @@ def pending_tasks(state):
     for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
         tasks.append((f"r4f_stack_{row}",
                       lambda row=row: task_stack_row(row)))
+    # waveform-memory replay: the amortized-shot floor (palette gather)
+    tasks.append(("r4_seq_replay", lambda: task_seq_replay(1000)))
+    tasks.append(("r4_seq_replay_100", lambda: task_seq_replay(100)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

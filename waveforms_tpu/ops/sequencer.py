@@ -179,6 +179,7 @@ class Sequencer:
             for low in schedules)
         self._packed_tensors_cache = None
         self._packed_plans = {}
+        self._palettes = {}
 
     def describe(self) -> str:
         """One-line table summary (debugging / logging aid)."""
@@ -445,6 +446,42 @@ class Sequencer:
             P=P, NP=NP, tps=tps, Rs=Rs)
         self._packed_plans[key] = plan
         return plan
+
+    def play_replay(self, ks, interpret: bool = False, out_dtype=None,
+                    dac_scale=32767.0,
+                    max_palette_bytes: int = 2 ** 30):
+        """Replay shots from device-materialized waveform memory
+        -> (len(ks), C, N).
+
+        The K table schedules synthesize ONCE into a (K, C, N) device
+        palette -- exactly an AWG's waveform-memory upload -- and each
+        shot is then a palette row gather, so per-shot device cost is
+        one row copy (~n_samples * itemsize / store-bandwidth; 10k f32
+        samples ~ 60 ns on v5e) regardless of schedule complexity.
+        ``ks`` may be traced; out-of-range indices clamp like play().
+        Use play_packed/play_many instead when the palette
+        (K * C * N * itemsize bytes, capped by ``max_palette_bytes``)
+        does not fit device memory."""
+        import jax.numpy as jnp
+        if out_dtype is None:
+            out_dtype = jnp.float32
+        itemsize = jnp.dtype(jnp.complex64 if self.pair
+                             else out_dtype).itemsize
+        need = self.n_schedules * self.shape[0] * self.n_samples * itemsize
+        if need > max_palette_bytes:
+            raise UnsupportedFactor(
+                f"palette ({need >> 20} MiB) exceeds max_palette_bytes "
+                "-- use play_packed/play_many for this table")
+        key = (str(jnp.dtype(out_dtype)), float(dac_scale), interpret)
+        pal = self._palettes.get(key)
+        if pal is None:
+            pal = jnp.stack([
+                self.play(k, interpret=interpret, out_dtype=out_dtype,
+                          dac_scale=dac_scale)
+                for k in range(self.n_schedules)])
+            self._palettes[key] = pal
+        ks = jnp.asarray(ks, jnp.int32)
+        return jnp.take(pal, ks, axis=0, mode='clip')
 
     def play_packed(self, ks, Rs: int = 8, interpret: bool = False,
                     out_dtype=None, dac_scale=32767.0):

@@ -32,3 +32,7 @@ class Sequencer:
     def play_packed(self, ks: Sequence[int] | jax.Array, Rs: int = ...,
                     interpret: bool = ..., out_dtype: Any = ...,
                     dac_scale: float = ...) -> jax.Array: ...
+    def play_replay(self, ks: Sequence[int] | jax.Array,
+                    interpret: bool = ..., out_dtype: Any = ...,
+                    dac_scale: float = ...,
+                    max_palette_bytes: int = ...) -> jax.Array: ...
