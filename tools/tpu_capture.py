@@ -436,13 +436,20 @@ def task_stack_row(name):
         return synthesize_stack(low, plan)
 
     jax.block_until_ready(run())
-    med = measure_device(run, 'jit_run_stack')
+    # the fused runner jits its pallas program alone (span
+    # 'jit__stack_call' -- comparable to the other kernel rows); the XLA
+    # chain runner is one whole program ('jit_run_stack')
+    runner = getattr(plan, '_runner', None)
+    span = getattr(runner, 'kernel_span', 'jit_run_stack')
+    med = measure_device(run, span)
+    res = {"device_ms": round(med * 1e3, 3), "span": span}
     n = len(chans) * low.n_samples
-    return {"gsps": round(n / med / 1e9, 4),
-            "device_ms": round(med * 1e3, 3),
-            "n_narrow": plan.n_narrow, "advantage": round(plan.advantage, 1),
-            "max_rel_err": worst, "parity_ok": bool(worst < 1e-5),
-            "vs_reference_cpu": round(n / med / bench_suite.REF[name], 1)}
+    res.update({
+        "gsps": round(n / med / 1e9, 4),
+        "n_narrow": plan.n_narrow, "advantage": round(plan.advantage, 1),
+        "max_rel_err": worst, "parity_ok": bool(worst < 1e-5),
+        "vs_reference_cpu": round(n / med / bench_suite.REF[name], 1)})
+    return res
 
 
 def task_mid_sparse(Rs):
@@ -737,7 +744,9 @@ def task_stack_cost_probe(row='vstack_1000x200k'):
             continue
         jax.block_until_ready(runner())
         res[name] = round(
-            profile_median(runner, 'jit_run_stack_kernel') * 1e3, 4)
+            profile_median(
+                runner, getattr(runner, 'kernel_span',
+                                'jit_run_stack_kernel')) * 1e3, 4)
     return res
 
 

@@ -701,12 +701,20 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         interpret=interpret,
     )
 
+    # the pallas program jits ALONE (its device span is the kernel cost,
+    # comparable to the dense/sparse/panel rows); the reshape + tail
+    # slice run as eager device ops, exactly like synthesize_panels'
+    # epilogue
     @jax.jit
+    def _stack_call(*ops):
+        return call(*ops)
+
     def run_stack_kernel():
-        out = call(*flat_ops)
+        out = _stack_call(*flat_ops)
         out = out.reshape(-1, 128)[:total_rows]
         return out.reshape(C, n_rows * 128)[:, :plan.n_samples]
 
+    run_stack_kernel.kernel_span = 'jit__stack_call'
     return run_stack_kernel
 
 
