@@ -235,3 +235,29 @@ def test_panels_windowed_matches_whole():
     auto = sp.plan_panel_windows(low)
     if auto is not None:
         assert sum(p.n_live for p in auto) == base.n_live
+
+
+def test_engine_routes_panel_windowed(monkeypatch):
+    """classify_pallas_route returns 'panel-windowed' when the whole-plan
+    worklist exceeds the SMEM budget, and the engine output still matches
+    the single-plan panels."""
+    from waveforms_tpu import engine
+    from waveforms_tpu.ops import sparse_synth as sp
+
+    chans = _chans(pulses=4)          # well below the panel threshold
+    stop = 6.5536e-5
+    low = lower_schedule(chans, 0.0, stop, FS)
+    dev = DeviceSchedule(low)
+    whole = np.asarray(synthesize_panels(dev, low=low, interpret=True))
+    base = sp.build_sparse_plan(low)
+    budget = (4 * sp.next_pow2(-(-base.n_live // 2)) + 64) * 4
+    monkeypatch.setattr(sp, 'PANEL_WORK_SMEM_BUDGET', budget)
+    kind, plans = engine.classify_pallas_route(low)
+    if kind == 'panel-windowed':
+        win = np.asarray(sp.synthesize_panels_windowed(
+            dev, low, plans=plans, interpret=True))
+        np.testing.assert_array_equal(win, whole)
+    else:
+        # plan small enough that halving the budget still fits: the
+        # plain panel route must have been chosen
+        assert kind == 'panel'

@@ -625,10 +625,10 @@ def plan_panel_windows(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
     than ``max_windows``, or a single subtile column is over budget)."""
     if base is None:
         base = build_sparse_plan(low, Rs=Rs)
-    # 7500 items/window: next_pow2 -> 8192 padded slots = 128 KiB of the
-    # 256 KiB worklist budget, leaving room for the start table and
-    # boundary-tile spill (eligibility is re-checked per window)
-    per_window = 7500
+    # target HALF the worklist budget per window (16 bytes per padded
+    # slot), leaving room for the start table and boundary-tile spill --
+    # eligibility is re-checked per window
+    per_window = max((PANEL_WORK_SMEM_BUDGET // 16) // 2, 8)
     n_windows = -(-base.n_live // per_window)
     if n_windows > max_windows:
         return None
