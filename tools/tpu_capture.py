@@ -674,6 +674,42 @@ def task_seq_amortized(n_shots=100):
             "parity_ok": bool(diff < 1e-6)}
 
 
+def task_stack_dot3(row='vstack_1000x200k'):
+    """Candidate 3-split bf16 scatter dot, ORACLE-anchored on silicon
+    (round-3 lesson: interpret-mode equality does not catch MXU downcast
+    behavior).  Reports parity and speed vs the HIGHEST-dot kernel."""
+    import importlib
+
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    plan = build_stack_plan(low)
+    t = np.arange(start, stop, 1 / fs)
+    res = {"n_narrow": plan.n_narrow}
+    for name, d3 in (("highest", False), ("dot3", True)):
+        runner = _build_kernel_runner(plan, low, False, dot3=d3)
+        if runner is None:
+            return {"error": "kernel runner not viable"}
+        out = np.asarray(runner())
+        worst = 0.0
+        for c, w in enumerate(chans):
+            oracle = np.real(w(t))
+            s = max(np.abs(oracle).max(), 1e-30)
+            worst = max(worst,
+                        float(np.abs(out[c, :len(t)] - oracle).max() / s))
+        med = profile_median(runner, runner.kernel_span)
+        res[name] = {"device_ms": round(med * 1e3, 4),
+                     "max_rel_err": worst,
+                     "parity_ok": bool(worst < 1e-6)}
+    return res
+
+
 def task_tiny_race(row='readme_demo_10k'):
     """Panel vs dense(fine) on a TINY schedule, same chip window: dense
     pads 79 rows to its R=128 tile, panel walks 2 live subtiles in one
@@ -1752,6 +1788,9 @@ def pending_tasks(state):
     # waveform-memory replay: the amortized-shot floor (palette gather)
     tasks.append(("r4_seq_replay", lambda: task_seq_replay(1000)))
     tasks.append(("r4_seq_replay_100", lambda: task_seq_replay(100)))
+    # candidate 3-split bf16 scatter dot, oracle-anchored
+    tasks.append(("r4_stack_dot3_vstack",
+                  lambda: task_stack_dot3('vstack_1000x200k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

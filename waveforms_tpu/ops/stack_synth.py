@@ -470,7 +470,8 @@ def _pad128(x: int) -> int:
 
 
 def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
-                         interpret: bool, probe: str | None = None):
+                         interpret: bool, probe: str | None = None,
+                         dot3: bool = False):
     """The whole batched path as ONE Pallas kernel (cached on the plan).
 
     The XLA runner's per-group op chain (eval fusions + one-hot einsums +
@@ -663,6 +664,32 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                     # shape and data-depends on every evaluated lane)
                     return jnp.broadcast_to(
                         jnp.sum(vals, axis=0, keepdims=True), (128, 128))
+                if dot3:
+                    # candidate scatter (opt-in, on-chip-gated): split
+                    # ONLY the values into three exact bf16 pieces
+                    # (v == v1 + v2 + v3 bitwise for normal f32) and use
+                    # an exactly-representable bf16 one-hot -- every MXU
+                    # product is then exact and only the f32 accumulation
+                    # order differs (<= ~1e-7 rel for <=128-term sums).
+                    # 3 one-pass bf16 dots vs HIGHEST's 6 passes.  NOT
+                    # the failed round-3 variants: HIGH truncates cross
+                    # terms of BOTH operands (7.8e-6 measured), and a
+                    # bf16 x f32 mixed dot downcasts the f32 side
+                    # (8.8e-4 measured).  Gated until the oracle-anchored
+                    # on-chip row (r4_stack_dot3_*) proves parity.
+                    oh = (icol(1) == lane).astype(jnp.bfloat16)
+                    v1 = vals.astype(jnp.bfloat16)
+                    r1 = vals - v1.astype(jnp.float32)
+                    v2 = r1.astype(jnp.bfloat16)
+                    v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dims = (((0,), (0,)), ((), ()))
+                    out = jax.lax.dot_general(
+                        oh, v1, dims, preferred_element_type=jnp.float32)
+                    out += jax.lax.dot_general(
+                        oh, v2, dims, preferred_element_type=jnp.float32)
+                    out += jax.lax.dot_general(
+                        oh, v3, dims, preferred_element_type=jnp.float32)
+                    return out
                 onehot = (icol(1) == lane).astype(jnp.float32)
                 return jax.lax.dot_general(
                     onehot, vals, (((0,), (0,)), ((), ())),
