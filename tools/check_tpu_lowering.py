@@ -168,17 +168,20 @@ def check_stack_including_ext():
     low = lower_schedule([WaveVStack(wl)], 0, 65.536e-6, FS)
     runner = st._build_kernel_runner(st.build_stack_plan(low), low, False)
     assert runner is not None
-    runner.trace().lower(lowering_platforms=('tpu',))
+    runner.kernel_jit.trace(*runner.kernel_args).lower(
+        lowering_platforms=('tpu',))
 
     p = drag_sin(5e9, 20e-9, plateau=10e-9, delta=1e6)
     x = sh.zero()
     for _ in range(10):
         x += p >> float(rng.uniform(0, 7e-6))
     low2 = lower_schedule([x], 0, 8.192e-6, FS)
-    runner2 = st._build_kernel_runner(st.build_stack_plan(low2), low2,
-                                      False)
-    assert runner2 is not None
-    runner2.trace().lower(lowering_platforms=('tpu',))
+    for d3 in (False, True):
+        runner2 = st._build_kernel_runner(st.build_stack_plan(low2), low2,
+                                          False, dot3=d3)
+        assert runner2 is not None
+        runner2.kernel_jit.trace(*runner2.kernel_args).lower(
+            lowering_platforms=('tpu',))
 
 
 def check_panels():

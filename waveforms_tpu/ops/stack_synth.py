@@ -742,6 +742,8 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         return out.reshape(C, n_rows * 128)[:, :plan.n_samples]
 
     run_stack_kernel.kernel_span = 'jit__stack_call'
+    run_stack_kernel.kernel_jit = _stack_call     # AOT lowering checks
+    run_stack_kernel.kernel_args = flat_ops
     return run_stack_kernel
 
 
