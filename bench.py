@@ -467,7 +467,9 @@ def cpu_fallback():
     try:
         with open('/root/repo/benchmarks/tpu_state.json') as f:
             state = json.load(f)
-        head = (state.get('r4_sparse_Rs32')
+        head = (state.get('r4_panel_headline')
+                or state.get('r4_panel_flagship')
+                or state.get('r4_sparse_Rs32')
                 or state.get('r3final_sparse_Rs32')
                 or state.get('r3_headline_R256')
                 or state.get('headline_windowed_R256'))
