@@ -165,3 +165,26 @@ def test_hi_panels_match_oracle_and_dense():
     # the router picks panels for this occupancy
     routed = synthesize_hi_routed(low)
     np.testing.assert_array_equal(routed, out)
+
+
+def test_hi_routed_windows_over_budget_worklists(monkeypatch):
+    """The hi router windows over-budget worklists like the f32 engine
+    (one launch per window, hi/lo planes concatenated)."""
+    from waveforms_tpu.ops import sparse_synth as sp
+    from waveforms_tpu.ops.hi_synth import (synthesize_hi,
+                                            synthesize_hi_routed)
+    rng = np.random.default_rng(9)
+    chans = []
+    for c in range(2):
+        wv = sh.zero()
+        for _ in range(4):
+            wv = wv + ((sh.gaussian(3e-8) >> float(rng.uniform(0, 7e-6)))
+                       * sh.cos(2 * np.pi * 1e8, 0.2))
+        chans.append(wv)
+    low = lower_schedule(chans, 0.0, SPAN, FS, keep_f64=True)
+    dense = synthesize_hi(low)
+    base = sp.build_sparse_plan(low)
+    budget = (4 * sp.next_pow2(-(-base.n_live // 2)) + 64) * 4
+    monkeypatch.setattr(sp, 'PANEL_WORK_SMEM_BUDGET', budget)
+    routed = synthesize_hi_routed(low)
+    np.testing.assert_array_equal(routed, dense)

@@ -478,6 +478,19 @@ def synthesize_hi_routed(low, combine: bool = True):
                 if panels_eligible(pp, jnp.float32, False):
                     return synthesize_hi_panels(low, plan=pp,
                                                 combine=combine)
+                from .sparse_synth import plan_panel_windows
+                wins = plan_panel_windows(low, base=sp)
+                if wins is not None:
+                    dev = HiSchedule(low)
+                    outs = [synthesize_hi_panels(dev, low, plan=p,
+                                                 combine=False)
+                            for p in wins]
+                    hi = jnp.concatenate([o[0] for o in outs], axis=-1)
+                    lo = jnp.concatenate([o[1] for o in outs], axis=-1)
+                    if not combine:
+                        return hi, lo
+                    return (np.asarray(hi).astype(np.float64)
+                            + np.asarray(lo).astype(np.float64))
         except UnsupportedFactor:
             pass
     return synthesize_hi(low, combine=combine)
