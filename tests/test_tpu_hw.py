@@ -352,3 +352,23 @@ def test_hi_panels_on_chip():
         oracle = w(t)
         scale = max(np.abs(oracle).max(), 1e-30)
         assert np.abs(out[c] - oracle).max() / scale < 1e-9, c
+
+
+@requires_tpu
+def test_replay_sequence_on_chip():
+    """Waveform-memory replay ON SILICON == per-shot plays, bitwise."""
+    _tpu_or_skip()
+    import jax.numpy as jnp
+
+    from waveforms_tpu import cosPulse, gaussian
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sequencer import Sequencer
+
+    fs, span = 2e9, 4.096e-6
+    lows = [lower_schedule([gaussian(200e-9) >> 1e-6], 0, span, fs),
+            lower_schedule([cosPulse(160e-9) >> 2e-6], 0, span, fs)]
+    seq = Sequencer(lows)
+    ks = jnp.asarray([1, 0, 0, 1], jnp.int32)
+    outs = np.asarray(seq.play_replay(ks))
+    for i, k in enumerate([1, 0, 0, 1]):
+        np.testing.assert_array_equal(outs[i], np.asarray(seq.play(k)))
