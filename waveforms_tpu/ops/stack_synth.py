@@ -209,7 +209,6 @@ def build_stack_plan(low: LoweredSchedule,
     a_f = a_arr.reshape(M0, F, -1)
     W = a_f.shape[-1]
     order2 = np.lexsort((nhi, nlo, ic[nk]))
-    merged: dict = {}           # key -> [amp rows, fac rows, geometry]
     j = 0
     n_sorted = len(order2)
     inst_list = []              # (key, members) in first-seen order
