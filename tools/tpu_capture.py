@@ -674,6 +674,38 @@ def task_seq_amortized(n_shots=100):
             "parity_ok": bool(diff < 1e-6)}
 
 
+def task_bench_seed_int16(Rs=32):
+    """Compile-cache seeding: run bench.py's two int16 panel windows once
+    (same shapes, same plans) so the round-end bench run hits the
+    persistent cache instead of paying ~100 s/window of remote compile."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import DeviceSchedule
+    from waveforms_tpu.ops.sparse_synth import (build_panel_plan,
+                                                synthesize_panels)
+
+    chans = _sparse_chans()
+    low = lower_schedule(chans, 0.0, 1e-3, FS)
+    dev = DeviceSchedule(low)
+    n_rows = -(-low.n_samples // 128)
+    n_tiles = -(-n_rows // Rs)
+    half = n_tiles // 2
+    out = {}
+    for i, win in enumerate(((0, half), (half, n_tiles))):
+        plan = build_panel_plan(low, Rs=Rs, tile_window=win)
+
+        def run():
+            return synthesize_panels(dev, plan=plan,
+                                     out_dtype=jnp.int16)
+
+        jax.block_until_ready(run())
+        out[f"win{i}_ms"] = round(
+            profile_median(run, 'jit__run_panels') * 1e3, 3)
+    return out
+
+
 def task_stack_dot3(row='vstack_1000x200k'):
     """Candidate 3-split bf16 scatter dot, ORACLE-anchored on silicon
     (round-3 lesson: interpret-mode equality does not catch MXU downcast
@@ -1791,6 +1823,9 @@ def pending_tasks(state):
     # candidate 3-split bf16 scatter dot, oracle-anchored
     tasks.append(("r4_stack_dot3_vstack",
                   lambda: task_stack_dot3('vstack_1000x200k')))
+    # seed the persistent compile cache with bench.py's int16 panel
+    # windows (2 cold remote compiles would eat into bench's watchdog)
+    tasks.append(("r4_bench_seed_int16", task_bench_seed_int16))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
