@@ -503,10 +503,20 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     ext_np = np.asarray(low.ext if low.ext is not None and low.ext.size
                         else np.zeros(1), np.float64)
 
+    # SUPERCHUNKS: SC output chunks per grid step.  The floor probe
+    # (r4_stack_cost_probe4) priced the launch structure at ~0.7 us per
+    # grid step (the same per-step machinery the panel kernel was built
+    # to avoid); processing 4 chunks per step with static in-kernel
+    # offsets cuts it ~4x.  Padding chunks have zero counts, so their
+    # strips predicate away and their output rows stay zero.
+    SC = min(4, n_chunks)
+    n_super = -(-n_chunks // SC)
+    n_chunks_pad = n_super * SC
+
     from .sparse_synth import next_pow2
     metas = []       # static per-group kernel parameters
     operands = []    # device arrays, 2-3 per group
-    vmem = 2 * 2 * 128 * 128 * 4                 # double-buffered out
+    vmem = 2 * SC * 2 * 128 * 128 * 4            # double-buffered out
     hbm = 0
     for g in plan.groups:
         TF = len(g.ops)
@@ -576,8 +586,12 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                           k_max=k_max, IW=IW, AW=AW, QW=QW, EW=EW, PW=PW,
                           off_amp=off_amp, off_args=off_args, off_q=off_q,
                           off_ext=off_ext))
-        vmem += 2 * 4 * k_max * PW
-        group_ops = [counts.reshape(n_chunks, 1), tab]
+        vmem += 2 * 4 * SC * k_max * PW
+        pad_c = n_chunks_pad - n_chunks
+        tab = np.pad(tab, ((0, pad_c), (0, 0), (0, 0)))
+        cnt_col = np.pad(counts, (0, pad_c)).reshape(n_chunks_pad, 1)
+        group_ops = [cnt_col,
+                     tab.reshape(n_super, SC, k_max, PW)]
         hbm += sum(a.nbytes for a in group_ops)
         operands.append([jnp.asarray(a) for a in group_ops])
     if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
@@ -585,7 +599,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
 
     def kernel(*refs):
         out_ref = refs[-1]
-        out_ref[0] = jnp.zeros((128, 128), jnp.float32)
+        out_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
         if probe == 'floor':
             # probe: grid + operand block fetches + epilogue only -- the
             # cost of the launch STRUCTURE with zero strip work
@@ -595,18 +609,14 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             KS = meta['KS']
             cnt_ref, tab_ref = refs[r:r + 2]
             r += 2
-            # the counts column rides whole in SMEM (block == array shape;
-            # a (1, 1) block over (n_chunks, 1) violates Mosaic's
-            # divisible-or-full block rule whenever n_chunks > 1)
-            cnt = cnt_ref[pl.program_id(0), 0]
             lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
 
-            def strip(j, tab_ref=tab_ref, meta=meta, lane=lane):
+            def strip(j, sc, tab_ref=tab_ref, meta=meta, lane=lane):
                 W, KS = meta['W'], meta['KS']
                 # ref load at a dynamic sublane offset (Mosaic has no
                 # value-level dynamic_slice; pl.ds on the ref is the
                 # supported form)
-                tt = tab_ref[0, pl.ds(j * KS, KS), :]
+                tt = tab_ref[0, sc, pl.ds(j * KS, KS), :]
 
                 def icol(c):
                     return jax.lax.bitcast_convert_type(tt[:, c:c + 1],
@@ -695,35 +705,40 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
 
-            # STATIC unrolled strip walk: a dynamic (SMEM-count-driven)
-            # fori trip count costs ~0.35 us/strip of scalar-unit stalls
-            # (r4_stack_cost_probe2: 13.8 us of the 17.2 us base is
-            # tables+machinery).  k_max/KS is small (1-4); pl.when skips
-            # strips past this chunk's live count, and padding slots are
-            # exact zeros (amp 0, empty [0,0) mask, lrt 128) so a
-            # predicated-in strip of pure padding contributes nothing.
-            for j in range(meta['k_max'] // KS):
-                @pl.when(j * KS < cnt)
-                def _(j=j):
-                    out_ref[0] += strip(j)
+            # STATIC unrolled walk over this step's SC chunks x strips (a
+            # dynamic SMEM-count-driven fori trip count costs scalar-unit
+            # stalls); the per-chunk counts ride whole in SMEM, pl.when
+            # skips strips past each chunk's live count, and padding
+            # slots are exact zeros (amp 0, empty [0,0) mask, lrt 128) so
+            # a predicated-in padding strip contributes nothing.
+            for sc in range(SC):
+                cnt = cnt_ref[pl.program_id(0) * SC + sc, 0]
+                for j in range(meta['k_max'] // KS):
+                    @pl.when(j * KS < cnt)
+                    def _(j=j, sc=sc):
+                        out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
+                            j, sc)
 
     in_specs = []
     flat_ops = []
     for meta, group_ops in zip(metas, operands):
-        in_specs.append(pl.BlockSpec((n_chunks, 1), lambda i: (0, 0),
+        # counts ride whole in SMEM (block == array shape; a (1, 1) block
+        # over (n, 1) violates Mosaic's divisible-or-full rule for n > 1)
+        in_specs.append(pl.BlockSpec((n_chunks_pad, 1), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec((1,) + group_ops[1].shape[1:],
-                                     lambda i: (i, 0, 0),
+                                     lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         flat_ops.extend(group_ops)
 
     call = pl.pallas_call(
         kernel,
-        grid=(n_chunks,),
+        grid=(n_super,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 128, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, SC * 128, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chunks, 128, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_super, SC * 128, 128),
+                                       jnp.float32),
         interpret=interpret,
     )
 
