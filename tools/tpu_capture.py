@@ -1826,6 +1826,13 @@ def pending_tasks(state):
     # seed the persistent compile cache with bench.py's int16 panel
     # windows (2 cold remote compiles would eat into bench's watchdog)
     tasks.append(("r4_bench_seed_int16", task_bench_seed_int16))
+    # stack retake 5: superchunks (4 chunks per grid step; the floor
+    # probe priced launch structure at 0.7 us/step = 9 of 24.9 us)
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4g_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
+    tasks.append(("r4_stack_cost_probe5",
+                  lambda: task_stack_cost_probe('vstack_1000x200k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
