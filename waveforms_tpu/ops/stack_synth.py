@@ -401,6 +401,67 @@ def _chunk_assign(g: GroupData, n_rows: int, n_chunks: int, k_round: int):
     return src, rb, lrt, counts.astype(np.int32), k_max
 
 
+def _chunk_assign_hybrid(g: GroupData, n_rows: int, n_chunks: int,
+                         n_ident: int = 2):
+    """Assign blocks to (chunk, slot) with IDENTITY placement first.
+
+    Slot r of identity layer l holds the (l+1)-th block targeting output
+    row r of that chunk, so its store is a direct row-aligned add -- no
+    one-hot dot.  Blocks deeper than ``n_ident`` collisions spill to a
+    compact one-hot strip (the measured collision depth is ~1.1 average
+    for vstack-class schedules, so spills are rare).
+
+    Returns ``(src, rb, lrt, lay_cnt, sp_cnt, k_sp)``: (n_chunks,
+    n_ident*128 + k_sp) slot tables (identity rows first, spill rows
+    after), per-chunk live identity-layer counts, per-chunk spill
+    counts, and the spill strip width.
+    """
+    nblk_m = ((g.hi - 1) >> 7) - g.row0 + 1
+    m_idx = np.repeat(np.arange(len(g.amp)), nblk_m)
+    r_off = (np.concatenate([np.arange(k) for k in nblk_m])
+             if len(nblk_m) else np.zeros(0, np.int64))
+    rowblk = g.row0[m_idx] + r_off
+    grow = g.chan[m_idx] * n_rows + rowblk
+    chunk = grow // 128
+    lr = grow % 128
+    order = np.lexsort((lr, chunk))
+    sc_, sl = chunk[order], lr[order]
+    # occurrence rank of (chunk, lr): 0 for the first block on a row
+    new = np.ones(len(order), bool)
+    new[1:] = (sc_[1:] != sc_[:-1]) | (sl[1:] != sl[:-1])
+    idx_in_run = np.arange(len(order)) - np.maximum.accumulate(
+        np.where(new, np.arange(len(order)), 0))
+    depth = idx_in_run
+
+    sp_mask = depth >= n_ident
+    n_sp = int(np.bincount(sc_[sp_mask], minlength=n_chunks).max()) \
+        if sp_mask.any() else 0
+    from .sparse_synth import next_pow2
+    k_sp = (max(8, next_pow2(n_sp)) if n_sp else 0)
+    width = n_ident * 128 + k_sp
+    src = np.full((n_chunks, width), -1, np.int64)
+    rb = np.zeros((n_chunks, width), np.int64)
+    lrt = np.full((n_chunks, width), 128, np.int64)
+    lay_cnt = np.zeros(n_chunks, np.int32)
+    sp_cnt = np.zeros(n_chunks, np.int32)
+    for k in np.flatnonzero(~sp_mask):
+        q, r, d = sc_[k], sl[k], depth[k]
+        j = order[k]
+        src[q, d * 128 + r] = m_idx[j]
+        rb[q, d * 128 + r] = rowblk[j]
+        lrt[q, d * 128 + r] = r
+        lay_cnt[q] = max(lay_cnt[q], d + 1)
+    for k in np.flatnonzero(sp_mask):
+        q = sc_[k]
+        j = order[k]
+        pos = n_ident * 128 + sp_cnt[q]
+        src[q, pos] = m_idx[j]
+        rb[q, pos] = rowblk[j]
+        lrt[q, pos] = sl[k]
+        sp_cnt[q] += 1
+    return src, rb, lrt, lay_cnt, sp_cnt, k_sp
+
+
 def _build_runner(plan: StackPlan, low: LoweredSchedule):
     """One jitted program for the whole batched path (cached on the plan).
 
@@ -522,18 +583,16 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         TF = len(g.ops)
         NT = len(g.term_nfac)
         W = g.args.shape[-1]
-        src, rb, lrt, counts, k0 = _chunk_assign(g, n_rows, n_chunks, 1)
-        # KS >= 8 keeps every pl.ds strip offset sublane-aligned and the
-        # table sublane extents multiples of 8 (Mosaic requires the last
-        # two block dims divisible by (8, 128); see the lane padding of
-        # the table below for the 128 half of that rule)
-        KS = min(128, max(8, next_pow2(k0)))
-        k_max = -(-k0 // KS) * KS
-        pad = k_max - k0
-        if pad:
-            src = np.pad(src, ((0, 0), (0, pad)), constant_values=-1)
-            rb = np.pad(rb, ((0, 0), (0, pad)))
-            lrt = np.pad(lrt, ((0, 0), (0, pad)), constant_values=128)
+        # HYBRID placement (round 4, probe-driven): two IDENTITY layers
+        # whose slot index IS the output row (direct row-aligned adds, no
+        # one-hot dot -- the dot was ~10 us of the vstack row's critical
+        # path) plus a compact one-hot spill strip for the rare deeper
+        # collisions (~1.1 average depth on vstack-class schedules)
+        N_IDENT = 2
+        src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
+            g, n_rows, n_chunks, N_IDENT)
+        KSsp = min(128, k_sp) if k_sp else 0
+        k_max = N_IDENT * 128 + k_sp
         valid = src >= 0
         s = np.where(valid, src, 0)
         # factor tables pack every term's LIVE factors flat (TF columns);
@@ -582,15 +641,17 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                 ok, ext_np[np.clip(cols, 0, len(ext_np) - 1)],
                 0.0).astype(np.float32)
         metas.append(dict(ops=g.ops, powers=g.powers,
-                          term_nfac=g.term_nfac, W=W, KS=KS,
+                          term_nfac=g.term_nfac, W=W,
+                          n_ident=N_IDENT, k_sp=k_sp, KSsp=KSsp,
                           k_max=k_max, IW=IW, AW=AW, QW=QW, EW=EW, PW=PW,
                           off_amp=off_amp, off_args=off_args, off_q=off_q,
                           off_ext=off_ext))
         vmem += 2 * 4 * SC * k_max * PW
         pad_c = n_chunks_pad - n_chunks
         tab = np.pad(tab, ((0, pad_c), (0, 0), (0, 0)))
-        cnt_col = np.pad(counts, (0, pad_c)).reshape(n_chunks_pad, 1)
-        group_ops = [cnt_col,
+        cnts = np.stack([np.pad(lay_cnt, (0, pad_c)),
+                         np.pad(sp_cnt, (0, pad_c))], axis=1)
+        group_ops = [cnts.astype(np.int32),
                      tab.reshape(n_super, SC, k_max, PW)]
         hbm += sum(a.nbytes for a in group_ops)
         operands.append([jnp.asarray(a) for a in group_ops])
@@ -606,17 +667,13 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             return
         r = 0
         for meta in metas:
-            KS = meta['KS']
             cnt_ref, tab_ref = refs[r:r + 2]
             r += 2
-            lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
 
-            def strip(j, sc, tab_ref=tab_ref, meta=meta, lane=lane):
-                W, KS = meta['W'], meta['KS']
-                # ref load at a dynamic sublane offset (Mosaic has no
-                # value-level dynamic_slice; pl.ds on the ref is the
-                # supported form)
-                tt = tab_ref[0, sc, pl.ds(j * KS, KS), :]
+            def strip(off, KS, sc, use_dot, tab_ref=tab_ref, meta=meta):
+                W = meta['W']
+                lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
+                tt = tab_ref[0, sc, pl.ds(off, KS), :]
 
                 def icol(c):
                     return jax.lax.bitcast_convert_type(tt[:, c:c + 1],
@@ -673,6 +730,9 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                     # shape and data-depends on every evaluated lane)
                     return jnp.broadcast_to(
                         jnp.sum(vals, axis=0, keepdims=True), (128, 128))
+                if not use_dot:
+                    # identity layer: slot index IS the output row
+                    return vals
                 if dot3:
                     # candidate scatter (opt-in, on-chip-gated): split
                     # ONLY the values into three exact bf16 pieces
@@ -705,26 +765,35 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
 
-            # STATIC unrolled walk over this step's SC chunks x strips (a
-            # dynamic SMEM-count-driven fori trip count costs scalar-unit
-            # stalls); the per-chunk counts ride whole in SMEM, pl.when
-            # skips strips past each chunk's live count, and padding
-            # slots are exact zeros (amp 0, empty [0,0) mask, lrt 128) so
-            # a predicated-in padding strip contributes nothing.
+            # STATIC unrolled walk over this step's SC chunks: identity
+            # layers first (direct row-aligned adds), then the one-hot
+            # spill strips.  The per-chunk layer/spill counts ride whole
+            # in SMEM, pl.when skips empty layers/strips, and padding
+            # slots are exact zeros (amp 0, empty [0,0) mask) so a
+            # predicated-in padding strip contributes nothing.
             for sc in range(SC):
-                cnt = cnt_ref[pl.program_id(0) * SC + sc, 0]
-                for j in range(meta['k_max'] // KS):
-                    @pl.when(j * KS < cnt)
-                    def _(j=j, sc=sc):
+                row = pl.program_id(0) * SC + sc
+                lay = cnt_ref[row, 0]
+                spc = cnt_ref[row, 1]
+                for l in range(meta['n_ident']):
+                    @pl.when(l < lay)
+                    def _(l=l, sc=sc):
                         out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
-                            j, sc)
+                            l * 128, 128, sc, False)
+                KSsp = meta['KSsp']
+                for j in range(meta['k_sp'] // KSsp if KSsp else 0):
+                    @pl.when(j * KSsp < spc)
+                    def _(j=j, sc=sc, KSsp=KSsp):
+                        out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
+                            meta['n_ident'] * 128 + j * KSsp, KSsp, sc,
+                            True)
 
     in_specs = []
     flat_ops = []
     for meta, group_ops in zip(metas, operands):
         # counts ride whole in SMEM (block == array shape; a (1, 1) block
         # over (n, 1) violates Mosaic's divisible-or-full rule for n > 1)
-        in_specs.append(pl.BlockSpec((n_chunks_pad, 1), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((n_chunks_pad, 2), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec((1,) + group_ops[1].shape[1:],
                                      lambda i: (i, 0, 0, 0),
