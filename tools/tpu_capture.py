@@ -1833,6 +1833,12 @@ def pending_tasks(state):
                       lambda row=row: task_stack_row(row)))
     tasks.append(("r4_stack_cost_probe5",
                   lambda: task_stack_cost_probe('vstack_1000x200k')))
+    # stack retake 6: hybrid identity-layer scatter (dot only on spills)
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4h_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
+    tasks.append(("r4_stack_cost_probe6",
+                  lambda: task_stack_cost_probe('vstack_1000x200k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
