@@ -33,6 +33,12 @@ def _synthesize(wav, engine):
 
         from .ops import sample_waveform
         return np.asarray(sample_waveform(wav))
+    if engine != 'numpy':
+        import numpy as np
+
+        from .engine import synthesize
+        return np.asarray(synthesize([wav], wav.start, wav.stop,
+                                     wav.sample_rate, engine=engine))[0]
     return wav.sample()
 
 
@@ -57,8 +63,14 @@ def _build_sample_command():
     cmd = click.argument('output', type=click.Path(exists=False))(cmd)
     cmd = click.argument('waveform', type=str)(cmd)
     cmd = click.option('--engine', default='numpy',
-                       type=click.Choice(['numpy', 'jax']),
-                       help='Synthesis engine: host oracle or XLA/TPU')(cmd)
+                       type=click.Choice(['numpy', 'jax', 'auto',
+                                          'pallas', 'pallas-panel',
+                                          'pallas-sparse', 'pallas-dense',
+                                          'pallas-stack', 'xla',
+                                          'native']),
+                       help='Synthesis engine: host oracle, XLA trace, '
+                            'the fused TPU kernels (auto picks the best '
+                            'route), or the C++ host engine')(cmd)
     for flag, short, default, helptext in reversed(_SAMPLE_OPTIONS):
         cmd = click.option(flag, short, default=default, help=helptext)(cmd)
     return main.command('sample')(cmd)
