@@ -1839,6 +1839,13 @@ def pending_tasks(state):
                       lambda row=row: task_stack_row(row)))
     tasks.append(("r4_stack_cost_probe6",
                   lambda: task_stack_cost_probe('vstack_1000x200k')))
+    # second sample: probe6/r4h ran in the window right after a wedge
+    # (floor doubled on a +12% table -- degraded-window suspect)
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4i_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
+    tasks.append(("r4_stack_cost_probe7",
+                  lambda: task_stack_cost_probe('vstack_1000x200k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
