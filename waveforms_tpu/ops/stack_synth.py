@@ -587,8 +587,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         # whose slot index IS the output row (direct row-aligned adds, no
         # one-hot dot -- the dot was ~10 us of the vstack row's critical
         # path) plus a compact one-hot spill strip for the rare deeper
-        # collisions (~1.1 average depth on vstack-class schedules)
-        N_IDENT = 2
+        # collisions (~1.1 average depth on vstack-class schedules).
+        # WFTPU_STACK_IDENT_LAYERS=0 degenerates into the pure one-hot
+        # layout (every block spills) for A/B timing on silicon.
+        import os
+        N_IDENT = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2'))
         src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
             g, n_rows, n_chunks, N_IDENT)
         KSsp = min(128, k_sp) if k_sp else 0
