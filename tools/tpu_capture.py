@@ -706,6 +706,35 @@ def task_bench_seed_int16(Rs=32):
     return out
 
 
+def task_stack_layout_ab(row='vstack_1000x200k'):
+    """Identity-layer vs pure one-hot scatter, SAME chip window (the
+    r4g/r4h comparison straddled a wedge and its degraded aftermath)."""
+    import importlib
+    import os
+
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops import stack_synth as st
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    res = {}
+    for name, layers in (("ident2", '2'), ("onehot", '0')):
+        os.environ['WFTPU_STACK_IDENT_LAYERS'] = layers
+        plan = st.build_stack_plan(low)
+        runner = st._build_kernel_runner(plan, low, False)
+        jax.block_until_ready(runner())
+        med = profile_median(runner, runner.kernel_span)
+        res[name + "_ms"] = round(med * 1e3, 4)
+    os.environ.pop('WFTPU_STACK_IDENT_LAYERS', None)
+    n = len(chans) * low.n_samples
+    best = min(res.values())
+    res["best_gsps"] = round(n / (best * 1e-3) / 1e9, 3)
+    return res
+
+
 def task_stack_dot3(row='vstack_1000x200k'):
     """Candidate 3-split bf16 scatter dot, ORACLE-anchored on silicon
     (round-3 lesson: interpret-mode equality does not catch MXU downcast
@@ -1846,6 +1875,9 @@ def pending_tasks(state):
                       lambda row=row: task_stack_row(row)))
     tasks.append(("r4_stack_cost_probe7",
                   lambda: task_stack_cost_probe('vstack_1000x200k')))
+    # same-window A/B: identity-layer vs one-hot scatter
+    tasks.append(("r4_stack_layout_ab",
+                  lambda: task_stack_layout_ab('vstack_1000x200k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
