@@ -194,3 +194,33 @@ def test_kernel_runner_group_cap_falls_back():
         st.KERNEL_MAX_GROUPS = old
     t, want = _oracle([x], 0, 8.192e-6)
     assert np.abs(out - want).max() / max(np.abs(want).max(), 1e-30) < 2e-6
+
+
+@pytest.mark.parametrize("layers", ["0", "2"])
+def test_kernel_runner_transposed_tables(layers, monkeypatch):
+    """WFTPU_STACK_TABLE_T=1 stores (PW8, k) tables and transposes
+    in-kernel; output must be identical work to the row-major layout
+    (same instances, same math, only the fetch layout differs)."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+    rng = np.random.default_rng(41)
+    wl = [(0.5 * cosPulse(50e-9) >> o) for o in rng.uniform(0, 7e-6, 120)]
+    # a second overlapping layer forces identity-layer collisions and a
+    # spill strip, exercising the 128-lane spill padding in T mode
+    wl += [(0.25 * cosPulse(70e-9) >> o)
+           for o in rng.uniform(0, 7e-6, 60)]
+    low = lower_schedule([WaveVStack(wl)], 0, 8.192e-6, FS)
+    monkeypatch.setenv('WFTPU_STACK_IDENT_LAYERS', layers)
+    plan = build_stack_plan(low)
+    kr = _build_kernel_runner(plan, low, True)
+    assert kr is not None
+    base = np.asarray(kr())
+    monkeypatch.setenv('WFTPU_STACK_TABLE_T', '1')
+    plan_t = build_stack_plan(low)
+    kr_t = _build_kernel_runner(plan_t, low, True)
+    assert kr_t is not None
+    got = np.asarray(kr_t())
+    scale = max(np.abs(base).max(), 1e-30)
+    assert np.abs(got - base).max() / scale < 1e-6
+    t, want = _oracle([WaveVStack(wl).simplify()], 0, 8.192e-6)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-6

@@ -735,6 +735,45 @@ def task_stack_layout_ab(row='vstack_1000x200k'):
     return res
 
 
+def task_stack_fetch_ab(row='vstack_1000x200k'):
+    """Row-major vs TRANSPOSED packed tables, SAME chip window, with an
+    on-chip oracle parity check for the transposed layout (the in-kernel
+    tpu.transpose lowering and its numerics are unproven on this chip;
+    interpret-mode equality proved nothing for the bf16 dots either).
+    Runs both under the current default scatter layout."""
+    import importlib
+    import os
+
+    import jax
+
+    from waveforms_tpu.ops import stack_synth as st
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    t = np.arange(start, stop, 1 / fs)
+    oracle = np.stack([np.asarray(w(t), float) for w in chans])
+    scale = max(np.abs(oracle).max(), 1e-30)
+    res = {}
+    for name, flag in (("rowmajor", '0'), ("tablet", '1')):
+        os.environ['WFTPU_STACK_TABLE_T'] = flag
+        try:
+            plan = st.build_stack_plan(low)
+            runner = st._build_kernel_runner(plan, low, False)
+            out = np.asarray(runner())
+            res[name + "_rel_err"] = float(
+                np.abs(out - oracle).max() / scale)
+            med = profile_median(runner, runner.kernel_span)
+            res[name + "_ms"] = round(med * 1e3, 4)
+        finally:
+            os.environ.pop('WFTPU_STACK_TABLE_T', None)
+    n = len(chans) * low.n_samples
+    best = min(v for k, v in res.items() if k.endswith('_ms'))
+    res["best_gsps"] = round(n / (best * 1e-3) / 1e9, 3)
+    return res
+
+
 def task_stack_dot3(row='vstack_1000x200k'):
     """Candidate 3-split bf16 scatter dot, ORACLE-anchored on silicon
     (round-3 lesson: interpret-mode equality does not catch MXU downcast
@@ -1878,6 +1917,13 @@ def pending_tasks(state):
     # same-window A/B: identity-layer vs one-hot scatter
     tasks.append(("r4_stack_layout_ab",
                   lambda: task_stack_layout_ab('vstack_1000x200k')))
+    # same-window A/B: row-major vs transposed packed tables (fetch-side
+    # lever; the floor probe priced operand fetch + launch at 7.6 of
+    # 24.7 us and the row-major table lane-pads ~23 used columns to 128)
+    tasks.append(("r4_stack_fetch_ab",
+                  lambda: task_stack_fetch_ab('vstack_1000x200k')))
+    tasks.append(("r4_stack_fetch_ab_overlap",
+                  lambda: task_stack_fetch_ab('overlap100_drag_2200')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

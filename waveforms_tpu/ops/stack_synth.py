@@ -35,6 +35,7 @@ many-overlap schedules that lower with ``pallas_ok=False``.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -529,6 +530,211 @@ def _pad128(x: int) -> int:
     return -(-x // 128) * 128
 
 
+def _group_table(g: GroupData, n_rows: int, n_chunks: int,
+                 ext_np: np.ndarray, n_ident: int, table_t: bool,
+                 k_sp_force: int | None = None):
+    """Build one group's packed per-chunk slot table (host arrays).
+
+    Returns ``(meta, tab, cnts)``: the static kernel parameters, the
+    (n_chunks, k_max, PW) f32 packed table (row-major -- the caller
+    transposes for the TABLE_T layout), and (n_chunks, 2) int32
+    identity-layer / spill counts.  ``k_sp_force`` pads the spill strip
+    region to a table-wide width so tables from different schedules
+    stack into one tensor (see stack_seq.StackSequencer)."""
+    TF = len(g.ops)
+    NT = len(g.term_nfac)
+    W = g.args.shape[-1]
+    src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
+        g, n_rows, n_chunks, n_ident)
+    if k_sp_force is not None and k_sp_force < k_sp:
+        raise ValueError("k_sp_force below this schedule's spill width")
+    k_sp_pad = k_sp if k_sp_force is None else k_sp_force
+    if table_t and k_sp_pad:
+        # transposed strips slice the LANE axis: pad the spill strip to
+        # the 128-lane tile (pad slots: src -1 / amp 0 / empty [0,0)
+        # mask / local row 128 -> exact zeros through the dot)
+        k_sp_pad = -(-k_sp_pad // 128) * 128
+    if k_sp_pad != k_sp:
+        padw = k_sp_pad - k_sp
+        src = np.pad(src, ((0, 0), (0, padw)), constant_values=-1)
+        rb = np.pad(rb, ((0, 0), (0, padw)))
+        lrt = np.pad(lrt, ((0, 0), (0, padw)), constant_values=128)
+        k_sp = k_sp_pad
+    KSsp = (128 if table_t else min(128, k_sp)) if k_sp else 0
+    k_max = n_ident * 128 + k_sp
+    valid = src >= 0
+    s = np.where(valid, src, 0)
+    # factor tables pack every term's LIVE factors flat (TF columns);
+    # per-term amplitudes take NT columns
+    IW = 4 + TF
+    AW = NT + TF * W
+    QW = 4 * TF
+    f_ext = next((f for f, op in enumerate(g.ops) if op in _EXT_W), None)
+    EW = _EXT_W[g.ops[f_ext]] if f_ext is not None else 0
+    off_amp = IW
+    off_args = IW + NT
+    off_q = IW + AW
+    off_ext = IW + AW + QW
+    PW = (max(8, -(-(off_ext + EW) // 8) * 8) if table_t
+          else _pad128(off_ext + EW))
+    tab = np.zeros((n_chunks, k_max, PW), np.float32)
+    ints = np.zeros((n_chunks, k_max, IW), np.int32)
+    ints[..., 0] = rb
+    ints[..., 1] = lrt
+    ints[..., 2] = np.where(valid, g.lo[s], 0)
+    ints[..., 3] = np.where(valid, g.hi[s], 0)
+    ints[..., 4:] = g.shift[s]
+    tab[..., :IW] = ints.view(np.float32)
+    tab[..., off_amp:off_args] = np.where(valid[..., None], g.amp[s], 0.0)
+    tab[..., off_args:off_q] = g.args[s].reshape(n_chunks, k_max, TF * W)
+    if TF:
+        q = np.ascontiguousarray(
+            g.q32[s].astype(np.int32).reshape(n_chunks, k_max, 4 * TF))
+        tab[..., off_q:off_ext] = q.view(np.float32)
+    if f_ext is not None:
+        off = g.args[s, f_ext, 7].astype(np.int64)
+        cols = off[..., None] + np.arange(EW)
+        ok = (cols >= 0) & (cols < len(ext_np))
+        tab[..., off_ext:off_ext + EW] = np.where(
+            ok, ext_np[np.clip(cols, 0, len(ext_np) - 1)],
+            0.0).astype(np.float32)
+    meta = dict(ops=g.ops, powers=g.powers, term_nfac=g.term_nfac, W=W,
+                n_ident=n_ident, k_sp=k_sp, KSsp=KSsp, k_max=k_max,
+                IW=IW, AW=AW, QW=QW, EW=EW, PW=PW, off_amp=off_amp,
+                off_args=off_args, off_q=off_q, off_ext=off_ext,
+                table_t=table_t)
+    cnts = np.stack([lay_cnt, sp_cnt], axis=1).astype(np.int32)
+    return meta, tab, cnts
+
+
+def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool):
+    """Per-(group, table-ref) strip evaluator for the fused kernel.
+
+    ``strip(off, KS, sc, use_dot)`` loads the KS-slot strip at static
+    slot offset ``off`` of superchunk lane ``sc``, evaluates every
+    slot's 128-sample block, and returns the (128, 128) chunk
+    contribution (identity layers return slot-major values directly;
+    spill strips scatter through the one-hot MXU dot)."""
+
+    def strip(off, KS, sc, use_dot):
+        W = meta['W']
+        lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
+        if meta['table_t']:
+            # (PW8, KS) lane-aligned static slice -> slot-major via one
+            # in-kernel transpose (tpu.transpose)
+            tt = jnp.transpose(tab_ref[0, sc, :, off:off + KS], (1, 0))
+        else:
+            tt = tab_ref[0, sc, pl.ds(off, KS), :]
+
+        def icol(c):
+            return jax.lax.bitcast_convert_type(tt[:, c:c + 1], jnp.int32)
+
+        if probe == 'tables':
+            # probe: table load + strip machinery only (the row-sum
+            # data-depends on the whole loaded block)
+            return jnp.broadcast_to(
+                jnp.sum(tt, axis=0, keepdims=True), (128, 128))
+        idx = icol(0) * 128 + lane
+
+        def factor(f):
+            di = idx - icol(4 + f)
+
+            def arg(k, f=f):
+                c = meta['off_args'] + f * W + k
+                return tt[:, c:c + 1]
+
+            def q32(jq, f=f):
+                return icol(meta['off_q'] + 4 * f + jq)
+
+            def eread(k):
+                c = meta['off_ext'] + k
+                return tt[:, c:c + 1]
+
+            val = op_builders(di, arg, q32, eread)[meta['ops'][f]]()
+            power = meta['powers'][f]
+            if power != 1:
+                ap = abs(int(power))
+                v = val
+                for _ in range(ap - 1):
+                    v = v * val
+                val = 1.0 / v if power < 0 else v
+            return val
+
+        term_nfac = ((0,) * len(meta['term_nfac'])
+                     if probe == 'scatter' else meta['term_nfac'])
+        seg = None
+        f0 = 0
+        for t, nf in enumerate(term_nfac):
+            prod = jnp.broadcast_to(
+                tt[:, meta['off_amp'] + t:meta['off_amp'] + t + 1],
+                (KS, 128))
+            for f in range(f0, f0 + nf):
+                prod = prod * factor(f)
+            seg = prod if seg is None else seg + prod
+            f0 += nf
+        mask = (idx >= icol(2)) & (idx < icol(3))
+        vals = jnp.where(mask, seg, 0.0)
+        if probe == 'eval':
+            # probe: no scatter dot (row-sum keeps the output shape and
+            # data-depends on every evaluated lane)
+            return jnp.broadcast_to(
+                jnp.sum(vals, axis=0, keepdims=True), (128, 128))
+        if not use_dot:
+            # identity layer: slot index IS the output row
+            return vals
+        if dot3:
+            # candidate scatter (opt-in, on-chip-gated): split ONLY the
+            # values into three exact bf16 pieces (v == v1 + v2 + v3
+            # bitwise for normal f32) and use an exactly-representable
+            # bf16 one-hot -- every MXU product is then exact and only
+            # the f32 accumulation order differs (<= ~1e-7 rel for
+            # <=128-term sums).  3 one-pass bf16 dots vs HIGHEST's 6
+            # passes.  NOT the failed round-3 variants: HIGH truncates
+            # cross terms of BOTH operands (7.8e-6 measured), and a
+            # bf16 x f32 mixed dot downcasts the f32 side (8.8e-4
+            # measured).  Gated until the oracle-anchored on-chip row
+            # (r4_stack_dot3_*) proves parity.
+            oh = (icol(1) == lane).astype(jnp.bfloat16)
+            v1 = vals.astype(jnp.bfloat16)
+            r1 = vals - v1.astype(jnp.float32)
+            v2 = r1.astype(jnp.bfloat16)
+            v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((0,), (0,)), ((), ()))
+            out = jax.lax.dot_general(
+                oh, v1, dims, preferred_element_type=jnp.float32)
+            out += jax.lax.dot_general(
+                oh, v2, dims, preferred_element_type=jnp.float32)
+            out += jax.lax.dot_general(
+                oh, v3, dims, preferred_element_type=jnp.float32)
+            return out
+        onehot = (icol(1) == lane).astype(jnp.float32)
+        return jax.lax.dot_general(
+            onehot, vals, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    return strip
+
+
+def _emit_chunk(meta: dict, strip, out_ref, sc: int, lay, spc):
+    """STATIC unrolled walk of one output chunk: identity layers first
+    (direct row-aligned adds), then the one-hot spill strips.  The
+    per-chunk layer/spill counts ride in SMEM, ``pl.when`` skips empty
+    layers/strips, and padding slots are exact zeros (amp 0, empty
+    [0,0) mask) so a predicated-in padding strip contributes nothing."""
+    for l in range(meta['n_ident']):
+        @pl.when(l < lay)
+        def _(l=l, sc=sc):
+            out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
+                l * 128, 128, sc, False)
+    KSsp = meta['KSsp']
+    for j in range(meta['k_sp'] // KSsp if KSsp else 0):
+        @pl.when(j * KSsp < spc)
+        def _(j=j, sc=sc, KSsp=KSsp):
+            out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
+                meta['n_ident'] * 128 + j * KSsp, KSsp, sc, True)
+
+
 def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                          interpret: bool, probe: str | None = None,
                          dot3: bool = False):
@@ -574,88 +780,47 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     n_super = -(-n_chunks // SC)
     n_chunks_pad = n_super * SC
 
-    from .sparse_synth import next_pow2
+    # TRANSPOSED TABLES (round 4, fetch-side lever): the row-major packed
+    # table lane-pads every slot's ~23 used columns to 128 (PW), so the
+    # operand stream carries ~5.5x the live bytes -- and the floor probe
+    # (r4_stack_cost_probe5: 7.6 us of the row's 24.7) says operand
+    # fetch + launch IS the kernel's fixed cost.  Storing each chunk's
+    # table as (PW8, k_max) -- used columns padded only to the f32
+    # sublane (8), slots on lanes -- shrinks the stream ~5x; each strip
+    # then loads (PW8, KS) and recovers slot-major (KS, PW8) with ONE
+    # in-kernel tpu.transpose.  Strip offsets stay static, but slot
+    # strips must be 128-lane aligned, so spill strips pad to 128 wide
+    # (padding slots are exact zeros).  Opt-in until the on-chip A/B
+    # (r4_stack_fetch_ab) prices the transpose against the saved bytes.
+    TABLE_T = os.environ.get('WFTPU_STACK_TABLE_T', '0') == '1'
+
+    N_IDENT = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2'))
     metas = []       # static per-group kernel parameters
-    operands = []    # device arrays, 2-3 per group
+    operands = []    # device arrays, 2 per group
     vmem = 2 * SC * 2 * 128 * 128 * 4            # double-buffered out
     hbm = 0
+    pad_c = n_chunks_pad - n_chunks
     for g in plan.groups:
-        TF = len(g.ops)
-        NT = len(g.term_nfac)
-        W = g.args.shape[-1]
-        # HYBRID placement (round 4, probe-driven): two IDENTITY layers
-        # whose slot index IS the output row (direct row-aligned adds, no
-        # one-hot dot -- the dot was ~10 us of the vstack row's critical
-        # path) plus a compact one-hot spill strip for the rare deeper
-        # collisions (~1.1 average depth on vstack-class schedules).
-        # WFTPU_STACK_IDENT_LAYERS=0 degenerates into the pure one-hot
-        # layout (every block spills) for A/B timing on silicon.
-        import os
-        N_IDENT = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2'))
-        src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
-            g, n_rows, n_chunks, N_IDENT)
-        KSsp = min(128, k_sp) if k_sp else 0
-        k_max = N_IDENT * 128 + k_sp
-        valid = src >= 0
-        s = np.where(valid, src, 0)
-        # factor tables pack every term's LIVE factors flat (TF columns);
-        # per-term amplitudes take NT columns
-        IW = 4 + TF
-        AW = NT + TF * W
-        QW = 4 * TF
-        f_ext = next((f for f, op in enumerate(g.ops) if op in _EXT_W),
-                     None)
-        EW = _EXT_W[g.ops[f_ext]] if f_ext is not None else 0
-        # ONE packed f32 table per group: int columns (block row, local
-        # row, lo, hi, shifts, q32 turns) ride as raw int32 BITS
-        # (bitcast -- sample indices and fixed-point phase do not survive
-        # an f32 round-trip), float columns (amp, args, pregathered ext
-        # rows) as plain f32.  The first fused-kernel attempt streamed
-        # int/arg/q32/ext as SEPARATE tables, each lane-padded to 128
-        # wide: 3-4x the bytes of the packed layout, and table streaming
-        # -- not evaluation -- dominated its 44 us device time
-        # (r4c_stack_vstack_1000x200k vs the 36 us XLA chain).
-        off_amp = IW
-        off_args = IW + NT
-        off_q = IW + AW
-        off_ext = IW + AW + QW
-        PW = _pad128(off_ext + EW)
-        tab = np.zeros((n_chunks, k_max, PW), np.float32)
-        ints = np.zeros((n_chunks, k_max, IW), np.int32)
-        ints[..., 0] = rb
-        ints[..., 1] = lrt
-        ints[..., 2] = np.where(valid, g.lo[s], 0)
-        ints[..., 3] = np.where(valid, g.hi[s], 0)
-        ints[..., 4:] = g.shift[s]
-        tab[..., :IW] = ints.view(np.float32)
-        tab[..., off_amp:off_args] = np.where(valid[..., None],
-                                              g.amp[s], 0.0)
-        tab[..., off_args:off_q] = g.args[s].reshape(
-            n_chunks, k_max, TF * W)
-        if TF:
-            q = np.ascontiguousarray(
-                g.q32[s].astype(np.int32).reshape(n_chunks, k_max, 4 * TF))
-            tab[..., off_q:off_ext] = q.view(np.float32)
-        if f_ext is not None:
-            off = g.args[s, f_ext, 7].astype(np.int64)
-            cols = off[..., None] + np.arange(EW)
-            ok = (cols >= 0) & (cols < len(ext_np))
-            tab[..., off_ext:off_ext + EW] = np.where(
-                ok, ext_np[np.clip(cols, 0, len(ext_np) - 1)],
-                0.0).astype(np.float32)
-        metas.append(dict(ops=g.ops, powers=g.powers,
-                          term_nfac=g.term_nfac, W=W,
-                          n_ident=N_IDENT, k_sp=k_sp, KSsp=KSsp,
-                          k_max=k_max, IW=IW, AW=AW, QW=QW, EW=EW, PW=PW,
-                          off_amp=off_amp, off_args=off_args, off_q=off_q,
-                          off_ext=off_ext))
-        vmem += 2 * 4 * SC * k_max * PW
-        pad_c = n_chunks_pad - n_chunks
+        # HYBRID placement (round 4, probe-driven): N_IDENT IDENTITY
+        # layers whose slot index IS the output row (direct row-aligned
+        # adds, no one-hot dot -- the dot was ~10 us of the vstack row's
+        # critical path) plus a compact one-hot spill strip for the rare
+        # deeper collisions (~1.1 average depth on vstack-class
+        # schedules).  WFTPU_STACK_IDENT_LAYERS=0 degenerates into the
+        # pure one-hot layout (every block spills) for A/B timing.
+        meta, tab, cnts = _group_table(g, n_rows, n_chunks, ext_np,
+                                       N_IDENT, TABLE_T)
+        metas.append(meta)
+        vmem += 2 * 4 * SC * meta['k_max'] * meta['PW']
         tab = np.pad(tab, ((0, pad_c), (0, 0), (0, 0)))
-        cnts = np.stack([np.pad(lay_cnt, (0, pad_c)),
-                         np.pad(sp_cnt, (0, pad_c))], axis=1)
-        group_ops = [cnts.astype(np.int32),
-                     tab.reshape(n_super, SC, k_max, PW)]
+        if TABLE_T:
+            tab = np.ascontiguousarray(tab.transpose(0, 2, 1))
+        cnts = np.pad(cnts, ((0, pad_c), (0, 0)))
+        group_ops = [cnts,
+                     tab.reshape((n_super, SC, meta['PW'], meta['k_max'])
+                                 if TABLE_T
+                                 else (n_super, SC, meta['k_max'],
+                                       meta['PW']))]
         hbm += sum(a.nbytes for a in group_ops)
         operands.append([jnp.asarray(a) for a in group_ops])
     if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
@@ -672,124 +837,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         for meta in metas:
             cnt_ref, tab_ref = refs[r:r + 2]
             r += 2
-
-            def strip(off, KS, sc, use_dot, tab_ref=tab_ref, meta=meta):
-                W = meta['W']
-                lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
-                tt = tab_ref[0, sc, pl.ds(off, KS), :]
-
-                def icol(c):
-                    return jax.lax.bitcast_convert_type(tt[:, c:c + 1],
-                                                        jnp.int32)
-
-                if probe == 'tables':
-                    # probe: table load + strip machinery only (the
-                    # row-sum data-depends on the whole loaded block)
-                    return jnp.broadcast_to(
-                        jnp.sum(tt, axis=0, keepdims=True), (128, 128))
-                idx = icol(0) * 128 + lane
-
-                def factor(f):
-                    di = idx - icol(4 + f)
-
-                    def arg(k, f=f):
-                        c = meta['off_args'] + f * W + k
-                        return tt[:, c:c + 1]
-
-                    def q32(jq, f=f):
-                        return icol(meta['off_q'] + 4 * f + jq)
-
-                    def eread(k):
-                        c = meta['off_ext'] + k
-                        return tt[:, c:c + 1]
-
-                    val = op_builders(di, arg, q32,
-                                      eread)[meta['ops'][f]]()
-                    power = meta['powers'][f]
-                    if power != 1:
-                        ap = abs(int(power))
-                        v = val
-                        for _ in range(ap - 1):
-                            v = v * val
-                        val = 1.0 / v if power < 0 else v
-                    return val
-
-                term_nfac = ((0,) * len(meta['term_nfac'])
-                             if probe == 'scatter' else meta['term_nfac'])
-                seg = None
-                f0 = 0
-                for t, nf in enumerate(term_nfac):
-                    prod = jnp.broadcast_to(
-                        tt[:, meta['off_amp'] + t:meta['off_amp'] + t + 1],
-                        (KS, 128))
-                    for f in range(f0, f0 + nf):
-                        prod = prod * factor(f)
-                    seg = prod if seg is None else seg + prod
-                    f0 += nf
-                mask = (idx >= icol(2)) & (idx < icol(3))
-                vals = jnp.where(mask, seg, 0.0)
-                if probe == 'eval':
-                    # probe: no scatter dot (row-sum keeps the output
-                    # shape and data-depends on every evaluated lane)
-                    return jnp.broadcast_to(
-                        jnp.sum(vals, axis=0, keepdims=True), (128, 128))
-                if not use_dot:
-                    # identity layer: slot index IS the output row
-                    return vals
-                if dot3:
-                    # candidate scatter (opt-in, on-chip-gated): split
-                    # ONLY the values into three exact bf16 pieces
-                    # (v == v1 + v2 + v3 bitwise for normal f32) and use
-                    # an exactly-representable bf16 one-hot -- every MXU
-                    # product is then exact and only the f32 accumulation
-                    # order differs (<= ~1e-7 rel for <=128-term sums).
-                    # 3 one-pass bf16 dots vs HIGHEST's 6 passes.  NOT
-                    # the failed round-3 variants: HIGH truncates cross
-                    # terms of BOTH operands (7.8e-6 measured), and a
-                    # bf16 x f32 mixed dot downcasts the f32 side
-                    # (8.8e-4 measured).  Gated until the oracle-anchored
-                    # on-chip row (r4_stack_dot3_*) proves parity.
-                    oh = (icol(1) == lane).astype(jnp.bfloat16)
-                    v1 = vals.astype(jnp.bfloat16)
-                    r1 = vals - v1.astype(jnp.float32)
-                    v2 = r1.astype(jnp.bfloat16)
-                    v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
-                    dims = (((0,), (0,)), ((), ()))
-                    out = jax.lax.dot_general(
-                        oh, v1, dims, preferred_element_type=jnp.float32)
-                    out += jax.lax.dot_general(
-                        oh, v2, dims, preferred_element_type=jnp.float32)
-                    out += jax.lax.dot_general(
-                        oh, v3, dims, preferred_element_type=jnp.float32)
-                    return out
-                onehot = (icol(1) == lane).astype(jnp.float32)
-                return jax.lax.dot_general(
-                    onehot, vals, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-
-            # STATIC unrolled walk over this step's SC chunks: identity
-            # layers first (direct row-aligned adds), then the one-hot
-            # spill strips.  The per-chunk layer/spill counts ride whole
-            # in SMEM, pl.when skips empty layers/strips, and padding
-            # slots are exact zeros (amp 0, empty [0,0) mask) so a
-            # predicated-in padding strip contributes nothing.
+            strip = _strip_builder(meta, tab_ref, probe, dot3)
             for sc in range(SC):
                 row = pl.program_id(0) * SC + sc
-                lay = cnt_ref[row, 0]
-                spc = cnt_ref[row, 1]
-                for l in range(meta['n_ident']):
-                    @pl.when(l < lay)
-                    def _(l=l, sc=sc):
-                        out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
-                            l * 128, 128, sc, False)
-                KSsp = meta['KSsp']
-                for j in range(meta['k_sp'] // KSsp if KSsp else 0):
-                    @pl.when(j * KSsp < spc)
-                    def _(j=j, sc=sc, KSsp=KSsp):
-                        out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
-                            meta['n_ident'] * 128 + j * KSsp, KSsp, sc,
-                            True)
+                _emit_chunk(meta, strip, out_ref, sc,
+                            cnt_ref[row, 0], cnt_ref[row, 1])
 
     in_specs = []
     flat_ops = []
