@@ -1,0 +1,129 @@
+"""Stacked-table sequence playback: one launch must equal per-schedule
+stack synthesis and the numpy oracle for every shot."""
+
+import numpy as np
+import pytest
+
+from waveforms_tpu import cosPulse, gaussian, square, zero
+from waveforms_tpu.core import WaveVStack
+from waveforms_tpu.ops.lowering import UnsupportedFactor, lower_schedule
+from waveforms_tpu.ops.stack_seq import StackSequencer
+
+FS = 2e9
+STOP = 8.192e-6
+
+
+def _table(n_schedules=3, n_pulses=40, seed=11):
+    """n_schedules single-channel vstack schedules from one pulse family."""
+    rng = np.random.default_rng(seed)
+    lows, chans = [], []
+    for _ in range(n_schedules):
+        wl = [(float(a) * cosPulse(50e-9) >> o)
+              for a, o in zip(rng.uniform(0.2, 1.0, n_pulses),
+                              rng.uniform(0, STOP - 1e-7, n_pulses))]
+        ch = WaveVStack(wl)
+        chans.append(ch)
+        lows.append(lower_schedule([ch], 0, STOP, FS))
+    return lows, chans
+
+
+def _oracle(ch):
+    t = np.arange(0, STOP, 1 / FS)
+    return np.asarray(ch(t), float)
+
+
+def test_play_packed_matches_oracle_per_shot():
+    lows, chans = _table()
+    seq = StackSequencer(lows)
+    ks = [2, 0, 1, 1, 0]
+    out = np.asarray(seq.play_packed(ks))
+    assert out.shape == (len(ks), 1, lows[0].n_samples)
+    for i, k in enumerate(ks):
+        want = _oracle(chans[k])
+        scale = max(np.abs(want).max(), 1e-30)
+        assert np.abs(out[i, 0] - want).max() / scale < 2e-6, f"shot {i}"
+
+
+def test_play_single_and_clamping():
+    lows, chans = _table(n_schedules=2, n_pulses=25, seed=3)
+    seq = StackSequencer(lows)
+    one = np.asarray(seq.play(1))
+    want = _oracle(chans[1])
+    assert np.abs(one[0] - want).max() / np.abs(want).max() < 2e-6
+    # out-of-range indices clamp to the table edges like Sequencer.play
+    hi = np.asarray(seq.play_packed([99]))[0]
+    assert np.allclose(hi, np.asarray(seq.play(1)))
+
+
+def test_traced_shot_indices_inside_jit():
+    import jax
+    import jax.numpy as jnp
+    lows, chans = _table(n_schedules=2, n_pulses=20, seed=7)
+    seq = StackSequencer(lows)
+
+    @jax.jit
+    def run(ks):
+        return seq.play_packed(ks)
+
+    out = np.asarray(run(jnp.asarray([1, 0], jnp.int32)))
+    for i, k in enumerate([1, 0]):
+        want = _oracle(chans[k])
+        assert np.abs(out[i, 0] - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_mixed_family_unions_group_sets():
+    """Schedules with DIFFERENT factor structures stack via the group-set
+    union: the missing group's slice is all padding (zero counts)."""
+    rng = np.random.default_rng(5)
+    a = WaveVStack([0.5 * cosPulse(50e-9) >> o
+                    for o in rng.uniform(0, 7e-6, 10)])
+    b = WaveVStack([0.5 * gaussian(50e-9) >> o
+                    for o in rng.uniform(0, 7e-6, 10)])
+    seq = StackSequencer([lower_schedule([a], 0, STOP, FS),
+                          lower_schedule([b], 0, STOP, FS)])
+    out = np.asarray(seq.play_packed([1, 0]))
+    for i, ch in enumerate([b, a]):
+        want = _oracle(ch)
+        assert np.abs(out[i, 0] - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_wide_residual_rejected():
+    rng = np.random.default_rng(9)
+    narrow = WaveVStack([0.5 * cosPulse(50e-9) >> o
+                         for o in rng.uniform(0, 7e-6, 10)])
+    wide = zero()
+    wide += 0.3 * square(6e-6) >> 4e-6     # a long plateau stays wide
+    wide += 0.5 * cosPulse(50e-9) >> 1e-6
+    lows = [lower_schedule([narrow], 0, STOP, FS),
+            lower_schedule([wide], 0, STOP, FS)]
+    with pytest.raises(UnsupportedFactor, match="wide"):
+        StackSequencer(lows)
+
+
+def test_transposed_tables_mode(monkeypatch):
+    monkeypatch.setenv('WFTPU_STACK_TABLE_T', '1')
+    lows, chans = _table(n_schedules=2, n_pulses=30, seed=13)
+    seq = StackSequencer(lows)
+    out = np.asarray(seq.play_packed([0, 1]))
+    for i, k in enumerate([0, 1]):
+        want = _oracle(chans[k])
+        assert np.abs(out[i, 0] - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_multichannel_table():
+    rng = np.random.default_rng(17)
+    lows, chans = [], []
+    for _ in range(2):
+        per = [WaveVStack([0.5 * cosPulse(50e-9) >> o
+                           for o in rng.uniform(0, 7e-6, 15)])
+               for _ in range(3)]
+        chans.append(per)
+        lows.append(lower_schedule(per, 0, STOP, FS))
+    seq = StackSequencer(lows)
+    out = np.asarray(seq.play_packed([1, 0]))
+    assert out.shape == (2, 3, lows[0].n_samples)
+    for i, k in enumerate([1, 0]):
+        for c in range(3):
+            want = _oracle(chans[k][c])
+            scale = max(np.abs(want).max(), 1e-30)
+            assert np.abs(out[i, c] - want).max() / scale < 2e-6

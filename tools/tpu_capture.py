@@ -997,6 +997,55 @@ def task_seq_packed(n_shots=100, Rs=8, out16=False):
             "parity_ok": bool(diff < (1.0 if out16 else 1e-6))}
 
 
+def task_seq_stack(n_shots=100, n_sched=16, n_pulses=30):
+    """Stacked-table (stack-path) sequence playback on silicon: K
+    narrow-pulse schedules' packed stack tables ride device-resident,
+    shots select table slices via scalar-prefetch index maps, the whole
+    sequence is ONE launch.  Parity vs the oracle per distinct schedule;
+    per-shot cost compares against play_packed's ~1.75 us/shot floor
+    (r4_seq_packed) -- the stack path touches only live pulse blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu import cosPulse
+    from waveforms_tpu.core import WaveVStack
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.stack_seq import StackSequencer
+
+    fs = 2e9
+    stop = 5.12e-6                       # 10240 samples, readme-demo size
+    rng = np.random.default_rng(99)
+    chans_k, lows = [], []
+    for _ in range(n_sched):
+        wl = [(float(a) * cosPulse(50e-9) >> o)
+              for a, o in zip(rng.uniform(0.2, 1.0, n_pulses),
+                              rng.uniform(0, stop - 1e-7, n_pulses))]
+        ch = WaveVStack(wl)
+        chans_k.append(ch)
+        lows.append(lower_schedule([ch], 0, stop, fs))
+    from waveforms_tpu.utils.profiling import measure_device
+    seq = StackSequencer(lows)
+    ks = jnp.asarray(np.arange(n_shots) % n_sched, jnp.int32)
+    out = seq.play_packed(ks)
+    jax.block_until_ready(out)
+    t = np.arange(0, stop, 1 / fs)
+    worst = 0.0
+    for k in range(min(n_sched, 4)):
+        want = np.asarray(chans_k[k](t), float)
+        scale = max(np.abs(want).max(), 1e-30)
+        worst = max(worst, float(
+            np.abs(np.asarray(out[k, 0]) - want).max() / scale))
+    med = measure_device(lambda: seq.play_packed(ks),
+                         'jit__stack_seq_call')
+    n = n_shots * lows[0].n_samples
+    return {"n_shots": n_shots, "n_sched": n_sched,
+            "device_ms": round(med * 1e3, 3),
+            "per_shot_us": round(med / n_shots * 1e6, 3),
+            "gsps": round(n / med / 1e9, 3),
+            "max_rel_err": worst, "parity_ok": bool(worst < 1e-5),
+            "table": seq.describe()}
+
+
 def task_seq_replay(n_shots=1000):
     """Waveform-memory replay ON SILICON: the table synthesizes once into
     a device palette; each shot is a palette row gather.  Per-shot device
@@ -1924,6 +1973,10 @@ def pending_tasks(state):
                   lambda: task_stack_fetch_ab('vstack_1000x200k')))
     tasks.append(("r4_stack_fetch_ab_overlap",
                   lambda: task_stack_fetch_ab('overlap100_drag_2200')))
+    # stacked-table sequence playback (stack_seq.StackSequencer): the
+    # narrow-pulse analog of play_packed, oracle-anchored
+    tasks.append(("r4_seq_stack_100", lambda: task_seq_stack(100)))
+    tasks.append(("r4_seq_stack_1000", lambda: task_seq_stack(1000)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -8,6 +8,7 @@ from .lowering import (LoweredSchedule, UnsupportedFactor, lower_schedule)
 from .pallas_synth import (DeviceSchedule, synthesize, synthesize_device,
                            synthesize_lowered)
 from .sequencer import Sequencer
+from .stack_seq import StackSequencer
 from .sparse_synth import (SparsePlan, build_sparse_plan,
                            synthesize_sparse, synthesize_sparse_sharded)
 from .stack_synth import StackPlan, build_stack_plan, synthesize_stack
@@ -19,6 +20,7 @@ __all__ = [
     'LoweredSchedule', 'UnsupportedFactor', 'lower_schedule',
     'DeviceSchedule', 'synthesize', 'synthesize_device',
     'synthesize_lowered', 'synthesize_stream', 'Sequencer',
+    'StackSequencer',
     'SparsePlan', 'build_sparse_plan', 'synthesize_sparse',
     'synthesize_sparse_sharded',
     'StackPlan', 'build_stack_plan', 'synthesize_stack',

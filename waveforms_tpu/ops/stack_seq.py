@@ -1,0 +1,315 @@
+"""Stacked-table sequence playback: AWG waveform memory on the STACK path.
+
+:class:`~waveforms_tpu.ops.sequencer.Sequencer` plays shot sequences
+through the dense/panel kernels, whose per-shot cost is bounded below by
+full-subtile factor evaluation over every union-live subtile
+(``play_packed`` measured 1.75 us/shot on the dev v5e).  Schedules made of
+MANY NARROW pulses -- randomized-benchmarking tables, sparse gate trains --
+evaluate far fewer samples on the pulse-instance stack path
+(:mod:`waveforms_tpu.ops.stack_synth`), so this module stacks the K
+schedules' packed stack-kernel tables along a leading schedule axis, keeps
+them device-resident (the upload IS the waveform memory), and plays a whole
+shot sequence in ONE Pallas launch:
+
+* the grid is ``(n_shots * n_super,)`` -- each step renders one superchunk
+  of one shot's output;
+* the shot-index vector rides as a SCALAR-PREFETCH operand, and each
+  table's BlockSpec index map selects schedule ``ks[shot]``'s slice for the
+  step, so Mosaic's pipeline streams exactly the chosen schedule's blocks
+  from HBM -- no gathered copies of the tables are ever materialized, and
+  ``ks`` may be traced (measurement-dependent feedback);
+* per-chunk identity-layer/spill counts ride whole in SMEM, indexed by the
+  same prefetched schedule id inside the kernel.
+
+Per-shot device cost is therefore the shot's OWN stack-kernel cost (live
+pulse blocks only), not the union footprint, and below ``play_packed``'s
+per-item floor for narrow-pulse tables.
+
+Reference parity note: the reference (feihoo87/waveforms) has no sequencer;
+like ops/sequencer.py this is new TPU-native surface (SURVEY.md section
+2.4 -- the AWG upload/trigger model made a device program).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .lowering import (PALLAS_SMEM_BUDGET, LoweredSchedule,
+                       UnsupportedFactor)
+from .stack_synth import (KERNEL_MAX_HBM, KERNEL_MAX_VMEM, GroupData,
+                          StackPlan, _group_table, _kernel_runner_viable,
+                          _emit_chunk, _strip_builder, build_stack_plan)
+
+__all__ = ['StackSequencer']
+
+
+def _group_key(g) -> tuple:
+    return (g.ops, g.powers, g.term_nfac)
+
+
+def _empty_group(key: tuple, W: int) -> GroupData:
+    """A zero-instance group for schedules missing a union key.
+
+    One all-zero dummy instance keeps the packed-table gathers shaped
+    (``src`` is -1 everywhere, so the dummy row is never selected and
+    every count is zero -- the slice is pure padding)."""
+    ops, powers, term_nfac = key
+    TF, NT = len(ops), len(term_nfac)
+    z = np.zeros(1, np.int64)
+    return GroupData(ops=ops, powers=powers, term_nfac=term_nfac,
+                     n_blocks=0, amp=np.zeros((1, NT), np.float32),
+                     lo=z, hi=z, row0=z, chan=z,
+                     shift=np.zeros((1, TF), np.int32),
+                     q32=np.zeros((1, TF, 4), np.int32),
+                     args=np.zeros((1, TF, W), np.float32))
+
+
+class StackSequencer:
+    """K narrow-pulse schedules stacked into device-resident stack tables.
+
+    All schedules must share channel count, sample count, sample rate and
+    single-bucket layout, must lower real (no pair mode), must have NO
+    wide residual (every instance narrow, no finite clip rails -- the
+    packed launch has nowhere to run a dense residual), and must share
+    the same factor-structure group set (tables built from one pulse
+    family do).  Raises :class:`UnsupportedFactor` otherwise.
+
+    ``plans`` may be passed pre-built (e.g. reused from single-schedule
+    synthesis); otherwise they are built here.
+    """
+
+    def __init__(self, lows: list[LoweredSchedule],
+                 plans: list[StackPlan] | None = None):
+        import jax.numpy as jnp
+
+        if not lows:
+            raise ValueError("empty sequence table")
+        first = lows[0]
+        for low in lows:
+            if (low.shape[0], low.n_samples, low.sample_rate,
+                    low.shape[1]) != (first.shape[0], first.n_samples,
+                                      first.sample_rate, first.shape[1]):
+                raise ValueError(
+                    "sequence schedules must share channels, samples and "
+                    "sample rate")
+            if low.shape[1] != 1:
+                raise UnsupportedFactor(
+                    "stacked-table play is single-bucket")
+        if plans is None:
+            plans = [build_stack_plan(low) for low in lows]
+        for k, plan in enumerate(plans):
+            if plan is None:
+                raise UnsupportedFactor(
+                    f"schedule {k} has no batchable pulse instances "
+                    "(complex, clipped, or empty) -- use Sequencer")
+            if plan.wide is not None:
+                raise UnsupportedFactor(
+                    f"schedule {k} has wide instances (plateaus/carriers) "
+                    "-- the stacked-table launch is narrow-pulse only; "
+                    "use Sequencer.play_packed")
+            if not _kernel_runner_viable(plan):
+                raise UnsupportedFactor(
+                    f"schedule {k}'s plan is outside the fused-kernel "
+                    "limits (groups/ext)")
+        # UNION the factor-structure group sets: overlap patterns merge
+        # same-support terms into multi-term instances, so two schedules
+        # from one pulse family can still disagree on group keys (an
+        # overlapping pair becomes a (const, cos, const, cos) instance
+        # only where overlaps happen).  Schedules missing a group carry
+        # an all-padding slice of the stacked tensor: zero counts, so
+        # its strips predicate away at run time.
+        key_union = sorted({_group_key(g) for p in plans for g in p.groups})
+        group_of = [{_group_key(g): g for g in p.groups} for p in plans]
+
+        self.n_schedules = K = len(lows)
+        self.n_channels = C = first.shape[0]
+        self.n_samples = first.n_samples
+        self.sample_rate = first.sample_rate
+        n_rows = plans[0].n_rows
+        total_rows = C * n_rows
+        n_chunks = -(-total_rows // 128)
+        self._n_rows = n_rows
+        self._total_rows = total_rows
+
+        SC = min(4, n_chunks)
+        self._SC = SC
+        self.n_super = -(-n_chunks // SC)
+        n_chunks_pad = self.n_super * SC
+        self._n_chunks_pad = n_chunks_pad
+        # counts for ALL schedules ride one SMEM block
+        if K * n_chunks_pad * 2 * 4 > PALLAS_SMEM_BUDGET:
+            raise UnsupportedFactor(
+                f"stacked count table ({K} schedules x {n_chunks_pad} "
+                "chunks) exceeds the kernel SMEM budget -- fewer/"
+                "smaller schedules per table")
+
+        n_ident = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2'))
+        table_t = os.environ.get('WFTPU_STACK_TABLE_T', '0') == '1'
+        W = next(g.args.shape[-1] for p in plans for g in p.groups)
+
+        # pass 1: per-(schedule, group) spill widths -> table-wide k_sp
+        # so every schedule's table stacks into one tensor
+        from .stack_synth import _chunk_assign_hybrid
+        k_sp_max = {key: 0 for key in key_union}
+        for plan in plans:
+            for g in plan.groups:
+                *_, k_sp = _chunk_assign_hybrid(g, n_rows, n_chunks,
+                                                n_ident)
+                key = _group_key(g)
+                k_sp_max[key] = max(k_sp_max[key], k_sp)
+
+        # pass 2: build + stack.  Every int/float field is packed into
+        # ONE f32 table per (schedule, group); padding chunks/slots are
+        # exact zeros, so the padded launch adds nothing.
+        self._metas = []
+        self._operands = []     # [cnts (K*n_chunks_pad, 2), tab] per group
+        vmem = 2 * SC * 2 * 128 * 128 * 4
+        hbm = 0
+        pad_c = n_chunks_pad - n_chunks
+        for key in key_union:
+            tabs, cnts_all = [], []
+            meta = None
+            for k, plan in enumerate(plans):
+                g = group_of[k].get(key)
+                if g is None:
+                    g = _empty_group(key, W)
+                meta, tab, cnts = _group_table(
+                    g, n_rows, n_chunks, self._ext_of(lows[k]),
+                    n_ident, table_t, k_sp_force=k_sp_max[key])
+                tab = np.pad(tab, ((0, pad_c), (0, 0), (0, 0)))
+                if table_t:
+                    tab = np.ascontiguousarray(tab.transpose(0, 2, 1))
+                tabs.append(tab.reshape(
+                    (self.n_super, SC, meta['PW'], meta['k_max'])
+                    if table_t
+                    else (self.n_super, SC, meta['k_max'], meta['PW'])))
+                cnts_all.append(np.pad(cnts, ((0, pad_c), (0, 0))))
+            self._metas.append(meta)
+            vmem += 2 * 4 * SC * meta['k_max'] * meta['PW']
+            # (K, n_super, ...) flattened to (K * n_super, ...): table
+            # blocks stay 4-dim so the shared strip evaluator's indexing
+            # matches the single-schedule runner's exactly
+            stacked_tab = np.concatenate(tabs)
+            stacked_cnt = np.concatenate(cnts_all)     # (K*n_chunks_pad, 2)
+            hbm += stacked_tab.nbytes + stacked_cnt.nbytes
+            self._operands.append([jnp.asarray(stacked_cnt),
+                                   jnp.asarray(stacked_tab)])
+        if vmem > KERNEL_MAX_VMEM:
+            raise UnsupportedFactor(
+                "stacked group tables exceed the kernel VMEM budget")
+        if hbm > KERNEL_MAX_HBM:
+            raise UnsupportedFactor(
+                f"stacked tables ({hbm >> 20} MiB) exceed the device "
+                "table budget -- fewer/smaller schedules per table")
+        self._calls = {}
+
+    @staticmethod
+    def _ext_of(low: LoweredSchedule) -> np.ndarray:
+        return np.asarray(low.ext if low.ext is not None and low.ext.size
+                          else np.zeros(1), np.float64)
+
+    def describe(self) -> str:
+        """One-line table summary (debugging / logging aid)."""
+        bytes_ = sum(int(t.nbytes) for _, t in self._operands)
+        return (f"{self.n_schedules} schedules x {self.n_channels} ch x "
+                f"{self.n_samples} samples, {len(self._metas)} group(s), "
+                f"{self.n_super * self._SC} chunks/shot, "
+                f"{bytes_ >> 10} KiB device tables")
+
+    def _build_call(self, n_shots: int, interpret: bool):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        SC, n_super = self._SC, self.n_super
+        n_chunks_pad = self._n_chunks_pad
+        metas = self._metas
+
+        def kernel(ks_ref, *refs):
+            out_ref = refs[-1]
+            out_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
+            i = pl.program_id(0)
+            sched = ks_ref[i // n_super]
+            r = 0
+            for meta in metas:
+                cnt_ref, tab_ref = refs[r:r + 2]
+                r += 2
+                strip = _strip_builder(meta, tab_ref, None, False)
+                for sc in range(SC):
+                    row = sched * n_chunks_pad + (i % n_super) * SC + sc
+                    _emit_chunk(meta, strip, out_ref, sc,
+                                cnt_ref[row, 0], cnt_ref[row, 1])
+
+        in_specs = []
+        for meta, (cnts, tab) in zip(metas, self._operands):
+            in_specs.append(pl.BlockSpec(
+                cnts.shape, lambda i, ks: (0, 0),
+                memory_space=pltpu.SMEM))
+            # the index map picks schedule ks[shot]'s superchunk slice
+            # of the (K * n_super, SC, ...) stacked table: Mosaic
+            # prefetches exactly the selected blocks from HBM
+            in_specs.append(pl.BlockSpec(
+                (1,) + tab.shape[1:],
+                lambda i, ks, n_super=n_super: (
+                    ks[i // n_super] * n_super + i % n_super, 0, 0, 0),
+                memory_space=pltpu.VMEM))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_shots * n_super,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, SC * 128, 128),
+                                   lambda i, ks: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_shots * n_super, SC * 128, 128), jnp.float32),
+            interpret=interpret,
+        )
+
+        # the pallas program jits ALONE (device span 'jit__stack_seq_call'
+        # is the launch cost); reshape/slice run as eager device ops
+        @jax.jit
+        def _stack_seq_call(ks, *ops):
+            return call(ks, *ops)
+
+        return _stack_seq_call
+
+    def play_packed(self, ks, interpret: bool | None = None):
+        """Synthesize the shot sequence ``ks`` in ONE kernel launch
+        -> (len(ks), C, N) f32.
+
+        ``ks`` may be a traced int32 vector (measurement-dependent);
+        out-of-range indices clamp to the table edges.  The kernel
+        compiles once per shot COUNT (cached); per-shot device cost is
+        the shot's own live pulse blocks.  Memory: the result is
+        (n_shots, C, N) f32 -- size shot batches accordingly."""
+        import jax
+        import jax.numpy as jnp
+
+        if interpret is None:
+            interpret = jax.default_backend() != 'tpu'
+        ks = jnp.asarray(ks, jnp.int32)
+        n_shots = int(ks.shape[0])
+        key = (n_shots, interpret)
+        call = self._calls.get(key)
+        if call is None:
+            call = self._build_call(n_shots, interpret)
+            self._calls[key] = call
+        flat = [a for ops in self._operands for a in ops]
+        out = call(jnp.clip(ks, 0, self.n_schedules - 1), *flat)
+        out = out.reshape(n_shots, -1, 128)[:, :self._total_rows]
+        out = out.reshape(n_shots, self.n_channels, self._n_rows * 128)
+        return out[..., :self.n_samples]
+
+    def play(self, k, interpret: bool | None = None):
+        """Synthesize schedule ``k`` -> (C, N) f32 (a 1-shot launch)."""
+        import jax.numpy as jnp
+        return self.play_packed(jnp.asarray([k], jnp.int32),
+                                interpret=interpret)[0]

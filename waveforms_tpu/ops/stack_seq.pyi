@@ -1,0 +1,24 @@
+"""Stubs for stacked-table (stack-path) sequence playback."""
+
+from typing import Sequence
+
+import jax
+
+from .lowering import LoweredSchedule
+from .stack_synth import StackPlan
+
+
+class StackSequencer:
+    n_schedules: int
+    n_channels: int
+    n_samples: int
+    sample_rate: float
+    n_super: int
+
+    def __init__(self, lows: list[LoweredSchedule],
+                 plans: list[StackPlan] | None = ...) -> None: ...
+    def describe(self) -> str: ...
+    def play(self, k: int | jax.Array,
+             interpret: bool | None = ...) -> jax.Array: ...
+    def play_packed(self, ks: Sequence[int] | jax.Array,
+                    interpret: bool | None = ...) -> jax.Array: ...
