@@ -149,15 +149,24 @@ class StackSequencer:
         table_t = os.environ.get('WFTPU_STACK_TABLE_T', '0') == '1'
         W = next(g.args.shape[-1] for p in plans for g in p.groups)
 
-        # pass 1: per-(schedule, group) spill widths -> table-wide k_sp
-        # so every schedule's table stacks into one tensor
+        # pass 1: table-wide identity-layer depth and spill width per
+        # group key, so every schedule's table stacks into one tensor
+        # (layers trim to the max OBSERVED collision depth -- see
+        # _group_table -- and spills pad to the max width)
         from .stack_synth import _chunk_assign_hybrid
+        eff_max = {key: 1 if n_ident else 0 for key in key_union}
+        for plan in plans:
+            for g in plan.groups:
+                *_, lay_cnt, _sp, _k = _chunk_assign_hybrid(
+                    g, n_rows, n_chunks, n_ident)
+                key = _group_key(g)
+                eff_max[key] = max(eff_max[key], int(lay_cnt.max()))
         k_sp_max = {key: 0 for key in key_union}
         for plan in plans:
             for g in plan.groups:
-                *_, k_sp = _chunk_assign_hybrid(g, n_rows, n_chunks,
-                                                n_ident)
                 key = _group_key(g)
+                *_, k_sp = _chunk_assign_hybrid(g, n_rows, n_chunks,
+                                                eff_max[key])
                 k_sp_max[key] = max(k_sp_max[key], k_sp)
 
         # pass 2: build + stack.  Every int/float field is packed into
@@ -177,7 +186,8 @@ class StackSequencer:
                     g = _empty_group(key, W)
                 meta, tab, cnts = _group_table(
                     g, n_rows, n_chunks, self._ext_of(lows[k]),
-                    n_ident, table_t, k_sp_force=k_sp_max[key])
+                    n_ident, table_t, k_sp_force=k_sp_max[key],
+                    n_ident_force=eff_max[key])
                 tab = np.pad(tab, ((0, pad_c), (0, 0), (0, 0)))
                 if table_t:
                     tab = np.ascontiguousarray(tab.transpose(0, 2, 1))

@@ -532,20 +532,39 @@ def _pad128(x: int) -> int:
 
 def _group_table(g: GroupData, n_rows: int, n_chunks: int,
                  ext_np: np.ndarray, n_ident: int, table_t: bool,
-                 k_sp_force: int | None = None):
+                 k_sp_force: int | None = None,
+                 n_ident_force: int | None = None):
     """Build one group's packed per-chunk slot table (host arrays).
 
     Returns ``(meta, tab, cnts)``: the static kernel parameters, the
     (n_chunks, k_max, PW) f32 packed table (row-major -- the caller
     transposes for the TABLE_T layout), and (n_chunks, 2) int32
     identity-layer / spill counts.  ``k_sp_force`` pads the spill strip
-    region to a table-wide width so tables from different schedules
-    stack into one tensor (see stack_seq.StackSequencer)."""
+    region to a table-wide width and ``n_ident_force`` pins the
+    identity-layer count so tables from different schedules stack into
+    one tensor (see stack_seq.StackSequencer)."""
     TF = len(g.ops)
     NT = len(g.term_nfac)
     W = g.args.shape[-1]
-    src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
-        g, n_rows, n_chunks, n_ident)
+    if n_ident_force is not None:
+        n_ident = n_ident_force
+        src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
+            g, n_rows, n_chunks, n_ident)
+    else:
+        src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
+            g, n_rows, n_chunks, n_ident)
+        # TRIM empty identity layers: layer l's 128 slots exist for
+        # every chunk, so an all-empty trailing layer is pure table
+        # bytes (the fetch-dominated cost).  Re-placing with the
+        # observed max depth moves nothing to the spills (no block sits
+        # deeper than the max) -- the table just shrinks.
+        eff = int(lay_cnt.max()) if lay_cnt.size else 0
+        if n_ident > 0:
+            eff = max(eff, 1)       # keep k_max > 0 for empty groups
+        if eff < n_ident:
+            n_ident = eff
+            src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
+                g, n_rows, n_chunks, n_ident)
     if k_sp_force is not None and k_sp_force < k_sp:
         raise ValueError("k_sp_force below this schedule's spill width")
     k_sp_pad = k_sp if k_sp_force is None else k_sp_force
