@@ -127,3 +127,16 @@ def test_multichannel_table():
             want = _oracle(chans[k][c])
             scale = max(np.abs(want).max(), 1e-30)
             assert np.abs(out[i, c] - want).max() / scale < 2e-6
+
+
+def test_play_packed_int16_codes():
+    import jax.numpy as jnp
+    lows, chans = _table(n_schedules=2, n_pulses=20, seed=23)
+    seq = StackSequencer(lows)
+    f32 = np.asarray(seq.play_packed([0, 1]))
+    codes = np.asarray(seq.play_packed([0, 1], out_dtype=jnp.int16,
+                                       dac_scale=1000.0))
+    assert codes.dtype == np.int16
+    want = np.clip(np.round(f32.astype(np.float64) * 1000.0),
+                   -32768, 32767)
+    assert np.abs(codes - want).max() <= 1

@@ -224,3 +224,35 @@ def test_kernel_runner_transposed_tables(layers, monkeypatch):
     assert np.abs(got - base).max() / scale < 1e-6
     t, want = _oracle([WaveVStack(wl).simplify()], 0, 8.192e-6)
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_int16_dac_codes_in_kernel_and_epilogue():
+    """out_dtype=int16 must match quantizing the f32 output, both for
+    pure-narrow plans (in-kernel quantize) and for plans with a wide
+    residual (epilogue quantize after the sum)."""
+    import jax.numpy as jnp
+    from waveforms_tpu.ops.stack_synth import synthesize_stack
+    rng = np.random.default_rng(47)
+    wl = [(0.5 * cosPulse(50e-9) >> o) for o in rng.uniform(0, 7e-6, 80)]
+    low = lower_schedule([WaveVStack(wl)], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    assert plan.wide is None
+    f32 = np.asarray(synthesize_stack(low, plan))
+    codes = np.asarray(synthesize_stack(low, plan, out_dtype=jnp.int16))
+    assert codes.dtype == np.int16
+    want = np.clip(np.round(f32.astype(np.float64) * 32767.0),
+                   -32768, 32767)
+    assert np.abs(codes - want).max() <= 1
+
+    # wide residual: add a long plateau so part of the schedule stays on
+    # the kernels; codes quantize once, after the sum
+    mixed = WaveVStack(wl + [0.25 * square(6e-6) >> 4e-6])
+    low2 = lower_schedule([mixed], 0, 8.192e-6, FS)
+    plan2 = build_stack_plan(low2)
+    assert plan2.wide is not None
+    f32b = np.asarray(synthesize_stack(low2, plan2))
+    codes2 = np.asarray(synthesize_stack(low2, plan2,
+                                         out_dtype=jnp.int16))
+    want2 = np.clip(np.round(f32b.astype(np.float64) * 32767.0),
+                    -32768, 32767)
+    assert np.abs(codes2 - want2).max() <= 1

@@ -228,7 +228,8 @@ class StackSequencer:
                 f"{self.n_super * self._SC} chunks/shot, "
                 f"{bytes_ >> 10} KiB device tables")
 
-    def _build_call(self, n_shots: int, interpret: bool):
+    def _build_call(self, n_shots: int, interpret: bool, out_dtype,
+                    dac_scale: float):
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
@@ -237,10 +238,20 @@ class StackSequencer:
         SC, n_super = self._SC, self.n_super
         n_chunks_pad = self._n_chunks_pad
         metas = self._metas
+        # int16 DAC codes quantize in-kernel from an f32 scratch (one
+        # full-block store -- dynamic int16 sub-stores crash Mosaic),
+        # halving the (n_shots, C, N) result stream
+        quant = out_dtype is not None and out_dtype != jnp.float32
+        if quant and np.ndim(dac_scale) != 0:
+            raise NotImplementedError(
+                "stacked-table int16 supports a scalar dac_scale")
 
         def kernel(ks_ref, *refs):
-            out_ref = refs[-1]
-            out_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
+            if quant:
+                out_ref, acc_ref = refs[-2], refs[-1]
+            else:
+                out_ref = acc_ref = refs[-1]
+            acc_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
             i = pl.program_id(0)
             sched = ks_ref[i // n_super]
             r = 0
@@ -250,8 +261,14 @@ class StackSequencer:
                 strip = _strip_builder(meta, tab_ref, None, False)
                 for sc in range(SC):
                     row = sched * n_chunks_pad + (i % n_super) * SC + sc
-                    _emit_chunk(meta, strip, out_ref, sc,
+                    _emit_chunk(meta, strip, acc_ref, sc,
                                 cnt_ref[row, 0], cnt_ref[row, 1])
+            if quant:
+                scaled = acc_ref[0] * np.float32(dac_scale)
+                if out_dtype == jnp.int16:
+                    scaled = jnp.clip(jnp.round(scaled),
+                                      -32768.0, 32767.0)
+                out_ref[0] = scaled.astype(out_dtype)
 
         in_specs = []
         for meta, (cnts, tab) in zip(metas, self._operands):
@@ -274,12 +291,15 @@ class StackSequencer:
             out_specs=pl.BlockSpec((1, SC * 128, 128),
                                    lambda i, ks: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=([pltpu.VMEM((1, SC * 128, 128), jnp.float32)]
+                            if quant else []),
         )
         call = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (n_shots * n_super, SC * 128, 128), jnp.float32),
+                (n_shots * n_super, SC * 128, 128),
+                out_dtype if quant else jnp.float32),
             interpret=interpret,
         )
 
@@ -291,15 +311,18 @@ class StackSequencer:
 
         return _stack_seq_call
 
-    def play_packed(self, ks, interpret: bool | None = None):
+    def play_packed(self, ks, interpret: bool | None = None,
+                    out_dtype=None, dac_scale: float = 32767.0):
         """Synthesize the shot sequence ``ks`` in ONE kernel launch
-        -> (len(ks), C, N) f32.
+        -> (len(ks), C, N).
 
         ``ks`` may be a traced int32 vector (measurement-dependent);
         out-of-range indices clamp to the table edges.  The kernel
         compiles once per shot COUNT (cached); per-shot device cost is
-        the shot's own live pulse blocks.  Memory: the result is
-        (n_shots, C, N) f32 -- size shot batches accordingly."""
+        the shot's own live pulse blocks.  ``out_dtype=jnp.int16`` emits
+        exact DAC codes scaled by the scalar ``dac_scale`` and halves
+        the result bytes.  Memory: the result is (n_shots, C, N) --
+        size shot batches accordingly."""
         import jax
         import jax.numpy as jnp
 
@@ -307,10 +330,12 @@ class StackSequencer:
             interpret = jax.default_backend() != 'tpu'
         ks = jnp.asarray(ks, jnp.int32)
         n_shots = int(ks.shape[0])
-        key = (n_shots, interpret)
+        key = (n_shots, interpret,
+               str(jnp.dtype(out_dtype or jnp.float32)), float(dac_scale))
         call = self._calls.get(key)
         if call is None:
-            call = self._build_call(n_shots, interpret)
+            call = self._build_call(n_shots, interpret, out_dtype,
+                                    dac_scale)
             self._calls[key] = call
         flat = [a for ops in self._operands for a in ops]
         out = call(jnp.clip(ks, 0, self.n_schedules - 1), *flat)
@@ -318,8 +343,10 @@ class StackSequencer:
         out = out.reshape(n_shots, self.n_channels, self._n_rows * 128)
         return out[..., :self.n_samples]
 
-    def play(self, k, interpret: bool | None = None):
-        """Synthesize schedule ``k`` -> (C, N) f32 (a 1-shot launch)."""
+    def play(self, k, interpret: bool | None = None, out_dtype=None,
+             dac_scale: float = 32767.0):
+        """Synthesize schedule ``k`` -> (C, N) (a 1-shot launch)."""
         import jax.numpy as jnp
         return self.play_packed(jnp.asarray([k], jnp.int32),
-                                interpret=interpret)[0]
+                                interpret=interpret, out_dtype=out_dtype,
+                                dac_scale=dac_scale)[0]

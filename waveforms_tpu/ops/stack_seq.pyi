@@ -1,6 +1,6 @@
 """Stubs for stacked-table (stack-path) sequence playback."""
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 
@@ -19,6 +19,8 @@ class StackSequencer:
                  plans: list[StackPlan] | None = ...) -> None: ...
     def describe(self) -> str: ...
     def play(self, k: int | jax.Array,
-             interpret: bool | None = ...) -> jax.Array: ...
+             interpret: bool | None = ..., out_dtype: Any = ...,
+             dac_scale: float = ...) -> jax.Array: ...
     def play_packed(self, ks: Sequence[int] | jax.Array,
-                    interpret: bool | None = ...) -> jax.Array: ...
+                    interpret: bool | None = ..., out_dtype: Any = ...,
+                    dac_scale: float = ...) -> jax.Array: ...

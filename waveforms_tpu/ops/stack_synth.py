@@ -756,7 +756,8 @@ def _emit_chunk(meta: dict, strip, out_ref, sc: int, lay, spc):
 
 def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                          interpret: bool, probe: str | None = None,
-                         dot3: bool = False):
+                         dot3: bool = False, out_dtype=None,
+                         dac_scale: float = 32767.0):
     """The whole batched path as ONE Pallas kernel (cached on the plan).
 
     The XLA runner's per-group op chain (eval fusions + one-hot einsums +
@@ -845,22 +846,42 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
         return None
 
+    # int16 DAC codes (exact round-half-away like synthesize_device):
+    # strips accumulate into an f32 VMEM scratch and ONE full-block
+    # quantized store writes the output -- dynamic int16 sub-stores
+    # crash real Mosaic (round-4 panel lesson), and halving the output
+    # stream matters most for stacked shot batches (stack_seq)
+    quant = out_dtype is not None and out_dtype != jnp.float32
+    if quant and probe is not None:
+        raise ValueError("probe variants are f32-only")
+    if quant and np.ndim(dac_scale) != 0:
+        raise NotImplementedError(
+            "stack-path int16 supports a scalar dac_scale (chunks can "
+            "straddle channels)")
+
     def kernel(*refs):
-        out_ref = refs[-1]
-        out_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
-        if probe == 'floor':
-            # probe: grid + operand block fetches + epilogue only -- the
-            # cost of the launch STRUCTURE with zero strip work
-            return
-        r = 0
-        for meta in metas:
-            cnt_ref, tab_ref = refs[r:r + 2]
-            r += 2
-            strip = _strip_builder(meta, tab_ref, probe, dot3)
-            for sc in range(SC):
-                row = pl.program_id(0) * SC + sc
-                _emit_chunk(meta, strip, out_ref, sc,
-                            cnt_ref[row, 0], cnt_ref[row, 1])
+        if quant:
+            out_ref, acc_ref = refs[-2], refs[-1]
+        else:
+            out_ref = acc_ref = refs[-1]
+        acc_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
+        if probe != 'floor':
+            # probe 'floor': grid + operand block fetches + epilogue
+            # only -- the cost of the launch STRUCTURE with no strips
+            r = 0
+            for meta in metas:
+                cnt_ref, tab_ref = refs[r:r + 2]
+                r += 2
+                strip = _strip_builder(meta, tab_ref, probe, dot3)
+                for sc in range(SC):
+                    row = pl.program_id(0) * SC + sc
+                    _emit_chunk(meta, strip, acc_ref, sc,
+                                cnt_ref[row, 0], cnt_ref[row, 1])
+        if quant:
+            scaled = acc_ref[0] * np.float32(dac_scale)
+            if out_dtype == jnp.int16:
+                scaled = jnp.clip(jnp.round(scaled), -32768.0, 32767.0)
+            out_ref[0] = scaled.astype(out_dtype)
 
     in_specs = []
     flat_ops = []
@@ -880,8 +901,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, SC * 128, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_super, SC * 128, 128),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_super, SC * 128, 128),
+            out_dtype if quant else jnp.float32),
+        scratch_shapes=([pltpu.VMEM((1, SC * 128, 128), jnp.float32)]
+                        if quant else []),
         interpret=interpret,
     )
 
@@ -905,12 +929,19 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
 
 
 def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
-                     interpret: bool | None = None) -> jax.Array:
-    """Synthesize via the pulse-instance batched path -> (C, n_samples) f32.
+                     interpret: bool | None = None, out_dtype=None,
+                     dac_scale: float = 32767.0) -> jax.Array:
+    """Synthesize via the pulse-instance batched path -> (C, n_samples).
 
     ``interpret`` is forwarded to the kernel run of the wide residual (the
     batched path itself is plain XLA).  The compiled program is cached on
     the plan: lower once, plan once, synthesize many times.
+
+    ``out_dtype=jnp.int16`` emits exact DAC codes scaled by the scalar
+    ``dac_scale`` (the other engines' convention): pure-narrow plans
+    quantize inside the fused kernel (one f32 scratch, halved output
+    stream); plans with a wide residual sum both parts in f32 and
+    quantize in the epilogue so codes round once, after the sum.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -920,13 +951,24 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
         raise UnsupportedFactor(
             "schedule has no batchable pulse instances (complex, clipped, "
             "or all-wide) -- use the kernel engines")
+    quant = out_dtype is not None and out_dtype != jnp.float32
+    in_kernel_quant = quant and plan.wide is None
     key = '_runner_interp' if interpret else '_runner'
+    if in_kernel_quant:
+        key += f"_{jnp.dtype(out_dtype)}_{float(dac_scale)!r}"
     runner = getattr(plan, key, None)
     if runner is None:
-        runner = _build_kernel_runner(plan, low, interpret)
-        if runner is None:
+        runner = _build_kernel_runner(
+            plan, low, interpret,
+            out_dtype=out_dtype if in_kernel_quant else None,
+            dac_scale=dac_scale)
+        if runner is not None:
+            runner.quantized = in_kernel_quant
+        else:
             runner = _build_runner(plan, low)
+            runner.quantized = False
         setattr(plan, key, runner)
+    in_kernel_quant = getattr(runner, 'quantized', False)
     try:
         out = runner()
     except Exception as exc:
@@ -945,6 +987,8 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
             f"stack kernel runner failed to compile ({exc!s:.120}); "
             "falling back to the XLA op-chain runner")
         runner = _build_runner(plan, low)
+        runner.quantized = False
+        in_kernel_quant = False
         setattr(plan, key, runner)
         setattr(plan, '_runner_is_xla_' + key, True)
         out = runner()
@@ -952,4 +996,9 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
         from .pallas_synth import DeviceSchedule, synthesize_device
         out = out + synthesize_device(DeviceSchedule(plan.wide),
                                       interpret=interpret)
+    if quant and not in_kernel_quant:
+        scaled = out * np.float32(dac_scale)
+        if out_dtype == jnp.int16:
+            scaled = jnp.clip(jnp.round(scaled), -32768.0, 32767.0)
+        out = scaled.astype(out_dtype)
     return out
