@@ -93,6 +93,31 @@ def main():
     assert np.array_equal(packed, batch), "packed must match play_many"
     print(f"play_packed: {packed.shape[0]} shots in one kernel launch")
 
+    # -- stacked-table playback: NARROW-pulse tables (bare gate trains,
+    # no carrier) run the pulse-instance STACK kernel instead -- the K
+    # tables stay device-resident and shots select slices via scalar-
+    # prefetch index maps, so per-shot cost is the shot's own live pulse
+    # blocks, below play_packed's union-subtile floor --------------------
+    from waveforms_tpu.core import WaveVStack
+    from waveforms_tpu.ops import StackSequencer
+
+    def bare_train(n_gates):
+        offs = 0.2e-6 + np.arange(n_gates) * 0.1e-6
+        return [WaveVStack([0.5 * cosPulse(20e-9) >> float(o)
+                            for o in offs])]
+
+    lows2 = [lower_schedule(bare_train(int(rng.integers(2, 12))),
+                            0, span, fs) for _ in range(K)]
+    sseq = StackSequencer(lows2)
+    print("stack table:", sseq.describe())
+    sout = np.asarray(sseq.play_packed(shots[:8], interpret=interpret))
+    ref0 = np.asarray(sseq.play(int(shots[0]), interpret=interpret))
+    assert np.allclose(sout[0], ref0), "stacked playback must match play"
+    codes = np.asarray(sseq.play_packed(shots[:8], interpret=interpret,
+                                        out_dtype=jax.numpy.int16))
+    print(f"play_packed (stack): {sout.shape[0]} shots in one launch; "
+          f"int16 codes {codes.shape} {codes.dtype}")
+
 
 if __name__ == '__main__':
     main()

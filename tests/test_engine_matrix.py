@@ -119,3 +119,47 @@ def test_constructor_stack_engine(name, build):
         raise
     err = np.abs(out[:len(t)] - oracle).max() / scale
     assert err < 5e-6, f"{name} x stack: rel err {err}"
+
+
+def test_out_dtype_int16_across_engines():
+    """synthesize(out_dtype=int16) must emit the SAME DAC codes on every
+    engine (scale -> round-half-even -> clip), to each tier's precision."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(51)
+    ch = wt.zero()
+    for o in rng.uniform(0.2e-6, SPAN - 0.5e-6, 12):
+        ch += 0.7 * wt.cosPulse(150e-9) >> float(o)
+    chans = [ch]
+    codes = {}
+    for engine in ('numpy', 'xla', 'pallas', 'pallas-stack',
+                   'pallas-dense'):
+        codes[engine] = np.asarray(
+            synthesize(chans, 0, SPAN, FS, engine=engine,
+                       out_dtype=jnp.int16))
+        assert codes[engine].dtype == np.int16, engine
+    for engine, got in codes.items():
+        # engines round independently: a value landing within float
+        # noise of a .5 boundary may round apart by one code
+        assert np.abs(got.astype(np.int32)
+                      - codes['numpy'].astype(np.int32)).max() <= 1, engine
+
+
+def test_out_dtype_validation():
+    import jax.numpy as jnp
+    ch = [wt.cosPulse(200e-9) >> 1e-6]
+    with pytest.raises(ValueError, match="double"):
+        synthesize(ch, 0, SPAN, FS, precision='double',
+                   out_dtype=jnp.int16)
+    with pytest.raises(ValueError, match="complex"):
+        synthesize(ch, 0, SPAN, FS, part='complex', out_dtype=jnp.int16)
+
+
+def test_out_dtype_per_channel_scale():
+    import jax.numpy as jnp
+    chans = [wt.cosPulse(200e-9) >> 1e-6, 0.5 * wt.gaussian(300e-9) >> 2e-6]
+    scale = np.array([1000.0, 20000.0])
+    a = np.asarray(synthesize(chans, 0, SPAN, FS, engine='numpy',
+                              out_dtype=jnp.int16, dac_scale=scale))
+    f = np.asarray(synthesize(chans, 0, SPAN, FS, engine='numpy'))
+    want = np.clip(np.round(f * scale[:, None]), -32768, 32767)
+    assert np.array_equal(a, want.astype(np.int16))

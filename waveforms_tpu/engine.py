@@ -93,36 +93,44 @@ def _stack_advantage():
 
 
 def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
-                force=None):
+                force=None, out_dtype=None, dac_scale=32767.0):
     import jax
+    import jax.numpy as jnp
 
     from .ops.pallas_synth import DeviceSchedule, synthesize_device
     from .ops.sparse_synth import synthesize_panels, synthesize_sparse
     interpret = jax.default_backend() != 'tpu'
+    od = jnp.float32 if out_dtype is None else out_dtype
 
     # part='complex' runs ONE fused kernel pass: the factor products are
     # computed once and scaled by both amplitude planes (pair mode)
     low = lower_schedule(channels, start, stop, sample_rate, part=part,
                          bucket_samples=bucket_samples)
 
-    kind, plan = classify_pallas_route(low, force=force)
+    kind, plan = classify_pallas_route(low, force=force, out_dtype=od)
     if kind == 'panel':
         return synthesize_panels(DeviceSchedule(low), plan=plan,
-                                 interpret=interpret)
+                                 interpret=interpret, out_dtype=od,
+                                 dac_scale=dac_scale)
     if kind == 'panel-windowed':
         from .ops.sparse_synth import synthesize_panels_windowed
         return synthesize_panels_windowed(DeviceSchedule(low), low,
-                                          plans=plan, interpret=interpret)
+                                          plans=plan, interpret=interpret,
+                                          out_dtype=od,
+                                          dac_scale=dac_scale)
     if kind == 'sparse':
         return synthesize_sparse(DeviceSchedule(low), plan=plan,
-                                 interpret=interpret)
+                                 interpret=interpret, out_dtype=od,
+                                 dac_scale=dac_scale)
     if kind == 'stack':
         from .ops.stack_synth import synthesize_stack
-        return synthesize_stack(low, plan, interpret=interpret)
-    return synthesize_device(DeviceSchedule(low), interpret=interpret)
+        return synthesize_stack(low, plan, interpret=interpret,
+                                out_dtype=out_dtype, dac_scale=dac_scale)
+    return synthesize_device(DeviceSchedule(low), interpret=interpret,
+                             out_dtype=od, dac_scale=dac_scale)
 
 
-def classify_pallas_route(low, force=None):
+def classify_pallas_route(low, force=None, out_dtype=None):
     """Pick the pallas execution strategy for a lowered schedule.
 
     Returns ``(kind, plan)`` with kind in {'panel', 'sparse', 'stack',
@@ -176,7 +184,9 @@ def classify_pallas_route(low, force=None):
         if (force in ('sparse', 'panel') or small
                 or occ < _panel_threshold()):
             panel_plan = build_panel_plan(low, base=sparse_plan)
-            if panels_eligible(panel_plan, jnp.float32, pair):
+            if panels_eligible(panel_plan,
+                               out_dtype if out_dtype is not None
+                               else jnp.float32, pair):
                 return 'panel', panel_plan
             from .ops.sparse_synth import plan_panel_windows
             windows = plan_panel_windows(low, base=sparse_plan)
@@ -204,9 +214,28 @@ def classify_pallas_route(low, force=None):
     return 'dense', None
 
 
+def _quantize_host(out, out_dtype, dac_scale):
+    """Host-engine analog of the kernels' out_dtype store: int16 DAC
+    codes via scale -> round-half-even -> clip (identical convention to
+    synthesize_device), bf16 via plain astype.  Works on both ndarray
+    (native/numpy engines) and jax.Array (xla engine) results."""
+    if out_dtype is None:
+        return out
+    import jax.numpy as jnp
+    xp = np if isinstance(out, np.ndarray) else jnp
+    if jnp.dtype(out_dtype) == jnp.int16:    # dac_scale is codes-only
+        sc = np.asarray(dac_scale, np.float64)
+        scaled = out * (sc.reshape(-1, 1) if sc.ndim else float(sc))
+        return xp.clip(xp.round(scaled), -32768.0,
+                       32767.0).astype(np.int16 if xp is np else jnp.int16)
+    return out.astype(out_dtype) if xp is jnp else \
+        np.asarray(out).astype(out_dtype)
+
+
 def synthesize(channels, start: float, stop: float, sample_rate: float,
                engine: str = 'auto', bucket_samples='auto',
-               part: str = 'real', precision: str = 'single'):
+               part: str = 'real', precision: str = 'single',
+               out_dtype=None, dac_scale=32767.0):
     """Synthesize a list of channels on the chosen engine -> (C, N).
 
     ``part`` selects 'real' (default, the physical-output convention of
@@ -220,9 +249,25 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     hi kernel covers the carrier/envelope opcode set (HI_OPS); schedules
     outside it raise UnsupportedFactor under engine='pallas' and degrade
     to the host f64 engines under 'auto'.
+
+    ``out_dtype=jnp.int16`` emits exact DAC codes scaled by ``dac_scale``
+    (scalar or per-channel) on EVERY engine: the pallas routes quantize
+    in-kernel (halved output stream); host engines quantize their f64
+    result with the same round-half-even + clip convention, so codes
+    agree across engines to the underlying precision tier.
+    ``out_dtype=bfloat16`` narrows the store (pallas) / result (host).
     """
     if precision not in ('single', 'double'):
         raise ValueError(f"unknown precision {precision!r}")
+    if out_dtype is not None:
+        import jax.numpy as jnp
+        if precision == 'double':
+            raise ValueError("out_dtype narrowing contradicts "
+                             "precision='double'")
+        if part == 'complex' and jnp.dtype(out_dtype) != jnp.float32:
+            raise ValueError("part='complex' requires f32 output")
+        if jnp.dtype(out_dtype) == jnp.float32:
+            out_dtype = None        # f32 is every engine's default
     if precision == 'double' and engine not in ('native', 'numpy'):
         if engine not in ('auto', 'pallas', 'pallas-dense', 'xla'):
             raise ValueError(
@@ -265,7 +310,8 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
                  'pallas-dense': 'dense',
                  'pallas-stack': 'stack'}.get(engine)
         return _try_pallas(channels, start, stop, sample_rate,
-                           bucket_samples, part, force=force)
+                           bucket_samples, part, force=force,
+                           out_dtype=out_dtype, dac_scale=dac_scale)
     if engine == 'xla':
         import jax.numpy as jnp
 
@@ -282,7 +328,7 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
         else:
             vals = [v.astype(jnp.complex128 if t.dtype == jnp.float64
                              else jnp.complex64) for v in vals]
-        return jnp.stack(vals)
+        return _quantize_host(jnp.stack(vals), out_dtype, dac_scale)
     if engine == 'native':
         from . import native
         if not native.available():
@@ -293,7 +339,8 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
         # one pair-mode pass (same fusion as the Pallas kernel)
         low = lower_schedule(channels, start, stop, sample_rate, part=part,
                              bucket_samples=bucket_samples)
-        return native.synthesize_native(low)
+        return _quantize_host(native.synthesize_native(low), out_dtype,
+                              dac_scale)
     if engine == 'numpy':
         from .core import WaveVStack
         t = np.arange(start, stop, 1 / sample_rate)
@@ -310,7 +357,7 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
             vals = [np.imag(v) for v in vals]
         else:
             vals = [v.astype(complex) for v in vals]
-        return np.stack(vals)
+        return _quantize_host(np.stack(vals), out_dtype, dac_scale)
     if engine == 'auto':
         backend = None
         try:
@@ -318,7 +365,9 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
             backend = jax.default_backend()
             if backend == 'tpu':
                 return _try_pallas(channels, start, stop, sample_rate,
-                                   bucket_samples, part)
+                                   bucket_samples, part,
+                                   out_dtype=out_dtype,
+                                   dac_scale=dac_scale)
         except (UnsupportedFactor, ImportError):
             pass
         except Exception as exc:
@@ -342,7 +391,9 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
         if backend not in (None, 'cpu', 'tpu'):
             try:
                 return synthesize(channels, start, stop, sample_rate,
-                                  engine='xla', part=part)
+                                  engine='xla', part=part,
+                                  out_dtype=out_dtype,
+                                  dac_scale=dac_scale)
             except Exception as exc:
                 # same contract as the pallas fallback: only genuine
                 # device faults may degrade to host synthesis
@@ -358,11 +409,14 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
             if native.available():
                 return synthesize(channels, start, stop, sample_rate,
                                   engine='native',
-                                  bucket_samples=bucket_samples, part=part)
+                                  bucket_samples=bucket_samples, part=part,
+                                  out_dtype=out_dtype,
+                                  dac_scale=dac_scale)
         except UnsupportedFactor:
             pass
         return synthesize(channels, start, stop, sample_rate,
-                          engine='numpy', part=part)
+                          engine='numpy', part=part,
+                          out_dtype=out_dtype, dac_scale=dac_scale)
     raise ValueError(f"unknown engine {engine!r}")
 
 

@@ -16,10 +16,12 @@ def synthesize(channels: Iterable[Waveform], start: float, stop: float,
                bucket_samples: int | str | None = ...,
                part: Literal['real', 'imag', 'complex'] = ...,
                precision: Literal['single', 'double'] = ...,
+               out_dtype: Any = ..., dac_scale: float | Any = ...,
                ) -> NDArray[np.floating] | Any: ...
 
 
-def classify_pallas_route(low: Any, force: str | None = ...
+def classify_pallas_route(low: Any, force: str | None = ...,
+                          out_dtype: Any = ...
                           ) -> tuple[RouteKind, Any]: ...
 
 

@@ -952,7 +952,10 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
             "schedule has no batchable pulse instances (complex, clipped, "
             "or all-wide) -- use the kernel engines")
     quant = out_dtype is not None and out_dtype != jnp.float32
-    in_kernel_quant = quant and plan.wide is None
+    # per-channel dac_scale quantizes in the epilogue (stack chunks can
+    # straddle channels, so the in-kernel store takes a scalar only)
+    in_kernel_quant = quant and plan.wide is None \
+        and np.ndim(dac_scale) == 0
     key = '_runner_interp' if interpret else '_runner'
     if in_kernel_quant:
         key += f"_{jnp.dtype(out_dtype)}_{float(dac_scale)!r}"
@@ -997,7 +1000,8 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
         out = out + synthesize_device(DeviceSchedule(plan.wide),
                                       interpret=interpret)
     if quant and not in_kernel_quant:
-        scaled = out * np.float32(dac_scale)
+        sc = np.asarray(dac_scale, np.float32)
+        scaled = out * (sc.reshape(-1, 1) if sc.ndim else sc)
         if out_dtype == jnp.int16:
             scaled = jnp.clip(jnp.round(scaled), -32768.0, 32767.0)
         out = scaled.astype(out_dtype)
