@@ -306,3 +306,21 @@ def test_update_base_func_bumps_id_counter():
     registry.updateBaseFunc(buf)
     after = registry.registerBaseFunc(_identity_basis)
     assert after > before
+
+
+def test_cli_sample_int16_codes(tmp_path):
+    out = tmp_path / "c.npy"
+    res = subprocess.run(
+        [sys.executable, "-m", "waveforms_tpu", "sample", "-S", "1000",
+         "-a", "-1", "-b", "1", "-A", "2", "--dtype", "int16",
+         "--dac-scale", "10000", "cosPulse(0.5)", str(out)],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    codes = np.load(out)
+    assert codes.dtype == np.int16
+    t = np.arange(-1, 1, 1e-3)
+    cp = np.where(np.abs(t) < 0.25, 0.5 * (1 + np.cos(2 * np.pi * t / 0.5)),
+                  0.0)
+    # amplitude folds into the DAC scale so codes round once
+    want = np.clip(np.round(cp * 20000.0), -32768, 32767)
+    assert np.abs(codes - want).max() <= 1

@@ -48,20 +48,42 @@ def main():
 
 
 def _sample_impl(sample_rate, start, duration, stop, amplitude, waveform,
-                 output, engine):
+                 output, engine, dtype, dac_scale):
     import numpy as np
 
     from . import wave_eval
 
     wav = _resolve_window(wave_eval(waveform), start, duration, stop,
                           sample_rate)
-    np.save(output, _synthesize(wav, engine) * amplitude)
+    if dtype == 'float64':
+        np.save(output, _synthesize(wav, engine) * amplitude)
+        return
+    # narrowed outputs go through the unified engine entry (in-kernel
+    # quantize on the pallas routes); the amplitude folds into the DAC
+    # scale for int16 so codes round once
+    import jax.numpy as jnp
+
+    from .engine import synthesize
+    od = {'float32': jnp.float32, 'int16': jnp.int16}[dtype]
+    out = synthesize([wav], wav.start, wav.stop, wav.sample_rate,
+                     engine={'jax': 'xla'}.get(engine, engine),
+                     out_dtype=od, dac_scale=dac_scale * amplitude)[0]
+    out = np.asarray(out)
+    if dtype == 'float32':
+        out = out.astype(np.float32) * np.float32(amplitude)
+    np.save(output, out)
 
 
 def _build_sample_command():
     cmd = _sample_impl
     cmd = click.argument('output', type=click.Path(exists=False))(cmd)
     cmd = click.argument('waveform', type=str)(cmd)
+    cmd = click.option('--dac-scale', default=32767.0, type=float,
+                       help='Full-scale code for --dtype int16')(cmd)
+    cmd = click.option('--dtype', default='float64',
+                       type=click.Choice(['float64', 'float32', 'int16']),
+                       help='Output dtype: float64 (reference behavior), '
+                            'float32, or int16 DAC codes')(cmd)
     cmd = click.option('--engine', default='numpy',
                        type=click.Choice(['numpy', 'jax', 'auto',
                                           'pallas', 'pallas-panel',
