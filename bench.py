@@ -483,7 +483,14 @@ def cpu_fallback():
     print(json.dumps(result))
 
 
-if __name__ == '__main__':
+def _run_inner():
+    """One supervised attempt (child process): main() under an alarm.
+
+    The alarm is a SECONDARY guard -- SIGALRM only raises between Python
+    bytecodes, so an attempt wedged inside a tunnel RPC (a blocking C
+    call that never returns) ignores it.  The parent supervisor below
+    SIGKILLs this process at the wall deadline for exactly that case
+    (same lesson as tools/tpu_capture.py needing ``timeout -k``)."""
     import signal
     import sys
     import traceback
@@ -492,28 +499,53 @@ if __name__ == '__main__':
         raise TimeoutError("bench attempt watchdog expired")
 
     signal.signal(signal.SIGALRM, _alarm)
+    try:
+        signal.alarm(560)
+        main()
+        signal.alarm(0)
+    except BaseException:
+        signal.alarm(0)
+        traceback.print_exc(file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == '__main__':
+    import subprocess
+    import sys
+
+    if '--inner' in sys.argv:
+        _run_inner()
+        sys.exit(0)
 
     # The dev TPU tunnel occasionally wedges and recovers after idle time;
     # retry a few times before giving up so a transient fault doesn't
     # zero out the round's benchmark.  The degraded tunnel can also HANG
-    # (multi-minute stalls at init), so each attempt runs under a watchdog.
+    # (multi-minute init stalls inside a C RPC that SIGALRM/SIGTERM can't
+    # interrupt), so each attempt runs in a child process that the
+    # supervisor can SIGKILL at the wall deadline.
+    ok = False
     for attempt in range(4):
         try:
             # compile artifacts are pre-seeded in .jax_cache, so a healthy
-            # attempt finishes in ~2-3 min; 560 s covers the ~3 cold remote
+            # attempt finishes in ~2-3 min; 580 s covers the ~3 cold remote
             # compiles (~100 s each over the tunnel) a kernel change costs
-            signal.alarm(560)
-            main()
-            signal.alarm(0)
-            break
-        except BaseException:
-            signal.alarm(0)
-            traceback.print_exc(file=sys.stderr)
-            if attempt == 3:
-                print("all TPU attempts failed; measuring the CPU-native "
-                      "engine instead", file=sys.stderr, flush=True)
-                cpu_fallback()
+            res = subprocess.run(
+                [sys.executable, __file__, '--inner'],
+                stdout=subprocess.PIPE, timeout=580)
+            if res.returncode == 0:
+                sys.stdout.buffer.write(res.stdout)
+                sys.stdout.flush()
+                ok = True
                 break
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} hit the wall deadline "
+                  "(hung tunnel RPC); child killed", file=sys.stderr,
+                  flush=True)
+        if attempt < 3:
             print(f"bench attempt {attempt + 1} failed; retrying in 30s",
                   file=sys.stderr, flush=True)
             time.sleep(30)
+    if not ok:
+        print("all TPU attempts failed; measuring the CPU-native "
+              "engine instead", file=sys.stderr, flush=True)
+        cpu_fallback()
