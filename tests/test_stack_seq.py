@@ -140,3 +140,119 @@ def test_play_packed_int16_codes():
     want = np.clip(np.round(f32.astype(np.float64) * 1000.0),
                    -32768, 32767)
     assert np.abs(codes - want).max() <= 1
+
+
+# ---- sharded stacked-table path (multi-chip twin of the stack route) ----
+
+def _vstack_channels(n_channels, n_pulses=30, seed=3):
+    rng = np.random.default_rng(seed)
+    return [WaveVStack([float(a) * cosPulse(50e-9) >> o
+                        for a, o in zip(rng.uniform(0.2, 1.0, n_pulses),
+                                        rng.uniform(0, STOP - 1e-7,
+                                                    n_pulses))])
+            for _ in range(n_channels)]
+
+
+def _need_mesh():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+
+
+def test_stack_sharded_matches_oracle():
+    """Channel x time mesh: every shard renders only its table slice."""
+    from waveforms_tpu.ops.stack_seq import synthesize_stack_sharded
+    from waveforms_tpu.parallel.mesh import channel_mesh
+
+    _need_mesh()
+    chans = _vstack_channels(4)
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    got = np.asarray(synthesize_stack_sharded(chans, 0, STOP, FS, mesh,
+                                              interpret=True))
+    for c, ch in enumerate(chans):
+        want = _oracle(ch)
+        scale = max(np.abs(want).max(), 1e-30)
+        assert np.abs(got[c] - want).max() / scale < 2e-6, c
+
+
+def test_stack_sharded_time_only_single_channel():
+    """The vstack headline shape (C=1): the 'time' axis alone carries the
+    split -- each device renders a contiguous superchunk run."""
+    from waveforms_tpu.ops.stack_seq import synthesize_stack_sharded
+    from waveforms_tpu.parallel.mesh import channel_mesh
+
+    _need_mesh()
+    chans = _vstack_channels(1, n_pulses=60, seed=9)
+    mesh = channel_mesh(n_channel=1, n_time=8)
+    got = np.asarray(synthesize_stack_sharded(chans, 0, STOP, FS, mesh,
+                                              interpret=True))
+    want = _oracle(chans[0])
+    assert got.shape == (1, want.size)
+    assert np.abs(got[0] - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_stack_sharded_int16_codes():
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops.stack_seq import synthesize_stack_sharded
+    from waveforms_tpu.parallel.mesh import channel_mesh
+
+    _need_mesh()
+    chans = _vstack_channels(2, seed=21)
+    mesh = channel_mesh(n_channel=2, n_time=4)
+    f32 = np.asarray(synthesize_stack_sharded(chans, 0, STOP, FS, mesh,
+                                              interpret=True))
+    codes = np.asarray(synthesize_stack_sharded(
+        chans, 0, STOP, FS, mesh, interpret=True, out_dtype=jnp.int16,
+        dac_scale=1000.0))
+    assert codes.dtype == np.int16
+    want = np.clip(np.round(f32.astype(np.float64) * 1000.0),
+                   -32768, 32767)
+    assert np.abs(codes - want).max() <= 1
+
+
+def test_stack_sharded_work_scales_inverse_p():
+    """Per-shard table bytes are exactly 1/P of the stacked total: the
+    leading operand axis splits evenly over channel x time."""
+    from waveforms_tpu.ops.lowering import lower_schedule as _ls
+    from waveforms_tpu.ops.stack_seq import StackSequencer
+    from waveforms_tpu.parallel.mesh import channel_mesh
+
+    _need_mesh()
+    nc, nt = 4, 2
+    chans = _vstack_channels(nc, seed=5)
+    lows = [_ls([c], 0, STOP, FS) for c in chans]
+    seq = StackSequencer(lows, n_super_multiple=nt)
+    P = nc * nt
+    for cnts, tab in seq._operands:
+        assert cnts.shape[0] % P == 0
+        assert tab.shape[0] % P == 0
+        # the local slice each device receives is exactly total/P
+        assert (tab.nbytes // P) * P == tab.nbytes
+
+
+def test_synthesize_on_mesh_routes_stack(monkeypatch):
+    """A vstack-class schedule (high occupancy, narrow pulses) takes the
+    sharded stacked-table path from the top-level mesh entry point."""
+    from waveforms_tpu.ops import stack_seq
+    from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
+
+    _need_mesh()
+    chans = _vstack_channels(4, n_pulses=100, seed=7)
+    mesh = channel_mesh(n_channel=4, n_time=2)
+
+    calls = []
+    orig = stack_seq.synthesize_stack_sharded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(stack_seq, 'synthesize_stack_sharded', spy)
+    got = np.asarray(synthesize_on_mesh(chans, 0, STOP, FS, mesh,
+                                        interpret=True))
+    assert calls, "expected the stack route to be taken"
+    for c, ch in enumerate(chans):
+        want = _oracle(ch)
+        scale = max(np.abs(want).max(), 1e-30)
+        assert np.abs(got[c] - want).max() / scale < 2e-6, c

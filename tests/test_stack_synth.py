@@ -256,3 +256,33 @@ def test_int16_dac_codes_in_kernel_and_epilogue():
     want2 = np.clip(np.round(f32b.astype(np.float64) * 32767.0),
                     -32768, 32767)
     assert np.abs(codes2 - want2).max() <= 1
+
+
+def test_stack_bf16_is_plain_astype_no_dac_scale():
+    """Float narrowing must NOT apply dac_scale (integer codes only) --
+    the shared engine convention (_quantize_host, dense/panel stores).
+    Regression: the stack stores scaled bf16 by 32767 (round 4)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(41)
+    wl = [float(a) * cosPulse(50e-9) >> o
+          for a, o in zip(rng.uniform(0.2, 1.0, 30),
+                          rng.uniform(0, 8e-6, 30))]
+    low = lower_schedule([WaveVStack(wl)], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    assert plan.wide is None
+    f32 = np.asarray(synthesize_stack(low, plan))
+    bf = np.asarray(synthesize_stack(low, plan,
+                                     out_dtype=jnp.bfloat16), np.float32)
+    scale = max(np.abs(f32).max(), 1e-30)
+    assert np.abs(bf - f32).max() / scale < 1e-2      # bf16 rounding only
+
+    # wide-residual epilogue path: same convention
+    mixed = WaveVStack(wl + [0.25 * square(6e-6) >> 4e-6])
+    low2 = lower_schedule([mixed], 0, 8.192e-6, FS)
+    plan2 = build_stack_plan(low2)
+    assert plan2.wide is not None
+    f32b = np.asarray(synthesize_stack(low2, plan2))
+    bf2 = np.asarray(synthesize_stack(low2, plan2,
+                                      out_dtype=jnp.bfloat16), np.float32)
+    assert np.abs(bf2 - f32b).max() / max(np.abs(f32b).max(), 1e-30) < 1e-2

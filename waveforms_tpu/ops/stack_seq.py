@@ -32,6 +32,7 @@ like ops/sequencer.py this is new TPU-native surface (SURVEY.md section
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -42,7 +43,7 @@ from .stack_synth import (KERNEL_MAX_HBM, KERNEL_MAX_VMEM, GroupData,
                           StackPlan, _group_table, _kernel_runner_viable,
                           _emit_chunk, _strip_builder, build_stack_plan)
 
-__all__ = ['StackSequencer']
+__all__ = ['StackSequencer', 'synthesize_stack_sharded']
 
 
 def _group_key(g) -> tuple:
@@ -81,7 +82,8 @@ class StackSequencer:
     """
 
     def __init__(self, lows: list[LoweredSchedule],
-                 plans: list[StackPlan] | None = None):
+                 plans: list[StackPlan] | None = None,
+                 n_super_multiple: int = 1):
         import jax.numpy as jnp
 
         if not lows:
@@ -135,7 +137,12 @@ class StackSequencer:
 
         SC = min(4, n_chunks)
         self._SC = SC
-        self.n_super = -(-n_chunks // SC)
+        # n_super_multiple rounds the superchunk count up so a mesh's
+        # 'time' axis can split each schedule's superchunk run evenly
+        # (synthesize_stack_sharded); padding superchunks carry zero
+        # counts and predicate away like ordinary chunk padding
+        ns = -(-n_chunks // SC)
+        self.n_super = -(-ns // n_super_multiple) * n_super_multiple
         n_chunks_pad = self.n_super * SC
         self._n_chunks_pad = n_chunks_pad
         # counts for ALL schedules ride one SMEM block
@@ -230,86 +237,10 @@ class StackSequencer:
 
     def _build_call(self, n_shots: int, interpret: bool, out_dtype,
                     dac_scale: float):
-        import jax
-        import jax.numpy as jnp
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        SC, n_super = self._SC, self.n_super
-        n_chunks_pad = self._n_chunks_pad
-        metas = self._metas
-        # int16 DAC codes quantize in-kernel from an f32 scratch (one
-        # full-block store -- dynamic int16 sub-stores crash Mosaic),
-        # halving the (n_shots, C, N) result stream
-        quant = out_dtype is not None and out_dtype != jnp.float32
-        if quant and np.ndim(dac_scale) != 0:
-            raise NotImplementedError(
-                "stacked-table int16 supports a scalar dac_scale")
-
-        def kernel(ks_ref, *refs):
-            if quant:
-                out_ref, acc_ref = refs[-2], refs[-1]
-            else:
-                out_ref = acc_ref = refs[-1]
-            acc_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
-            i = pl.program_id(0)
-            sched = ks_ref[i // n_super]
-            r = 0
-            for meta in metas:
-                cnt_ref, tab_ref = refs[r:r + 2]
-                r += 2
-                strip = _strip_builder(meta, tab_ref, None, False)
-                for sc in range(SC):
-                    row = sched * n_chunks_pad + (i % n_super) * SC + sc
-                    _emit_chunk(meta, strip, acc_ref, sc,
-                                cnt_ref[row, 0], cnt_ref[row, 1])
-            if quant:
-                scaled = acc_ref[0] * np.float32(dac_scale)
-                if out_dtype == jnp.int16:
-                    scaled = jnp.clip(jnp.round(scaled),
-                                      -32768.0, 32767.0)
-                out_ref[0] = scaled.astype(out_dtype)
-
-        in_specs = []
-        for meta, (cnts, tab) in zip(metas, self._operands):
-            in_specs.append(pl.BlockSpec(
-                cnts.shape, lambda i, ks: (0, 0),
-                memory_space=pltpu.SMEM))
-            # the index map picks schedule ks[shot]'s superchunk slice
-            # of the (K * n_super, SC, ...) stacked table: Mosaic
-            # prefetches exactly the selected blocks from HBM
-            in_specs.append(pl.BlockSpec(
-                (1,) + tab.shape[1:],
-                lambda i, ks, n_super=n_super: (
-                    ks[i // n_super] * n_super + i % n_super, 0, 0, 0),
-                memory_space=pltpu.VMEM))
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_shots * n_super,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, SC * 128, 128),
-                                   lambda i, ks: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=([pltpu.VMEM((1, SC * 128, 128), jnp.float32)]
-                            if quant else []),
-        )
-        call = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (n_shots * n_super, SC * 128, 128),
-                out_dtype if quant else jnp.float32),
-            interpret=interpret,
-        )
-
-        # the pallas program jits ALONE (device span 'jit__stack_seq_call'
-        # is the launch cost); reshape/slice run as eager device ops
-        @jax.jit
-        def _stack_seq_call(ks, *ops):
-            return call(ks, *ops)
-
-        return _stack_seq_call
+        return _seq_call(self._metas,
+                         [(c.shape, t.shape) for c, t in self._operands],
+                         self._SC, self.n_super, self._n_chunks_pad,
+                         n_shots, interpret, out_dtype, dac_scale)
 
     def play_packed(self, ks, interpret: bool | None = None,
                     out_dtype=None, dac_scale: float = 32767.0):
@@ -350,3 +281,176 @@ class StackSequencer:
         return self.play_packed(jnp.asarray([k], jnp.int32),
                                 interpret=interpret, out_dtype=out_dtype,
                                 dac_scale=dac_scale)[0]
+
+
+def _seq_call(metas, shapes, SC: int, n_super: int, n_chunks_pad: int,
+              n_shots: int, interpret: bool, out_dtype, dac_scale):
+    """Build the jitted stacked-table pallas call.
+
+    ``shapes`` lists each group's ``(cnts.shape, tab.shape)`` as the
+    call will SEE them: the full stacked shapes for single-device
+    playback, or the per-shard local shapes under ``shard_map``
+    (:func:`synthesize_stack_sharded`) -- the kernel body is identical,
+    only the block geometry differs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # int16 DAC codes quantize in-kernel from an f32 scratch (one
+    # full-block store -- dynamic int16 sub-stores crash Mosaic),
+    # halving the (n_shots, C, N) result stream
+    quant = out_dtype is not None and out_dtype != jnp.float32
+    if quant and np.ndim(dac_scale) != 0:
+        raise NotImplementedError(
+            "stacked-table int16 supports a scalar dac_scale")
+
+    def kernel(ks_ref, *refs):
+        if quant:
+            out_ref, acc_ref = refs[-2], refs[-1]
+        else:
+            out_ref = acc_ref = refs[-1]
+        acc_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
+        i = pl.program_id(0)
+        sched = ks_ref[i // n_super]
+        r = 0
+        for meta in metas:
+            cnt_ref, tab_ref = refs[r:r + 2]
+            r += 2
+            strip = _strip_builder(meta, tab_ref, None, False)
+            for sc in range(SC):
+                row = sched * n_chunks_pad + (i % n_super) * SC + sc
+                _emit_chunk(meta, strip, acc_ref, sc,
+                            cnt_ref[row, 0], cnt_ref[row, 1])
+        if quant:
+            # dac_scale is integer-codes-only (float narrowing is a
+            # plain astype -- the engines' shared convention)
+            if out_dtype == jnp.int16:
+                scaled = jnp.clip(
+                    jnp.round(acc_ref[0] * np.float32(dac_scale)),
+                    -32768.0, 32767.0)
+            else:
+                scaled = acc_ref[0]
+            out_ref[0] = scaled.astype(out_dtype)
+
+    in_specs = []
+    for meta, (cnts_shape, tab_shape) in zip(metas, shapes):
+        in_specs.append(pl.BlockSpec(
+            cnts_shape, lambda i, ks: (0, 0),
+            memory_space=pltpu.SMEM))
+        # the index map picks schedule ks[shot]'s superchunk slice
+        # of the (K * n_super, SC, ...) stacked table: Mosaic
+        # prefetches exactly the selected blocks from HBM
+        in_specs.append(pl.BlockSpec(
+            (1,) + tab_shape[1:],
+            lambda i, ks, n_super=n_super: (
+                ks[i // n_super] * n_super + i % n_super, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_shots * n_super,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, SC * 128, 128),
+                               lambda i, ks: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=([pltpu.VMEM((1, SC * 128, 128), jnp.float32)]
+                        if quant else []),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_shots * n_super, SC * 128, 128),
+            out_dtype if quant else jnp.float32),
+        interpret=interpret,
+    )
+
+    # the pallas program jits ALONE (device span 'jit__stack_seq_call'
+    # is the launch cost); reshape/slice run as eager device ops
+    @jax.jit
+    def _stack_seq_call(ks, *ops):
+        return call(ks, *ops)
+
+    return _stack_seq_call
+
+
+def synthesize_stack_sharded(channels, start: float, stop: float,
+                             sample_rate: float, mesh,
+                             interpret: bool | None = None,
+                             out_dtype=None, dac_scale: float = 32767.0):
+    """Stack-path synthesis over a ('channel', 'time') device mesh.
+
+    The multi-chip twin of :func:`~waveforms_tpu.ops.stack_synth.
+    synthesize_stack` (vstack-class schedules: many NARROW pulse
+    instances).  The mesh maps straight onto the stacked-table layout of
+    :class:`StackSequencer`:
+
+    * the 'channel' axis shards SCHEDULES -- each channel shard's
+      sub-schedule lowers separately and becomes one slice of the
+      stacked tables (the union-key machinery absorbs group-set skew
+      between shards);
+    * the 'time' axis shards each schedule's SUPERCHUNK run -- stack
+      chunks are independent output blocks, so a contiguous slice of
+      superchunks is a 1/P share of the work with no collectives.
+
+    Because the stacked table is schedule-major then superchunk-major, a
+    single ``PartitionSpec(('channel', 'time'))`` on the leading operand
+    axis hands every device exactly its (channel block, time slice)
+    table slice; the per-shard kernel is the ordinary single-schedule
+    stacked-table program on local blocks.  Per-shard table bytes and
+    chunk counts scale as 1/P.
+
+    Raises :class:`UnsupportedFactor` for schedules outside the stack
+    path (wide instances, pair mode, multi-bucket) or a channel count
+    that does not split over the mesh.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .lowering import lower_schedule
+
+    nc, nt = mesh.shape['channel'], mesh.shape['time']
+    C = len(channels)
+    if C % nc:
+        raise UnsupportedFactor(
+            f"{C} channels do not split over {nc} channel shards")
+    cs = C // nc
+    # bucket_samples=None: the stack tables are chunk-indexed directly,
+    # so descriptor time-bucketing would only forbid the path (the
+    # sequencer is single-bucket)
+    lows = [lower_schedule(list(channels[i * cs:(i + 1) * cs]),
+                           start, stop, sample_rate, bucket_samples=None)
+            for i in range(nc)]
+    seq = StackSequencer(lows, n_super_multiple=nt)
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    ns_local = seq.n_super // nt
+    nchunks_local = ns_local * seq._SC
+
+    # per-shard local shapes drive the kernel's block geometry
+    shapes = [((nchunks_local, 2), (ns_local,) + tuple(t.shape[1:]))
+              for _, t in seq._operands]
+    call = _seq_call(seq._metas, shapes, seq._SC, ns_local, nchunks_local,
+                     1, interpret, out_dtype, dac_scale)
+
+    flat, in_specs = [], []
+    for cnts, tab in seq._operands:
+        flat.append(jax.device_put(cnts, NamedSharding(mesh, P(
+            ('channel', 'time'), None))))
+        flat.append(jax.device_put(tab, NamedSharding(mesh, P(
+            ('channel', 'time'), None, None, None))))
+        in_specs += [P(('channel', 'time'), None),
+                     P(('channel', 'time'), None, None, None)]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=P(('channel', 'time'), None, None), check_vma=False)
+    def run(*ops):
+        return call(jnp.zeros((1,), jnp.int32), *ops)
+
+    out = run(*flat)                       # (nc * n_super, SC*128, 128)
+    out = out.reshape(nc, -1, 128)[:, :seq._total_rows]
+    out = out.reshape(C, seq._n_rows * 128)
+    return out[:, :seq.n_samples]

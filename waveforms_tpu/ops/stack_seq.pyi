@@ -16,7 +16,8 @@ class StackSequencer:
     n_super: int
 
     def __init__(self, lows: list[LoweredSchedule],
-                 plans: list[StackPlan] | None = ...) -> None: ...
+                 plans: list[StackPlan] | None = ...,
+                 n_super_multiple: int = ...) -> None: ...
     def describe(self) -> str: ...
     def play(self, k: int | jax.Array,
              interpret: bool | None = ..., out_dtype: Any = ...,
@@ -24,3 +25,10 @@ class StackSequencer:
     def play_packed(self, ks: Sequence[int] | jax.Array,
                     interpret: bool | None = ..., out_dtype: Any = ...,
                     dac_scale: float = ...) -> jax.Array: ...
+
+
+def synthesize_stack_sharded(channels: Sequence[Any], start: float,
+                             stop: float, sample_rate: float, mesh: Any,
+                             interpret: bool | None = ...,
+                             out_dtype: Any = ...,
+                             dac_scale: float = ...) -> jax.Array: ...

@@ -878,9 +878,15 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                     _emit_chunk(meta, strip, acc_ref, sc,
                                 cnt_ref[row, 0], cnt_ref[row, 1])
         if quant:
-            scaled = acc_ref[0] * np.float32(dac_scale)
+            # dac_scale applies to integer codes only; float narrowing
+            # (bf16/f16) is a plain astype, matching _quantize_host and
+            # the dense/panel kernels' convention
             if out_dtype == jnp.int16:
-                scaled = jnp.clip(jnp.round(scaled), -32768.0, 32767.0)
+                scaled = jnp.clip(
+                    jnp.round(acc_ref[0] * np.float32(dac_scale)),
+                    -32768.0, 32767.0)
+            else:
+                scaled = acc_ref[0]
             out_ref[0] = scaled.astype(out_dtype)
 
     in_specs = []
@@ -1000,9 +1006,11 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
         out = out + synthesize_device(DeviceSchedule(plan.wide),
                                       interpret=interpret)
     if quant and not in_kernel_quant:
-        sc = np.asarray(dac_scale, np.float32)
-        scaled = out * (sc.reshape(-1, 1) if sc.ndim else sc)
         if out_dtype == jnp.int16:
-            scaled = jnp.clip(jnp.round(scaled), -32768.0, 32767.0)
-        out = scaled.astype(out_dtype)
+            sc = np.asarray(dac_scale, np.float32)
+            scaled = out * (sc.reshape(-1, 1) if sc.ndim else sc)
+            out = jnp.clip(jnp.round(scaled), -32768.0,
+                           32767.0).astype(out_dtype)
+        else:        # float narrowing: plain astype, no DAC scale
+            out = out.astype(out_dtype)
     return out

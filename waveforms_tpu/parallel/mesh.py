@@ -210,7 +210,9 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
     bf16 / int16, bucketed or not -- run the sharded PANEL kernel below
     the panel occupancy threshold (sharded worklist kernel when a shard's
     worklist is outside the panel budgets, or between the two
-    thresholds); everything else the dense grid.
+    thresholds); vstack-class schedules (occupancy high but every pulse
+    NARROW) run the sharded stacked-table path; everything else the
+    dense grid.
     """
     low = lower_schedule(channels, start, stop, sample_rate, part=part)
     if low.pallas_ok and rows_per_tile is None:
@@ -235,5 +237,24 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
                                                  out_dtype=out_dtype)
         except UnsupportedFactor:
             pass
+    if part == 'real' and rows_per_tile is None:
+        # stack-route criterion mirrors classify_pallas_route: many
+        # narrow instances with measured advantage over the subtile
+        # kernels, or a schedule the fused kernels cannot lower at all
+        from ..engine import _stack_advantage
+        from ..ops.lowering import UnsupportedFactor
+        from ..ops.stack_synth import build_stack_plan
+        splan = build_stack_plan(low)
+        if splan is not None and (
+                (splan.n_narrow >= 64
+                 and splan.advantage >= _stack_advantage())
+                or (not low.pallas_ok and splan.wide is None)):
+            from ..ops.stack_seq import synthesize_stack_sharded
+            try:
+                return synthesize_stack_sharded(
+                    channels, start, stop, sample_rate, mesh,
+                    interpret=interpret, out_dtype=out_dtype)
+            except UnsupportedFactor:
+                pass                   # wide/pair/multi-bucket: dense
     return synthesize_sharded(low, mesh, rows_per_tile=rows_per_tile,
                               interpret=interpret, out_dtype=out_dtype)
