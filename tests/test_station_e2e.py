@@ -186,3 +186,22 @@ def test_station_full_pipeline_int16_dac(station):
                                          out_dtype=jnp.int16))
     exp = np.clip(np.round(f32 * 32767.0), -32768, 32767)
     assert np.abs(codes.astype(np.int64) - exp.astype(np.int64)).max() <= 1
+
+
+def test_station_synthesis_on_mesh(station):
+    """The same station schedule through the multi-chip entry point: the
+    ('channel','time') mesh run must match the host oracle like every
+    single-chip engine (routing included -- whatever path the classifier
+    picks for this schedule shape must hold parity per shard)."""
+    import jax
+
+    from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    chans, names, t, oracle = station
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    out = np.asarray(synthesize_on_mesh([chans[n] for n in names],
+                                        0, SPAN, FS, mesh, interpret=True))
+    scale = np.abs(oracle).max()
+    assert np.abs(out - oracle).max() / scale < 2e-6
