@@ -256,3 +256,14 @@ def test_synthesize_on_mesh_routes_stack(monkeypatch):
         want = _oracle(ch)
         scale = max(np.abs(want).max(), 1e-30)
         assert np.abs(got[c] - want).max() / scale < 2e-6, c
+
+
+def test_prebuilt_plans_must_pair_with_lows():
+    from waveforms_tpu.ops.stack_synth import build_stack_plan
+
+    lows, _ = _table(n_schedules=2, n_pulses=10, seed=31)
+    plans = [build_stack_plan(low) for low in lows]
+    with pytest.raises(ValueError):
+        StackSequencer(lows, plans=plans[:1])
+    with pytest.raises(ValueError):
+        StackSequencer(lows[:1], plans=plans)

@@ -8,8 +8,9 @@ MANY NARROW pulses -- randomized-benchmarking tables, sparse gate trains --
 evaluate far fewer samples on the pulse-instance stack path
 (:mod:`waveforms_tpu.ops.stack_synth`), so this module stacks the K
 schedules' packed stack-kernel tables along a leading schedule axis, keeps
-them device-resident (the upload IS the waveform memory), and plays a whole
-shot sequence in ONE Pallas launch:
+them device-resident (the upload IS the waveform memory -- it happens once,
+at the first play, and is cached), and plays a whole shot sequence in ONE
+Pallas launch:
 
 * the grid is ``(n_shots * n_super,)`` -- each step renders one superchunk
   of one shot's output;
@@ -84,8 +85,6 @@ class StackSequencer:
     def __init__(self, lows: list[LoweredSchedule],
                  plans: list[StackPlan] | None = None,
                  n_super_multiple: int = 1):
-        import jax.numpy as jnp
-
         if not lows:
             raise ValueError("empty sequence table")
         first = lows[0]
@@ -101,6 +100,10 @@ class StackSequencer:
                     "stacked-table play is single-bucket")
         if plans is None:
             plans = [build_stack_plan(low) for low in lows]
+        elif len(plans) != len(lows):
+            raise ValueError(
+                f"{len(plans)} pre-built plans for {len(lows)} schedules "
+                "-- plans must pair 1:1 with lows")
         for k, plan in enumerate(plans):
             if plan is None:
                 raise UnsupportedFactor(
@@ -124,12 +127,25 @@ class StackSequencer:
         # its strips predicate away at run time.
         key_union = sorted({_group_key(g) for p in plans for g in p.groups})
         group_of = [{_group_key(g): g for g in p.groups} for p in plans]
+        # each plan passed _kernel_runner_viable individually, but the
+        # UNION drives the stacked kernel's operand/strip count -- it
+        # must honor the same envelope the single-schedule runner does
+        from .stack_synth import KERNEL_MAX_GROUPS
+        if len(key_union) > KERNEL_MAX_GROUPS:
+            raise UnsupportedFactor(
+                f"{len(key_union)} factor-structure groups across the "
+                f"sequence (kernel limit {KERNEL_MAX_GROUPS}) -- stack "
+                "schedules from one pulse family per table")
 
         self.n_schedules = K = len(lows)
         self.n_channels = C = first.shape[0]
         self.n_samples = first.n_samples
         self.sample_rate = first.sample_rate
         n_rows = plans[0].n_rows
+        if any(p.n_rows != n_rows for p in plans):
+            raise ValueError(
+                "pre-built plans disagree on n_rows -- they were not "
+                "built from these schedules")
         total_rows = C * n_rows
         n_chunks = -(-total_rows // 128)
         self._n_rows = n_rows
@@ -145,12 +161,13 @@ class StackSequencer:
         self.n_super = -(-ns // n_super_multiple) * n_super_multiple
         n_chunks_pad = self.n_super * SC
         self._n_chunks_pad = n_chunks_pad
-        # counts for ALL schedules ride one SMEM block
-        if K * n_chunks_pad * 2 * 4 > PALLAS_SMEM_BUDGET:
+        # one (K * n_chunks_pad, 2) int32 counts block rides in SMEM PER
+        # GROUP, so the budget scales with the union size
+        if len(key_union) * K * n_chunks_pad * 2 * 4 > PALLAS_SMEM_BUDGET:
             raise UnsupportedFactor(
-                f"stacked count table ({K} schedules x {n_chunks_pad} "
-                "chunks) exceeds the kernel SMEM budget -- fewer/"
-                "smaller schedules per table")
+                f"stacked count tables ({len(key_union)} groups x {K} "
+                f"schedules x {n_chunks_pad} chunks) exceed the kernel "
+                "SMEM budget -- fewer/smaller schedules per table")
 
         n_ident = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2'))
         table_t = os.environ.get('WFTPU_STACK_TABLE_T', '0') == '1'
@@ -161,19 +178,29 @@ class StackSequencer:
         # (layers trim to the max OBSERVED collision depth -- see
         # _group_table -- and spills pad to the max width)
         from .stack_synth import _chunk_assign_hybrid
+        assign_memo = {}
+
+        def assign(g, depth):
+            # the O(blocks) placement walk runs once per (group, depth):
+            # pass 1b re-reads pass 1's result when the table-wide depth
+            # matches the probe depth (the common one-family case)
+            mkey = (id(g), depth)
+            if mkey not in assign_memo:
+                assign_memo[mkey] = _chunk_assign_hybrid(
+                    g, n_rows, n_chunks, depth)
+            return assign_memo[mkey]
+
         eff_max = {key: 1 if n_ident else 0 for key in key_union}
         for plan in plans:
             for g in plan.groups:
-                *_, lay_cnt, _sp, _k = _chunk_assign_hybrid(
-                    g, n_rows, n_chunks, n_ident)
+                *_, lay_cnt, _sp, _k = assign(g, n_ident)
                 key = _group_key(g)
                 eff_max[key] = max(eff_max[key], int(lay_cnt.max()))
         k_sp_max = {key: 0 for key in key_union}
         for plan in plans:
             for g in plan.groups:
                 key = _group_key(g)
-                *_, k_sp = _chunk_assign_hybrid(g, n_rows, n_chunks,
-                                                eff_max[key])
+                *_, k_sp = assign(g, eff_max[key])
                 k_sp_max[key] = max(k_sp_max[key], k_sp)
 
         # pass 2: build + stack.  Every int/float field is packed into
@@ -211,8 +238,10 @@ class StackSequencer:
             stacked_tab = np.concatenate(tabs)
             stacked_cnt = np.concatenate(cnts_all)     # (K*n_chunks_pad, 2)
             hbm += stacked_tab.nbytes + stacked_cnt.nbytes
-            self._operands.append([jnp.asarray(stacked_cnt),
-                                   jnp.asarray(stacked_tab)])
+            # host arrays here; the single-device play path uploads once
+            # lazily, and the sharded path device_puts each shard's slice
+            # directly (no full-table stop on device 0)
+            self._operands.append([stacked_cnt, stacked_tab])
         if vmem > KERNEL_MAX_VMEM:
             raise UnsupportedFactor(
                 "stacked group tables exceed the kernel VMEM budget")
@@ -221,6 +250,7 @@ class StackSequencer:
                 f"stacked tables ({hbm >> 20} MiB) exceed the device "
                 "table budget -- fewer/smaller schedules per table")
         self._calls = {}
+        self._device_ops = None      # lazy one-time upload (first play)
 
     @staticmethod
     def _ext_of(low: LoweredSchedule) -> np.ndarray:
@@ -268,8 +298,11 @@ class StackSequencer:
             call = self._build_call(n_shots, interpret, out_dtype,
                                     dac_scale)
             self._calls[key] = call
-        flat = [a for ops in self._operands for a in ops]
-        out = call(jnp.clip(ks, 0, self.n_schedules - 1), *flat)
+        if self._device_ops is None:    # one-time table upload, cached
+            self._device_ops = [jnp.asarray(a) for ops in self._operands
+                                for a in ops]
+        out = call(jnp.clip(ks, 0, self.n_schedules - 1),
+                   *self._device_ops)
         out = out.reshape(n_shots, -1, 128)[:, :self._total_rows]
         out = out.reshape(n_shots, self.n_channels, self._n_rows * 128)
         return out[..., :self.n_samples]
