@@ -61,7 +61,7 @@ def _empty_group(key: tuple, W: int) -> GroupData:
     TF, NT = len(ops), len(term_nfac)
     z = np.zeros(1, np.int64)
     return GroupData(ops=ops, powers=powers, term_nfac=term_nfac,
-                     n_blocks=0, amp=np.zeros((1, NT), np.float32),
+                     amp=np.zeros((1, NT), np.float32),
                      lo=z, hi=z, row0=z, chan=z,
                      shift=np.zeros((1, TF), np.int32),
                      q32=np.zeros((1, TF, 4), np.int32),

@@ -79,7 +79,6 @@ class GroupData:
     ops: tuple            # flat per-factor opcode, len TF (static)
     powers: tuple         # flat per-factor integer power, len TF (static)
     term_nfac: tuple      # live factors per term (static); len NT
-    n_blocks: int         # 128-sample blocks per instance (padded)
     amp: np.ndarray       # f32[M, NT] per-term amplitude
     lo: np.ndarray        # i64[M] first sample (clipped, global)
     hi: np.ndarray        # i64[M] one past last sample
@@ -271,7 +270,6 @@ def build_stack_plan(low: LoweredSchedule,
         n_blocks_total += int(nblk_g.sum())
         plan.groups.append(GroupData(
             ops=kops, powers=kpw, term_nfac=term_nfac,
-            n_blocks=int(nblk_g.max()),
             amp=amp_g, lo=lo_g, hi=hi_g, row0=row0_g, chan=ch_g,
             shift=sh_g, q32=q_g, args=a_g,
         ))
@@ -321,6 +319,13 @@ def _eval_blocks(g: GroupData, src: np.ndarray, rowblk: np.ndarray,
     the descriptor rows -- the device sees only dense arrays), ``rowblk``
     is the block's global 128-row.  Slots with src < 0 are padding:
     amp = 0 and an empty [0, 0) support mask zero them exactly.
+
+    NB: the factor/power/term-product evaluation below is the SAME
+    recurrence as _strip_builder's (the fused kernel reads packed-table
+    columns where this reads descriptor rows).  Any opcode or power-
+    convention change must land in BOTH, or the XLA runner and the
+    kernel diverge -- the oracle-parity tests compare each against the
+    host oracle, so run both paths after touching either.
     """
     pad = src < 0
     s = np.where(pad, 0, src)
@@ -548,11 +553,9 @@ def _group_table(g: GroupData, n_rows: int, n_chunks: int,
     W = g.args.shape[-1]
     if n_ident_force is not None:
         n_ident = n_ident_force
-        src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
-            g, n_rows, n_chunks, n_ident)
-    else:
-        src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
-            g, n_rows, n_chunks, n_ident)
+    src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
+        g, n_rows, n_chunks, n_ident)
+    if n_ident_force is None:
         # TRIM empty identity layers: layer l's 128 slots exist for
         # every chunk, so an all-empty trailing layer is pure table
         # bytes (the fetch-dominated cost).  Re-placing with the
@@ -633,7 +636,11 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool):
     slot offset ``off`` of superchunk lane ``sc``, evaluates every
     slot's 128-sample block, and returns the (128, 128) chunk
     contribution (identity layers return slot-major values directly;
-    spill strips scatter through the one-hot MXU dot)."""
+    spill strips scatter through the one-hot MXU dot).
+
+    NB: the factor/power/term-product recurrence here mirrors
+    _eval_blocks (accessor-for-accessor); change both together -- see
+    the note there."""
 
     def strip(off, KS, sc, use_dot):
         W = meta['W']
@@ -842,11 +849,17 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                                  else (n_super, SC, meta['k_max'],
                                        meta['PW']))]
         hbm += sum(a.nbytes for a in group_ops)
-        operands.append([jnp.asarray(a) for a in group_ops])
+        operands.append(group_ops)
     if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
         return None
+    # budgets hold: NOW move the tables to the device (uploading first
+    # would burn H2D bandwidth -- and possibly HBM -- on plans the check
+    # is about to reject)
+    operands = [[jnp.asarray(a) for a in group_ops]
+                for group_ops in operands]
 
-    # int16 DAC codes (exact round-half-away like synthesize_device):
+    # int16 DAC codes (round-half-even, the convention shared with
+    # synthesize_device and _quantize_host -- jnp.round IS half-even):
     # strips accumulate into an f32 VMEM scratch and ONE full-block
     # quantized store writes the output -- dynamic int16 sub-stores
     # crash real Mosaic (round-4 panel lesson), and halving the output
