@@ -267,3 +267,40 @@ def test_prebuilt_plans_must_pair_with_lows():
         StackSequencer(lows, plans=plans[:1])
     with pytest.raises(ValueError):
         StackSequencer(lows[:1], plans=plans)
+
+
+def test_play_packed_sharded_matches_play_packed():
+    """Shot fan-out over the whole mesh: each device plays its slice of
+    the shot vector against replicated tables; result equals the
+    single-device launch (padding shots dropped)."""
+    from waveforms_tpu.parallel.mesh import channel_mesh
+
+    _need_mesh()
+    lows, chans = _table(n_schedules=3, n_pulses=25, seed=29)
+    seq = StackSequencer(lows)
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    ks = [2, 0, 1, 1, 2, 0, 1, 0, 2, 1]      # 10 shots -> pads to 16
+    sharded = np.asarray(seq.play_packed_sharded(ks, mesh,
+                                                 interpret=True))
+    single = np.asarray(seq.play_packed(ks, interpret=True))
+    assert sharded.shape == single.shape == (10, 1, lows[0].n_samples)
+    assert np.abs(sharded - single).max() == 0.0
+
+
+def test_play_packed_sharded_int16():
+    import jax.numpy as jnp
+
+    from waveforms_tpu.parallel.mesh import channel_mesh
+
+    _need_mesh()
+    lows, _ = _table(n_schedules=2, n_pulses=15, seed=37)
+    seq = StackSequencer(lows)
+    mesh = channel_mesh(n_channel=8, n_time=1)
+    ks = [1, 0, 1]
+    codes = np.asarray(seq.play_packed_sharded(
+        ks, mesh, interpret=True, out_dtype=jnp.int16, dac_scale=500.0))
+    want = np.asarray(seq.play_packed(ks, interpret=True,
+                                      out_dtype=jnp.int16,
+                                      dac_scale=500.0))
+    assert codes.dtype == np.int16
+    assert np.abs(codes.astype(np.int64) - want.astype(np.int64)).max() == 0

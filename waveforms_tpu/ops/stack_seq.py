@@ -315,6 +315,67 @@ class StackSequencer:
                                 interpret=interpret, out_dtype=out_dtype,
                                 dac_scale=dac_scale)[0]
 
+    def play_packed_sharded(self, ks, mesh, interpret: bool | None = None,
+                            out_dtype=None, dac_scale: float = 32767.0):
+        """Shot-parallel ``play_packed`` over every device of ``mesh``
+        -> (len(ks), C, N).
+
+        The stacked tables replicate (each device holds the full
+        waveform memory -- the right trade for shot fan-out, where the
+        table is small and the shot batch is what scales) and the shot
+        vector splits across ALL mesh axes jointly: device d plays its
+        contiguous slice of ``ks`` with the ordinary stacked-table
+        program, so throughput scales linearly in devices with no
+        collectives.  ``ks`` pads to a multiple of the device count
+        (padding shots render schedule 0 and are dropped).  For sharding
+        the per-shot WORK instead of the shot axis, see
+        :func:`synthesize_stack_sharded`."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if interpret is None:
+            interpret = jax.default_backend() != 'tpu'
+        ks = jnp.asarray(ks, jnp.int32)
+        n_shots = int(ks.shape[0])
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_pad = -(-n_shots // n_dev) * n_dev
+        ks_pad = jnp.clip(jnp.pad(ks, (0, n_pad - n_shots)), 0,
+                          self.n_schedules - 1)
+        n_local = n_pad // n_dev
+
+        key = ('sharded', n_local, interpret,
+               str(jnp.dtype(out_dtype or jnp.float32)), float(dac_scale))
+        call = self._calls.get(key)
+        if call is None:
+            call = self._build_call(n_local, interpret, out_dtype,
+                                    dac_scale)
+            self._calls[key] = call
+
+        axes = tuple(mesh.axis_names)
+        rep = []
+        for cnts, tab in self._operands:
+            rep.append(jax.device_put(cnts, NamedSharding(
+                mesh, P(*(None,) * np.ndim(cnts)))))
+            rep.append(jax.device_put(tab, NamedSharding(
+                mesh, P(*(None,) * np.ndim(tab)))))
+        in_specs = (P(axes),) + tuple(
+            P(*(None,) * np.ndim(a)) for a in rep)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=in_specs,
+            out_specs=P(axes, None, None), check_vma=False)
+        def run(ks_local, *ops):
+            return call(ks_local, *ops)
+
+        out = run(jax.device_put(ks_pad, NamedSharding(mesh, P(axes))),
+                  *rep)
+        out = out.reshape(n_pad, -1, 128)[:, :self._total_rows]
+        out = out.reshape(n_pad, self.n_channels, self._n_rows * 128)
+        return out[:n_shots, :, :self.n_samples]
+
 
 def _seq_call(metas, shapes, SC: int, n_super: int, n_chunks_pad: int,
               n_shots: int, interpret: bool, out_dtype, dac_scale):

@@ -25,6 +25,10 @@ class StackSequencer:
     def play_packed(self, ks: Sequence[int] | jax.Array,
                     interpret: bool | None = ..., out_dtype: Any = ...,
                     dac_scale: float = ...) -> jax.Array: ...
+    def play_packed_sharded(self, ks: Sequence[int] | jax.Array,
+                            mesh: Any, interpret: bool | None = ...,
+                            out_dtype: Any = ...,
+                            dac_scale: float = ...) -> jax.Array: ...
 
 
 def synthesize_stack_sharded(channels: Sequence[Any], start: float,
