@@ -552,3 +552,18 @@ def test_on_mesh_routing_parity_int16_and_pair(monkeypatch):
                                         interpret=True,
                                         out_dtype=jnp.int16))
     np.testing.assert_array_equal(got16, want)
+
+
+def test_force_sparse_selects_worklist_kernel():
+    """engine='pallas-sparse' promises ONE path: the per-subtile worklist
+    kernel, even where panels are eligible (the panel kernel would
+    otherwise win the route everywhere -- round-4 review finding)."""
+    from waveforms_tpu.engine import classify_pallas_route
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    chans = _sparse_schedule(4, seed=3)
+    low = lower_schedule(chans, 0, 8.192e-6, FS)
+    kind_auto, _ = classify_pallas_route(low)
+    assert kind_auto in ('panel', 'panel-windowed')
+    kind_forced, plan = classify_pallas_route(low, force='sparse')
+    assert kind_forced == 'sparse' and plan is not None

@@ -62,6 +62,23 @@ def _is_device_fault(exc: BaseException) -> bool:
     return not any(m in text for m in compile_markers)
 
 
+def _degrade_or_raise(exc: Exception, engine_name: str) -> None:
+    """Shared auto-path fallback contract for the device engines.
+
+    Only genuine DEVICE faults (aborts, OOM, a wedged tunnel) may
+    degrade to host synthesis -- anything else (shape mismatches, tracer
+    errors) is a code regression and must surface, not hide as a 100x
+    slowdown.  WFTPU_STRICT_ENGINE=1 forbids even the device-fault
+    fallback.  Returns (letting the caller continue down the engine
+    ladder) only when degradation is allowed."""
+    import os
+    import warnings
+    if not _is_device_fault(exc) or os.environ.get('WFTPU_STRICT_ENGINE'):
+        raise exc
+    warnings.warn(f"{engine_name} engine hit a device fault ({exc!r}); "
+                  "falling back to host synthesis")
+
+
 def _env_float(name: str, default_factory):
     """Env-var override with a visible failure mode for malformed values."""
     import os
@@ -133,8 +150,9 @@ def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
 def classify_pallas_route(low, force=None, out_dtype=None):
     """Pick the pallas execution strategy for a lowered schedule.
 
-    Returns ``(kind, plan)`` with kind in {'panel', 'sparse', 'stack',
-    'dense'}.  Routing order (measured, rounds 3-4;
+    Returns ``(kind, plan)`` with kind in {'panel', 'panel-windowed',
+    'sparse', 'stack', 'dense'} (for 'panel-windowed', ``plan`` is the
+    window-plan list).  Routing order (measured, rounds 3-4;
     benchmarks/tpu_state.json): the PANEL kernel (one fat grid step per
     channel x panel x bucket, worklist resident in SMEM) dominates the
     per-subtile worklist kernel everywhere it is eligible -- 162 vs 132
@@ -181,8 +199,11 @@ def classify_pallas_route(low, force=None, out_dtype=None):
         # the 10k-sample readme demo, reproduced across chip windows)
         small = padded_rows <= 2 * R
         pair = low.amp_im is not None
-        if (force in ('sparse', 'panel') or small
-                or occ < _panel_threshold()):
+        # force='sparse' must select the WORKLIST kernel (the engine
+        # name promises one path -- it is the measurement lever for the
+        # per-subtile kernel), so only force='panel' enters this branch
+        if force == 'panel' or (force is None
+                                and (small or occ < _panel_threshold())):
             panel_plan = build_panel_plan(low, base=sparse_plan)
             if panels_eligible(panel_plan,
                                out_dtype if out_dtype is not None
@@ -241,7 +262,10 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     ``part`` selects 'real' (default, the physical-output convention of
     WaveVStack), 'imag', or 'complex' (one fused pair-mode pass on the
     pallas engine; the native engine runs its real and imag passes).
-    Returns a jax.Array for device engines ('pallas'), ndarray otherwise.
+    Returns a jax.Array for the device engines ('pallas' variants and
+    'xla', including 'auto' when it routes to either); ndarray for the
+    host engines ('native', 'numpy', and 'auto' after host degradation).
+    Callers needing ndarray semantics should np.asarray the result.
 
     ``precision='double'`` selects the <=1e-9 contract: the Pallas
     engines run the double-f32 kernel tier (ops/hi_synth.py, f64 ndarray
@@ -273,10 +297,13 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
             raise ValueError(
                 f"precision='double' is unsupported on engine {engine!r}")
         if engine in ('pallas', 'pallas-dense', 'auto'):
-            import jax
             on_tpu = False
             try:
+                import jax
                 on_tpu = jax.default_backend() == 'tpu'
+            except ImportError:
+                if engine != 'auto':
+                    raise       # explicit device engine needs jax
             except Exception:
                 pass
             if engine != 'auto' or on_tpu:
@@ -371,18 +398,7 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
         except (UnsupportedFactor, ImportError):
             pass
         except Exception as exc:
-            # Only genuine DEVICE faults (aborts, OOM, a wedged tunnel) may
-            # degrade to host synthesis -- anything else (shape mismatches,
-            # tracer errors) is a code regression and must surface, not
-            # hide as a 100x slowdown.  WFTPU_STRICT_ENGINE=1 forbids even
-            # the device-fault fallback.
-            import os
-            import warnings
-            if not _is_device_fault(exc) or os.environ.get(
-                    'WFTPU_STRICT_ENGINE'):
-                raise
-            warnings.warn(f"pallas engine hit a device fault ({exc!r}); "
-                          "falling back to host synthesis")
+            _degrade_or_raise(exc, 'pallas')
         # non-TPU accelerator (GPU/ROCm): the fused XLA trace engine runs
         # on any backend and beats host synthesis by the device's memory
         # bandwidth -- routing order is tpu-pallas > accel-xla > native >
@@ -395,15 +411,7 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
                                   out_dtype=out_dtype,
                                   dac_scale=dac_scale)
             except Exception as exc:
-                # same contract as the pallas fallback: only genuine
-                # device faults may degrade to host synthesis
-                import os
-                import warnings
-                if not _is_device_fault(exc) or os.environ.get(
-                        'WFTPU_STRICT_ENGINE'):
-                    raise
-                warnings.warn(f"xla engine hit a device fault ({exc!r}); "
-                              "falling back to host synthesis")
+                _degrade_or_raise(exc, 'xla')
         try:
             from . import native
             if native.available():
