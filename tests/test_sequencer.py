@@ -306,3 +306,32 @@ def test_play_replay_matches_play():
     from waveforms_tpu.ops.lowering import UnsupportedFactor
     with pytest.raises(UnsupportedFactor, match='palette'):
         seq.play_replay(ks, max_palette_bytes=16)
+
+
+def test_play_replay_per_channel_dac_scale():
+    """The palette cache must key per-channel dac_scale vectors, not
+    crash on float() (round-4 review finding)."""
+    seq = Sequencer(build_lows())
+    C = seq.shape[0]
+    scales = np.linspace(500.0, 1500.0, C)
+    ks = np.array([1, 0])
+    got = np.asarray(seq.play_replay(ks, interpret=True,
+                                     out_dtype=jnp.int16,
+                                     dac_scale=scales))
+    for i, k in enumerate(ks):
+        want = np.asarray(seq.play(int(k), interpret=True,
+                                   out_dtype=jnp.int16,
+                                   dac_scale=scales))
+        np.testing.assert_array_equal(got[i], want)
+    # scalar and vector keys coexist in the cache
+    got2 = np.asarray(seq.play_replay(ks, interpret=True,
+                                      out_dtype=jnp.int16,
+                                      dac_scale=1000.0))
+    assert got2.dtype == np.int16
+
+
+def test_play_many_sparse_rejects_out_dtype():
+    seq = Sequencer(build_lows())
+    with pytest.raises(NotImplementedError, match='f32-only'):
+        seq.play_many(np.array([0, 1]), sparse=True,
+                      out_dtype=jnp.int16, interpret=True)

@@ -56,7 +56,7 @@ class Sequencer:
             bucket_samples=low.bucket_samples,
             seg_lo=np.array(low.seg_lo), seg_hi=np.array(low.seg_hi),
             nterm=np.array(low.nterm)) for low in schedules]
-        self._sparse_work = None
+        self._sparse_work = {}      # Rs -> (fields, n_tiles)
         first = schedules[0]
         for low in schedules:
             if not low.pallas_ok:
@@ -103,7 +103,7 @@ class Sequencer:
         from .lowering import (OP_DRAG_SIN, OP_DRAG_SINX, PALLAS_EXT_MAX)
         ext_merged: list = []
         ext_seen: dict = {}
-        self._args_rw = []
+        args_rw = []
         for low in schedules:
             a = np.array(low.args, copy=True)   # keep lowering's f32
             src = np.asarray(low.ext if low.ext is not None else [],
@@ -120,12 +120,15 @@ class Sequencer:
                     ext_merged.extend(block.tolist())
                     ext_seen[key] = goff
                 a[p + (7,)] = goff
-            self._args_rw.append(a)
+            args_rw.append(a)
         if len(ext_merged) > PALLAS_EXT_MAX:
             raise UnsupportedFactor(
                 f"merged sequence ext buffer ({len(ext_merged)} floats) "
                 f"exceeds the kernel budget ({PALLAS_EXT_MAX})")
-        self._ext_merged = np.asarray(ext_merged, np.float32)
+        # locals only: the big descriptor arrays live solely in the
+        # stacked device tensors below (keeping K host copies alive on
+        # the instance would roughly double host memory)
+        ext_np = np.asarray(ext_merged, np.float32)
         E = max(-(-max(len(ext_merged), 1) // 256) * 256, 256)
 
         def stack(get, shape, dtype=None, fill=0):
@@ -158,11 +161,10 @@ class Sequencer:
                 -1, C, NB, 1, Sb * T * F * 4),
             jnp.asarray(np.stack(
                 [_pad_to(a, (C, NB, Sb, T, F, W_ARGS))
-                 for a in self._args_rw])).reshape(
+                 for a in args_rw])).reshape(
                 -1, C, NB, 1, Sb * T * F * W_ARGS),
             jnp.asarray(np.broadcast_to(
-                np.pad(self._ext_merged,
-                       (0, E - self._ext_merged.size)),
+                np.pad(ext_np, (0, E - ext_np.size)),
                 (len(schedules), E)).copy()).reshape(-1, 1, 1, 1, E),
             stack(lambda l: np.stack([l.clip_min, l.clip_max], 1),
                   (C, 2)).reshape(-1, C, 1, 1, 2),
@@ -261,6 +263,12 @@ class Sequencer:
         import jax.numpy as jnp
         ks = jnp.asarray(ks, jnp.int32)
         if sparse:
+            if out_dtype is not None:
+                # surface the gap instead of silently returning f32 to a
+                # caller who sized their shot batch for int16 codes
+                raise NotImplementedError(
+                    "play_many(sparse=True) is f32-only (play_sparse has "
+                    "no narrowed store); use sparse=False for out_dtype")
             fn = lambda k: self.play_sparse(k, Rs=Rs, interpret=interpret)  # noqa: E731
         else:
             fn = lambda k: self.play(k, rows_per_tile=rows_per_tile,       # noqa: E731
@@ -312,10 +320,9 @@ class Sequencer:
         if NB != 1:
             raise UnsupportedFactor(
                 "sparse sequence play is single-bucket")
-        if self._sparse_work is None or self._sparse_work[2] != Rs:
-            fields, n_tiles = self._sparse_table(Rs)
-            self._sparse_work = (fields, n_tiles, Rs)
-        fields, n_tiles, _ = self._sparse_work
+        if Rs not in self._sparse_work:
+            self._sparse_work[Rs] = self._sparse_table(Rs)
+        fields, n_tiles = self._sparse_work[Rs]
 
         # hmax (tensors[2]) is the dense prologue's bisect key; sparse
         # plans already encode the per-subtile ranges
@@ -436,12 +443,18 @@ class Sequencer:
                 [np.asarray(a)[order],
                  np.zeros(pad, np.int64)]).astype(np.int32))
 
+        # the segment ranges depend only on (schedule, union subtile) --
+        # store the small (K, n_union) tables plus a per-item union
+        # index instead of duplicating them n_shots times (same gather
+        # cost in jit, ~n_shots x less device memory)
+        u_of = (np.arange(n_items) % n_union)[order]
         plan = SimpleNamespace(
             start=jnp.asarray(start.astype(np.int32)),
             wt=col(t_arr), wo=col(wo),
             shot_of=jnp.asarray(s_idx[order].astype(np.int32)),
-            rng0=jnp.asarray(r0[:, c_arr[order], t_arr[order]]),
-            rng1=jnp.asarray(r1[:, c_arr[order], t_arr[order]]),
+            u_of=jnp.asarray(u_of.astype(np.int32)),
+            rng0_u=jnp.asarray(r0[:, cs, ts]),
+            rng1_u=jnp.asarray(r1[:, cs, ts]),
             pad=pad, n_items=n_items, n_union=n_union,
             P=P, NP=NP, tps=tps, Rs=Rs)
         self._packed_plans[key] = plan
@@ -472,7 +485,10 @@ class Sequencer:
             raise UnsupportedFactor(
                 f"palette ({need >> 20} MiB) exceeds max_palette_bytes "
                 "-- use play_packed/play_many for this table")
-        key = (str(jnp.dtype(out_dtype)), float(dac_scale), interpret)
+        # dac_scale may be scalar OR length-C (play supports both) --
+        # key on the bytes so per-channel scales don't crash on float()
+        key = (str(jnp.dtype(out_dtype)),
+               np.asarray(dac_scale, np.float32).tobytes(), interpret)
         pal = self._palettes.get(key)
         if pal is None:
             pal = jnp.stack([
@@ -521,10 +537,9 @@ class Sequencer:
         # per-item segment ranges: schedule ks[shot]'s range for this
         # item's subtile, offset into the segment-concatenated table
         sched = jnp.clip(ks, 0, self.n_schedules - 1)[plan.shot_of]
-        cols = jnp.arange(plan.n_items, dtype=jnp.int32)
         zpad = jnp.zeros(plan.pad, jnp.int32)
-        ws0 = jnp.concatenate([plan.rng0[sched, cols], zpad])
-        ws1 = jnp.concatenate([plan.rng1[sched, cols], zpad])
+        ws0 = jnp.concatenate([plan.rng0_u[sched, plan.u_of], zpad])
+        ws1 = jnp.concatenate([plan.rng1_u[sched, plan.u_of], zpad])
         out = _run_panels(
             plan.start, plan.wt, plan.wo, ws0, ws1,
             *self._packed_tensors(), None, scale,
