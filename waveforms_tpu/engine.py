@@ -307,13 +307,18 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
             except Exception:
                 pass
             if engine != 'auto' or on_tpu:
-                from .ops.hi_synth import synthesize_hi_routed
+                from .ops.hi_synth import (synthesize_hi,
+                                           synthesize_hi_routed)
+                # 'pallas-dense' promises ONE path at the hi tier too:
+                # the dense hi grid, not the occupancy-routed pick
+                hi_fn = (synthesize_hi if engine == 'pallas-dense'
+                         else synthesize_hi_routed)
                 try:
                     low = lower_schedule(channels, start, stop,
                                          sample_rate, part=part,
                                          bucket_samples=bucket_samples,
                                          keep_f64=True)
-                    return synthesize_hi_routed(low)
+                    return hi_fn(low)
                 except UnsupportedFactor:
                     if engine != 'auto':
                         raise

@@ -44,13 +44,19 @@ from .lowering import (OP_COS, OP_DRAG, OP_EXP, OP_GAUSSIAN, OP_LINEAR,
                        UnsupportedFactor)
 
 __all__ = ['synthesize_hi', 'synthesize_hi_panels', 'synthesize_hi_routed',
-           'HI_OPS']
+           'HiSchedule', 'HI_OPS']
 
 HI_OPS = frozenset({OP_LINEAR, OP_GAUSSIAN, OP_COS, OP_EXP, OP_SINC,
                     OP_DRAG, OP_LINEARCHIRP})
-_EXP_CLAMP = np.float32(80.0)
-_PI_H = np.float32(np.pi)
-_PI_L = np.float32(np.pi - float(np.float32(np.pi)))
+from .pallas_synth import _EXP_CLAMP    # one clamp across f32/hi tiers
+_PI_H, _PI_L = df._c(np.pi)
+
+
+def _combine_f64(hi, lo):
+    """The one (hi, lo) -> float64 combine convention for every hi path."""
+    return (np.asarray(hi).astype(np.float64)
+            + np.asarray(lo).astype(np.float64))
+
 
 
 def op_builders_hi(di, arg, arglo, q32):
@@ -129,16 +135,13 @@ def op_builders_hi(di, arg, arglo, q32):
         # (power of two), so the residual phi - cturns*2pi/2^32 computes
         # in pure df with no integer-to-f32 rounding.
         ph, plo = a_df(6)
-        inv2pi_h = np.float32(1 / (2 * np.pi))
-        inv2pi_l = np.float32(1 / (2 * np.pi)
-                              - float(np.float32(1 / (2 * np.pi))))
+        inv2pi_h, inv2pi_l = df._c(1 / (2 * np.pi))
         c = df.mul(ph, plo, inv2pi_h, inv2pi_l)
         ci = jnp.round((c[0] - jnp.round(c[0]))
                        * np.float32(2**31)).astype(jnp.int32)
         cturns = ci * 2
         th, tl = df.from_int(cturns)               # exact split
-        two_pi_h = np.float32(2 * np.pi)
-        two_pi_l = np.float32(2 * np.pi - float(np.float32(2 * np.pi)))
+        two_pi_h, two_pi_l = df._TWO_PI_H, df._TWO_PI_L
         sub = df.mul(th * np.float32(2.0**-32), tl * np.float32(2.0**-32),
                      two_pi_h, two_pi_l)
         crh, crl = df.add(ph, plo, -sub[0], -sub[1])
@@ -460,8 +463,7 @@ def synthesize_hi_panels(dev, low=None, plan=None, Rs=32,
     lo = lo.reshape(C, -1)[:, :plan.window_samples]
     if not combine:
         return hi, lo
-    return (np.asarray(hi).astype(np.float64)
-            + np.asarray(lo).astype(np.float64))
+    return _combine_f64(hi, lo)
 
 
 def synthesize_hi_routed(low, combine: bool = True):
@@ -489,8 +491,7 @@ def synthesize_hi_routed(low, combine: bool = True):
                     lo = jnp.concatenate([o[1] for o in outs], axis=-1)
                     if not combine:
                         return hi, lo
-                    return (np.asarray(hi).astype(np.float64)
-                            + np.asarray(lo).astype(np.float64))
+                    return _combine_f64(hi, lo)
         except UnsupportedFactor:
             pass
     return synthesize_hi(low, combine=combine)
@@ -529,8 +530,11 @@ class HiSchedule:
         self.n_samples = low.n_samples
         self.bucket_samples = low.bucket_samples
         clip = np.stack([low.clip_min, low.clip_max], axis=1)
-        present = np.unique(low.op)
-        self.ops_present = tuple(int(o) for o in present)
+        # LIVE slots only: op_builders_hi covers HI_OPS alone, so a
+        # dead/padded slot carrying any other opcode must not reach the
+        # branch table (the all-slots np.unique the f32 DeviceSchedule
+        # uses is safe only because its builders dict is total)
+        self.ops_present = tuple(sorted(used)) or (OP_LINEAR,)
         remap = np.zeros(max(self.ops_present) + 1, np.int32)
         for i, o in enumerate(self.ops_present):
             remap[o] = i
@@ -587,5 +591,4 @@ def synthesize_hi(low_or_dev, rows_per_tile: int | None = None,
     lo = lo.reshape(C, n_rows * 128)[:, :dev.n_samples]
     if not combine:
         return hi, lo
-    return (np.asarray(hi).astype(np.float64)
-            + np.asarray(lo).astype(np.float64))
+    return _combine_f64(hi, lo)
