@@ -221,11 +221,11 @@ def classify_pallas_route(low, force=None, out_dtype=None):
             return 'sparse', sparse_plan
 
     if force in (None, 'stack'):
-        from .ops.stack_synth import build_stack_plan
+        from .ops.stack_synth import STACK_MIN_NARROW, build_stack_plan
         plan = build_stack_plan(low)
         if plan is not None and (
                 force == 'stack'
-                or (plan.n_narrow >= 64
+                or (plan.n_narrow >= STACK_MIN_NARROW
                     and plan.advantage >= _stack_advantage())
                 or (not low.pallas_ok and plan.wide is None)):
             return 'stack', plan

@@ -67,6 +67,14 @@ DEFAULT_MAX_WIDTH = 2048
 # samples than the batched path evaluates (tile-amortization waste)
 DEFAULT_ADVANTAGE = 4.0
 
+# ... and only when there are at least this many narrow instances: below
+# that the batched launch can't amortize its own fixed costs (table
+# build + program floor), regardless of the advantage ratio.  Shared by
+# the single-chip router (engine.classify_pallas_route) and the mesh
+# router (parallel.mesh.synthesize_on_mesh) so the criterion cannot
+# drift between them.
+STACK_MIN_NARROW = 64
+
 
 @dataclass
 class GroupData:

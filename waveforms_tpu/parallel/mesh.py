@@ -122,6 +122,12 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
     scalar/per-channel ``dac_scale`` (see synthesize_device); pair-mode
     requires f32.
     """
+    if not low.pallas_ok:
+        from ..ops.lowering import UnsupportedFactor
+        raise UnsupportedFactor(
+            "schedule is outside the Pallas kernel's descriptor budget "
+            "or opcode set -- synthesize per-host with engine='native'/"
+            "'numpy' instead (the mesh path has no host fallback)")
     if low.amp_im is not None and out_dtype != jnp.float32:
         raise ValueError("pair-mode (complex) synthesis requires f32 output")
     C, NB, S, T, F = low.shape
@@ -243,18 +249,23 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
         # kernels, or a schedule the fused kernels cannot lower at all
         from ..engine import _stack_advantage
         from ..ops.lowering import UnsupportedFactor
-        from ..ops.stack_synth import build_stack_plan
+        from ..ops.stack_synth import STACK_MIN_NARROW, build_stack_plan
         splan = build_stack_plan(low)
-        if splan is not None and (
-                (splan.n_narrow >= 64
+        # unlike the single-chip route, the stacked-table launch has no
+        # dense-residual arm, so wide instances disqualify up front
+        # (attempting would pay nc re-lowerings only to raise)
+        if splan is not None and splan.wide is None and (
+                (splan.n_narrow >= STACK_MIN_NARROW
                  and splan.advantage >= _stack_advantage())
-                or (not low.pallas_ok and splan.wide is None)):
+                or not low.pallas_ok):
             from ..ops.stack_seq import synthesize_stack_sharded
             try:
                 return synthesize_stack_sharded(
                     channels, start, stop, sample_rate, mesh,
                     interpret=interpret, out_dtype=out_dtype)
             except UnsupportedFactor:
-                pass                   # wide/pair/multi-bucket: dense
+                if not low.pallas_ok:
+                    raise      # dense cannot lower this schedule either
+                pass           # pair/multi-bucket/shard-split: dense
     return synthesize_sharded(low, mesh, rows_per_tile=rows_per_tile,
                               interpret=interpret, out_dtype=out_dtype)
