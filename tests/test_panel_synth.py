@@ -102,7 +102,7 @@ def test_panels_gate_narrow_multibucket():
     low = lower_schedule(chans, 0.0, 2.62144e-4, FS, bucket_samples=65536)
     dev = DeviceSchedule(low)
     plan = build_panel_plan(low)
-    assert not panels_eligible(plan, jnp.int16, False)
+    assert not panels_eligible(plan, jnp.int16)
     with pytest.raises(UnsupportedFactor):
         synthesize_panels(dev, plan=plan, interpret=True,
                           out_dtype=jnp.int16)

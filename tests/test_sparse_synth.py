@@ -567,3 +567,50 @@ def test_force_sparse_selects_worklist_kernel():
     assert kind_auto in ('panel', 'panel-windowed')
     kind_forced, plan = classify_pallas_route(low, force='sparse')
     assert kind_forced == 'sparse' and plan is not None
+
+
+def test_windowed_routing_respects_out_dtype():
+    """A dtype rule windowing cannot cure (narrowed multi-bucket stores)
+    must fall through to the worklist kernel, not route to
+    'panel-windowed' and raise at launch (round-4 review finding)."""
+    import jax.numpy as jnp
+
+    from waveforms_tpu.engine import classify_pallas_route
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    chans = _sparse_schedule(4, seed=5)
+    stop = 65.536e-6
+    low = lower_schedule(chans, 0, stop, FS, bucket_samples=8192)
+    assert low.shape[1] > 1                    # multi-bucket
+    kind_f32, _ = classify_pallas_route(low, out_dtype=jnp.float32)
+    kind_i16, plan = classify_pallas_route(low, out_dtype=jnp.int16)
+    if kind_f32 in ('panel', 'panel-windowed'):
+        # int16 + NB>1 is panel-ineligible: the sparse worklist kernel
+        # (which supports that combination) must take the route
+        assert kind_i16 == 'sparse' and plan is not None
+
+
+def test_sharded_combine_pair_false_planes():
+    """Pair-mode sharded synthesis as two f32 planes (no complex dtype
+    anywhere -- the tunnel-safe escape the single-chip paths have)."""
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.parallel.mesh import channel_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from waveforms_tpu.ops.sparse_synth import (
+        synthesize_panels_sharded, synthesize_sparse_sharded)
+
+    chans = [(0.4 + 0.6j) * ch for ch in _sparse_schedule(4, seed=9)]
+    stop = 8.192e-6
+    low = lower_schedule(chans, 0, stop, FS, part='complex')
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    for fn in (synthesize_panels_sharded, synthesize_sparse_sharded):
+        z = np.asarray(fn(low, mesh, Rs=8, interpret=True))
+        re, im = fn(low, mesh, Rs=8, interpret=True, combine_pair=False)
+        re, im = np.asarray(re), np.asarray(im)
+        assert re.dtype == np.float32 and im.dtype == np.float32
+        np.testing.assert_array_equal(re, z.real)
+        np.testing.assert_array_equal(im, z.imag)

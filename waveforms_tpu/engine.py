@@ -198,19 +198,18 @@ def classify_pallas_route(low, force=None, out_dtype=None):
         # step (r4_tiny_race_readme: panel 3.25 us vs dense 10.65 us on
         # the 10k-sample readme demo, reproduced across chip windows)
         small = padded_rows <= 2 * R
-        pair = low.amp_im is not None
         # force='sparse' must select the WORKLIST kernel (the engine
         # name promises one path -- it is the measurement lever for the
         # per-subtile kernel), so only force='panel' enters this branch
         if force == 'panel' or (force is None
                                 and (small or occ < _panel_threshold())):
+            od = out_dtype if out_dtype is not None else jnp.float32
             panel_plan = build_panel_plan(low, base=sparse_plan)
-            if panels_eligible(panel_plan,
-                               out_dtype if out_dtype is not None
-                               else jnp.float32, pair):
+            if panels_eligible(panel_plan, od):
                 return 'panel', panel_plan
             from .ops.sparse_synth import plan_panel_windows
-            windows = plan_panel_windows(low, base=sparse_plan)
+            windows = plan_panel_windows(low, base=sparse_plan,
+                                         out_dtype=od)
             if windows is not None:
                 return 'panel-windowed', windows
             if force == 'panel':

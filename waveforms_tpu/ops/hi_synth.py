@@ -450,7 +450,7 @@ def synthesize_hi_panels(dev, low=None, plan=None, Rs=32,
         if low is None:
             raise ValueError("synthesize_hi_panels needs `low` or `plan`")
         plan = build_panel_plan(low, Rs=Rs)
-    if not panels_eligible(plan, jnp.float32, False):
+    if not panels_eligible(plan, jnp.float32):
         raise UnsupportedFactor("worklist exceeds the panel SMEM budget")
     tensors = dev.tensors[:2] + dev.tensors[3:]
     hi, lo = _run_panels_hi(
@@ -477,7 +477,7 @@ def synthesize_hi_routed(low, combine: bool = True):
             sp = build_sparse_plan(low)
             if sp.occupied_fraction < _panel_threshold():
                 pp = build_panel_plan(low, base=sp)
-                if panels_eligible(pp, jnp.float32, False):
+                if panels_eligible(pp, jnp.float32):
                     return synthesize_hi_panels(low, plan=pp,
                                                 combine=combine)
                 from .sparse_synth import plan_panel_windows

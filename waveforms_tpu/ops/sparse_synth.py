@@ -433,12 +433,14 @@ def build_panel_plan(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
         bucket_samples=base.bucket_samples)
 
 
-def panels_eligible(plan: PanelPlan, out_dtype, pair: bool) -> bool:
+def panels_eligible(plan: PanelPlan, out_dtype) -> bool:
     """Static eligibility for the panel kernel.
 
     Multi-bucket schedules accumulate read-modify-write in the output
     dtype, so narrowed stores (bf16/f16) and int16 DAC codes require a
-    single bucket; the worklist must fit the SMEM budget."""
+    single bucket; the worklist must fit the SMEM budget.  (Pair mode
+    does not change eligibility: the second amplitude plane doubles
+    VMEM, not the SMEM worklist.)"""
     if (4 * len(plan.work_t) + len(plan.start)) * 4 > PANEL_WORK_SMEM_BUDGET:
         return False
     if plan.n_buckets > 1 and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32):
@@ -607,15 +609,22 @@ def _validate_panel_plan(plan: PanelPlan, dev: DeviceSchedule) -> None:
         raise ValueError(
             f"panel plan window ({plan.window_samples} samples) exceeds "
             f"the schedule ({dev.n_samples})")
-    if plan.n_live and int(plan.work_s1[:plan.n_live].max()) > S:
-        raise ValueError(
-            "panel plan indexes outside this schedule's segment lists -- "
-            "it was built from a different lowering")
+    if plan.n_live:
+        live = slice(0, plan.n_live)
+        n_rows = -(-dev.n_samples // 128)
+        n_tiles_abs = -(-n_rows // plan.Rs)   # work_t is absolute
+        if (int(plan.work_s1[live].max()) > S
+                or int(plan.work_t[live].max()) >= n_tiles_abs):
+            raise ValueError(
+                "panel plan indexes outside this schedule's descriptor "
+                f"blocks (shape {dev.shape}, {n_tiles_abs} subtiles) -- "
+                "it was built from a different lowering")
 
 
 def plan_panel_windows(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
                        base: SparsePlan | None = None,
-                       max_windows: int = 16) -> list[PanelPlan] | None:
+                       max_windows: int = 16,
+                       out_dtype=jnp.float32) -> list[PanelPlan] | None:
     """Split a schedule whose worklist exceeds the panel SMEM budget into
     item-balanced tile windows, each an eligible PanelPlan.
 
@@ -645,8 +654,11 @@ def plan_panel_windows(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
         if hi_t <= lo_t:
             continue
         p = build_panel_plan(low, Rs=Rs, tile_window=(lo_t, hi_t))
-        if not panels_eligible(p, jnp.float32, low.amp_im is not None):
-            return None          # a single column over budget: give up
+        if not panels_eligible(p, out_dtype):
+            # a single column over budget -- or a dtype rule windowing
+            # can never cure (narrowed multi-bucket stores): give up so
+            # the router falls through to the worklist kernel
+            return None
         plans.append(p)
     return plans or None
 
@@ -665,7 +677,7 @@ def synthesize_panels_windowed(dev: DeviceSchedule,
     SMEM budget (the 0.3-0.5 occupancy x large-window regime where the
     dense grid measures 5-12 GS/s, r4_occ_ladder_*)."""
     if plans is None:
-        plans = plan_panel_windows(low, Rs=Rs)
+        plans = plan_panel_windows(low, Rs=Rs, out_dtype=out_dtype)
         if plans is None:
             raise UnsupportedFactor(
                 "schedule cannot be windowed under the panel SMEM budget")
@@ -694,7 +706,7 @@ def synthesize_panels(dev: DeviceSchedule,
             raise ValueError("synthesize_panels needs `low` or `plan`")
         plan = build_panel_plan(low, Rs=Rs)
     _validate_panel_plan(plan, dev)
-    if not panels_eligible(plan, out_dtype, dev.amp_im is not None):
+    if not panels_eligible(plan, out_dtype):
         raise UnsupportedFactor(
             "schedule is outside the panel kernel's budgets (worklist "
             "SMEM or narrowed multi-bucket stores) -- use "
@@ -789,17 +801,24 @@ def shard_sparse_work(plan: SparsePlan, nc: int, nt: int, cs: int,
     lwo = np.full((nc, nt, K), tps, np.int32)
     lws0 = np.zeros((nc, nt, K), np.int32)
     lws1 = np.zeros((nc, nt, K), np.int32)
-    pos = np.zeros((nc, nt), np.int64)
-    for j in range(len(wc)):
-        a, b = ci[j], ti[j]
-        p = pos[a, b]
-        lwc[a, b, p] = wc[j] % cs
-        lwb[a, b, p] = wb[j] % nb_local        # local bucket index
-        lwt[a, b, p] = wt[j]                   # ABSOLUTE subtile (global t)
-        lwo[a, b, p] = wt[j] - b * tps         # local output subtile
-        lws0[a, b, p] = ws0[j]
-        lws1[a, b, p] = ws1[j]
-        pos[a, b] += 1
+    # vectorized scatter (the worklists this path exists for are the
+    # ones too big for the panel kernel's SMEM -- a per-item Python loop
+    # here would cost minutes of host planning at that scale): stable-
+    # sort by shard, rank within shard by position, one fancy-indexed
+    # write per field
+    shard = ci * nt + ti
+    order = np.argsort(shard, kind='stable')
+    offs = np.zeros(nc * nt + 1, np.int64)
+    np.add.at(offs, shard + 1, 1)
+    offs = np.cumsum(offs)
+    a, b = ci[order], ti[order]
+    p = np.arange(len(order), dtype=np.int64) - offs[shard[order]]
+    lwc[a, b, p] = (wc[order] % cs).astype(np.int32)
+    lwb[a, b, p] = (wb[order] % nb_local).astype(np.int32)   # local bucket
+    lwt[a, b, p] = wt[order].astype(np.int32)   # ABSOLUTE subtile
+    lwo[a, b, p] = (wt[order] - b * tps).astype(np.int32)    # local output
+    lws0[a, b, p] = ws0[order].astype(np.int32)
+    lws1[a, b, p] = ws1[order].astype(np.int32)
     return (lwc, lwb, lwt, lwo, lws0, lws1), counts, K
 
 
@@ -845,7 +864,8 @@ def synthesize_panels_sharded(low: LoweredSchedule, mesh,
                               interpret: bool = False,
                               plan: SparsePlan | None = None,
                               out_dtype=jnp.float32,
-                              dac_scale=32767.0) -> jax.Array:
+                              dac_scale=32767.0,
+                              combine_pair: bool = True) -> jax.Array:
     """Panel-kernel synthesis over a ('channel', 'time') device mesh.
 
     The multi-chip twin of :func:`synthesize_panels` (and the sharded
@@ -856,9 +876,12 @@ def synthesize_panels_sharded(low: LoweredSchedule, mesh,
     per-live-subtile grid-step cost.  Covers the full output surface
     (pair, int16, bf16, bucketed) under the same eligibility rules as
     the single-chip panel kernel, applied per shard.
-    """
-    import functools
 
+    ``combine_pair=False`` returns pair-mode output as two separate f32
+    (re, im) plane arrays instead of complex64 -- the same escape the
+    single-chip paths offer for runtimes whose complex transfers are
+    broken (the tunneled dev chip) and for labs feeding separate DACs.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P_
 
     from ..parallel.mesh import shard_schedule
@@ -921,13 +944,17 @@ def synthesize_panels_sharded(low: LoweredSchedule, mesh,
         scale_t = jax.device_put(_pad_channels(np.asarray(scale), c_pad),
                                  NamedSharding(mesh, chan_spec))
 
+    split = pair and not combine_pair
+    out_spec = ((P_('channel', 'time'),) * 2 if split
+                else P_('channel', 'time'))
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(spec3,) * 5 + (in_spec,) * 10
         + (P_(None, None, None, None), chan_spec)
         + ((in_spec,) if pair else ())
         + ((chan_spec,) if dac else ()),
-        out_specs=P_('channel', 'time'),
+        out_specs=out_spec,
         check_vma=False)
     def run(startl, wtl, wol, ws0l, ws1l, seg_lo, seg_hi, nterm, nfac,
             amp, op, pw, sh, q32, args, ext, clip, *rest):
@@ -939,11 +966,17 @@ def synthesize_panels_sharded(low: LoweredSchedule, mesh,
             rest[-1] if dac else None,
             S=S, T=T, F=F, Rs=Rs, P=P, NP=NP, interpret=interpret,
             out_dtype=out_dtype)
+
+        def window(o):
+            return o.reshape(o.shape[0], -1)[:, :local_samples]
+
         if pair:
             re, im = out
+            if not combine_pair:
+                return window(re), window(im)
             out = (re.astype(jnp.complex64)
                    + 1j * im.astype(jnp.complex64))
-        return out.reshape(out.shape[0], -1)[:, :local_samples]
+        return window(out)
 
     out = run(*work, tensors['seg_lo'], tensors['seg_hi'],
               tensors['nterm'], tensors['nfac'], tensors['amp'],
@@ -951,6 +984,8 @@ def synthesize_panels_sharded(low: LoweredSchedule, mesh,
               tensors['args'], tensors['ext'], tensors['clip'],
               *((tensors['amp_im'],) if pair else ()),
               *((scale_t,) if dac else ()))
+    if split:
+        return (out[0][:C, :low.n_samples], out[1][:C, :low.n_samples])
     return out[:C, :low.n_samples]
 
 
@@ -959,7 +994,8 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
                               interpret: bool = False,
                               plan: SparsePlan | None = None,
                               out_dtype=jnp.float32,
-                              dac_scale=32767.0) -> jax.Array:
+                              dac_scale=32767.0,
+                              combine_pair: bool = True) -> jax.Array:
     """Sparse worklist synthesis over a ('channel', 'time') device mesh.
 
     The global worklist partitions by (channel shard, time shard) -- each
@@ -972,9 +1008,9 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     and bucketed descriptors -- bucket windows shard along 'time' exactly
     like :func:`waveforms_tpu.parallel.mesh.synthesize_sharded`, so the
     ``wt // tps`` shard map respects bucket boundaries by construction.
+    ``combine_pair=False`` returns pair-mode output as two f32 (re, im)
+    planes instead of complex64 (see synthesize_panels_sharded).
     """
-    import functools
-
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import shard_schedule
@@ -998,7 +1034,6 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
         nb_local = nb_pad // nt
         tps = nb_local * G_b
         tensors, _ = shard_schedule(low, mesh, nb_pad=nb_pad)
-        NB_l = nb_local
         bucket_spec = 'time'
     else:
         n_rows = -(-low.n_samples // 128)
@@ -1006,7 +1041,6 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
         tiles_pad = -(-n_tiles // nt) * nt
         tps = tiles_pad // nt                  # subtiles per time shard
         tensors, _ = shard_schedule(low, mesh)
-        NB_l = 1
         nb_local = 1
         bucket_spec = None
 
@@ -1031,13 +1065,17 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
         scale_t = jax.device_put(_pad_channels(np.asarray(scale), c_pad),
                                  NamedSharding(mesh, chan_spec))
 
+    split = pair and not combine_pair
+    out_spec = ((P('channel', 'time'),) * 2 if split
+                else P('channel', 'time'))
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(spec3,) * 6 + (in_spec,) * 10
         + (P(None, None, None, None), chan_spec)
         + ((in_spec,) if pair else ())
         + ((chan_spec,) if dac else ()),
-        out_specs=P('channel', 'time'),
+        out_specs=out_spec,
         check_vma=False)
     def run(wcl, wbl, wtl, wol, ws0l, ws1l, seg_lo, seg_hi, nterm, nfac,
             amp, op, pw, sh, q32, args, ext, clip, *rest):
@@ -1049,11 +1087,17 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
             rest[-1] if dac else None,
             S=S, T=T, F=F, Rs=Rs, n_tiles=tps, interpret=interpret,
             out_dtype=out_dtype)
+
+        def window(o):
+            return o.reshape(o.shape[0], -1)[:, :local_samples]
+
         if pair:
             re, im = out
+            if not combine_pair:
+                return window(re), window(im)
             out = (re.astype(jnp.complex64)
                    + 1j * im.astype(jnp.complex64))
-        return out.reshape(out.shape[0], -1)[:, :local_samples]
+        return window(out)
 
     out = run(*work, tensors['seg_lo'], tensors['seg_hi'],
               tensors['nterm'], tensors['nfac'], tensors['amp'],
@@ -1061,4 +1105,6 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
               tensors['args'], tensors['ext'], tensors['clip'],
               *((tensors['amp_im'],) if pair else ()),
               *((scale_t,) if dac else ()))
+    if split:
+        return (out[0][:C, :low.n_samples], out[1][:C, :low.n_samples])
     return out[:C, :low.n_samples]
