@@ -109,13 +109,6 @@ class UnsupportedFactor(Exception):
     """Factor has no kernel lowering; caller should use the XLA fallback."""
 
 
-def _split_f32(x: float) -> tuple[np.float32, np.float32]:
-    """Split a float64 into a double-f32 (hi, lo) pair, hi+lo ~ x exactly."""
-    hi = np.float32(x)
-    lo = np.float32(x - float(hi))
-    return hi, lo
-
-
 def _split_shift(offset_samples: float) -> tuple[int, float]:
     """Split a (possibly huge) shift in samples into int32 + small f32 frac.
 
@@ -165,25 +158,16 @@ def _drag_sin_static(width, delta, block_freq, coeff_norm):
     Omega_j(x) = sum_p C[j,p] * sin(o*bt)^p * (cos(o*bt) if p odd) off the
     plateau and Omega_j = flat[j] on it (cf. models/multy_drag.py).
     """
-    from ..models.multy_drag import B_series_mat, sin_power_derivative_table
-    bs, m = [], 2
-    if block_freq is not None:
-        bs = 1 / np.pi / 2 / (np.asarray(block_freq) - delta)
-        m = max((len(bs) + 2) >> 1 << 1, m)
+    # the model's own setup/normalization (models/multy_drag.py) IS the
+    # oracle the kernel must match -- call it, never re-derive it here
+    from ..models.multy_drag import _blocking_setup, _normalization
+    bs, m, o, B_mat, A_mat = _blocking_setup(width, delta, block_freq)
     if m > DRAG_SIN_MAXM:
         raise UnsupportedFactor(f"drag_sin order {m} > {DRAG_SIN_MAXM}")
-    B_mat = B_series_mat(np.asarray(bs))
-    o = np.pi / width
-    A_mat = sin_power_derivative_table(m, len(bs), o)
 
     C = np.einsum('ij,ip->jp', B_mat[:, :, 0], A_mat)  # (2, m+1)
 
-    peak = np.ones([m + 1])
-    peak[1::2] = 0
-    peak = A_mat @ peak
-    coe = np.einsum('ijk,ki->j', B_mat,
-                    np.array([peak, np.zeros_like(peak)]))
-    coeff = np.sqrt(np.sum(np.abs(coe)**2)) if coeff_norm else 1.0
+    coeff = _normalization(B_mat, A_mat, m) if coeff_norm else 1.0
 
     # plateau: base_0 == 1, base_{p>0} == 0, and row 0 overridden to 1
     flat = (B_mat[0, :, 0]
@@ -758,9 +742,17 @@ def _expand_interp(bounds, seq):
                             _, xstart, xstop, points, s = (None, *f[1:])
                             n = len(points)
                             step = (xstop - xstart) / (n - 1)
-                            # the piece lies within one knot interval of f:
-                            # index it from whichever edge is finite
-                            if piece_lo != -np.inf:
+                            # the piece lies within one knot interval of
+                            # f: index by the piece MIDPOINT when both
+                            # edges are finite -- edge-based floor is one
+                            # ulp from a knot and can off-by-one at large
+                            # |s| (round-4 review finding; a 1-ulp sliver
+                            # then carries the neighbor interval's slope)
+                            if piece_lo != -np.inf and piece_hi != np.inf:
+                                k = int(np.floor(
+                                    (0.5 * (piece_lo + piece_hi)
+                                     - s - xstart) / step))
+                            elif piece_lo != -np.inf:
                                 k = int(np.floor(
                                     (piece_lo - s - xstart) / step + 1e-9))
                             else:
