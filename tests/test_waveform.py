@@ -367,3 +367,19 @@ def test_cut_head_tail_offsets():
     c2 = cut(w, stop=3.0, tail=10.0)   # offset by 10 - w(3) = +7
     np.testing.assert_allclose(c2(np.array([0.0, 2.0, 5.0])),
                                [7.0, 9.0, 0.0], atol=1e-12)
+
+
+def test_mask_negative_edge_collapses_region():
+    """A negative edge wider than half the region drops the gate instead
+    of emitting inverted (non-monotonic) bounds (round-4 review)."""
+    from waveforms_tpu import square
+
+    m = square(2).mask(edge=-2)
+    bs = [b for b in m.bounds if np.isfinite(b)]
+    assert all(b1 < b2 for b1, b2 in zip(bs, bs[1:]))
+    t = np.linspace(-3, 3, 101)
+    np.testing.assert_array_equal(np.asarray(m(t)), 0.0)
+    # a mild negative edge still shrinks, not drops
+    m2 = square(2).mask(edge=-0.5)
+    v = np.asarray(m2(t))
+    assert v.max() == 1.0 and v[np.abs(t) > 0.5 + 1e-9].max() == 0.0

@@ -398,6 +398,10 @@ class Waveform:
         grown = []
         for lo, hi in self._active_intervals():
             lo, hi = lo - edge, hi + edge
+            if hi <= lo:
+                continue    # negative edge collapsed the region: no gate
+                            # (the reference's pop-guard equivalent --
+                            # inverted bounds would be silently invalid)
             if grown and lo <= grown[-1][1]:
                 grown[-1] = (grown[-1][0], max(hi, grown[-1][1]))
             else:
