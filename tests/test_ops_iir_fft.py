@@ -213,3 +213,22 @@ def test_sharded_fft_convolution_f64_precision():
                                           ker, mesh))
     want = np.fft.ifft(np.fft.fft(x) * np.fft.fft(ker, n=N)).real
     assert np.abs(got - want).max() < 1e-10
+
+
+def test_sosfilt_near_unit_double_pole_matches_scipy():
+    """A biquad with a clustered near-unit double pole routes to the
+    sequential fallback like lfilter does (round-4 review: the doubling
+    scan diverges there, and the two entry points must agree)."""
+    from scipy.signal import sosfilt as sp_sosfilt
+
+    r = 1 - 1e-8
+    # double pole at r: a = (1, -2r, r^2)
+    sos = np.array([[1.0, 0.0, 0.0, 1.0, -2 * r, r * r]])
+    from waveforms_tpu.ops import iir
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(200_000)
+    got = np.asarray(iir.sosfilt(jnp.asarray(sos), jnp.asarray(x)))
+    want = sp_sosfilt(sos, x)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-9

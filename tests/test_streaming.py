@@ -118,3 +118,34 @@ def test_stream_complex_pair_filters_two_channels():
                + 1j * sp_sosfilt(sos, whole[c].imag.astype(float)))
         scale = np.abs(ref).max()
         assert np.abs(got[c] - ref).max() / scale < 2e-6
+
+
+def test_stream_complex_pair_nonzero_initial():
+    """The DC 'initial' setpoint shifts the REAL plane only, matching the
+    host path's sosfilt(sos, sig - initial) where complex minus a real
+    scalar leaves imag untouched (round-4 review finding)."""
+    from scipy.signal import sosfilt as sp_sosfilt
+
+    from waveforms_tpu import mixing
+    I, Q = mixing(0.5 * cosPulse(50e-9), freq=-80e6, DRAGScaling=1e-10)
+    rng = np.random.default_rng(7)
+    stack = WaveVStack([((I + 1j * Q) >> o)
+                        for o in rng.uniform(0, 7e-6, 20)])
+    low = lower_schedule([stack], 0, 8.192e-6, 2e9, part='complex',
+                         bucket_samples=2048)
+    dev = DeviceSchedule(low)
+    whole = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                         interpret=True))
+    b, a = butter(3, 0.05)
+    sos = tf2sos(b, a)
+    initial = 0.25
+    chunks = [np.asarray(c) for c in
+              synthesize_stream(dev, chunk_rows=32, rows_per_tile=8,
+                                filters=(sos, initial), interpret=True)]
+    got = np.concatenate(chunks, axis=1)
+    # host semantics: (sig - initial) shifts the real plane only
+    ref_re = sp_sosfilt(sos, whole[0].real.astype(float) - initial) + initial
+    ref_im = sp_sosfilt(sos, whole[0].imag.astype(float))
+    ref = ref_re + 1j * ref_im
+    scale = max(np.abs(ref).max(), 1e-30)
+    assert np.abs(got[0] - ref).max() / scale < 1e-5

@@ -463,8 +463,6 @@ def sample(wav: Waveform, sample_rate=None, engine: str = 'auto'):
         return _sosfilt(sos, sig)
     import jax.numpy as jnp
 
-    from .ops.iir import sosfilt as _sosfilt_dev
+    from .ops.iir import iir_apply as _iir_apply_dev
     sosd = jnp.asarray(np.asarray(sos, dtype=float), dtype=sig.dtype)
-    if initial:
-        return _sosfilt_dev(sosd, sig - initial) + initial
-    return _sosfilt_dev(sosd, sig)
+    return _iir_apply_dev(sosd, sig, initial)

@@ -24,23 +24,6 @@ __all__ = ['sosfilt', 'lfilter', 'filter_zpk', 'iir_apply',
            'predistort_jax']
 
 
-def _affine_scan(M: jax.Array, v: jax.Array) -> jax.Array:
-    """Scan the affine recurrence s[n] = M[n] @ s[n-1] + v[n] (s[-1] = 0).
-
-    M: (n, d, d) per-sample maps; v: (n, d).  Returns s: (n, d).  Use
-    :func:`_affine_scan_const` when M is sample-independent (every IIR
-    here) -- this general form hauls (n, d, d) matrices through the scan.
-    """
-
-    def combine(a, b):
-        Ma, va = a
-        Mb, vb = b
-        return Mb @ Ma, jnp.einsum('...ij,...j->...i', Mb, va) + vb
-
-    _, s = jax.lax.associative_scan(combine, (M, v))
-    return s
-
-
 def _affine_scan_const(M: jax.Array, v: jax.Array) -> jax.Array:
     """s[n] = M @ s[n-1] + v[n] (s[-1] = 0) for a CONSTANT recurrence map.
 
@@ -237,12 +220,39 @@ def sosfilt(sos: jax.Array, x: jax.Array, zi: jax.Array | None = None):
     sos: (n_sections, 6); x: (n,).  With ``zi`` of shape (n_sections, 2),
     returns ``(y, zf)``; without, returns ``y`` (zero initial state).
     """
+    # concrete coefficients allow the same stability routing as lfilter:
+    # a clustered near-unit double pole makes the doubling scan diverge,
+    # so that section runs the sequential fallback instead (traced sos
+    # can't be inspected and keeps the parallel path)
+    try:
+        sos_np = np.asarray(sos, dtype=float)
+    except Exception:
+        sos_np = None
     sos = jnp.asarray(sos, dtype=x.dtype)
     return_zf = zi is not None
     if zi is None:
         zi = jnp.zeros((sos.shape[0], 2), dtype=x.dtype)
     zf = []
     for k in range(sos.shape[0]):
+        if sos_np is not None:
+            a_np = sos_np[k, 3:] / sos_np[k, 3]
+            M_np = np.array([[-a_np[1], 1.0], [-a_np[2], 0.0]])
+            # a DEFECTIVE near-unit section (repeated root at |r| ~ 1,
+            # e.g. matched-z of a double pole) grows only linearly --
+            # under the norm limit -- yet its non-diagonalizable powers
+            # still amplify scan rounding to ~1e-3 over 1e5 samples
+            # (measured); catch it by the discriminant
+            disc = a_np[1] ** 2 - 4.0 * a_np[2]
+            defective = (abs(disc) <= 1e-9 * max(1.0, a_np[1] ** 2)
+                         and np.abs(np.roots([1.0, a_np[1], a_np[2]])
+                                    ).max() > 1.0 - 1e-4)
+            if defective or _doubling_unstable(M_np, x.shape[0]):
+                b_np = sos_np[k, :3] / sos_np[k, 3]
+                x, z = _sequential_filter(b_np, a_np, x,
+                                          jnp.asarray(zi[k],
+                                                      dtype=x.dtype))
+                zf.append(z)
+                continue
         b = sos[k, :3] / sos[k, 3]
         a = sos[k, 3:] / sos[k, 3]
         x, z = _biquad(x, b, a, zi[k])
@@ -318,12 +328,9 @@ def predistort_jax(sig: jax.Array, filters=None, ker=None,
     ``initial`` handling included) with XLA scan + rfft instead of scipy.
     """
     if filters is not None:
-        from scipy.signal import lfiltic
-
-        from ..distortion import combine_filters
+        from ..distortion import _steady_state_zi, combine_filters
         b, a = combine_filters(filters)
-        zi = lfiltic(b, a, np.full(len(a) - 1, initial),
-                     np.full(len(b) - 1, initial))
+        zi = _steady_state_zi(b, a, initial, None, None)
         sig, _ = lfilter(b, a, sig, zi=jnp.asarray(zi, dtype=sig.dtype))
     if ker is None:
         return sig

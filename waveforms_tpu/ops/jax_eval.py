@@ -143,11 +143,8 @@ def sample_waveform(wav: Waveform, sample_rate=None, dtype=None) -> jax.Array:
         t = t.astype(dtype)
     sig = evaluate(wav, jnp.asarray(t))
     if wav.filters is not None:
-        from .iir import sosfilt
+        from .iir import iir_apply
         sos, initial = wav.filters
         sos = jnp.asarray(np.asarray(sos, dtype=float))
-        if initial:
-            sig = sosfilt(sos, sig - initial) + initial
-        else:
-            sig = sosfilt(sos, sig)
+        sig = iir_apply(sos, sig, initial)
     return sig

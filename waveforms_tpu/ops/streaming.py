@@ -101,20 +101,24 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
 
         if filters is not None:
             if jnp.iscomplexobj(sig):
-                re = sig.real.astype(sos.dtype)
-                im = sig.imag.astype(sos.dtype)
+                # one batched sosfilt over (2C, n) stacked planes; the
+                # DC 'initial' setpoint shifts the REAL plane only --
+                # the host path computes sosfilt(sos, sig - initial)
+                # where complex-minus-real-scalar leaves imag untouched
+                # (round-4 review: shifting imag too injected a decaying
+                # transient into every streamed pair-mode chunk)
+                planes = jnp.concatenate(
+                    [sig.real.astype(sos.dtype),
+                     sig.imag.astype(sos.dtype)])
                 if initial:
-                    re = re - initial
-                    im = im - initial
-                re, z0 = jax.vmap(lambda x, z: sosfilt(sos, x, zi=z))(
-                    re, zi[0])
-                im, z1 = jax.vmap(lambda x, z: sosfilt(sos, x, zi=z))(
-                    im, zi[1])
-                zi = jnp.stack([z0, z1])
+                    planes = planes.at[:C].add(-initial)
+                planes, zi = jax.vmap(
+                    lambda x, z: sosfilt(sos, x, zi=z))(
+                        planes, zi.reshape((2 * C,) + zi.shape[2:]))
+                zi = zi.reshape((2, C) + zi.shape[1:])
                 if initial:
-                    re = re + initial
-                    im = im + initial
-                sig = re + 1j * im
+                    planes = planes.at[:C].add(initial)
+                sig = planes[:C] + 1j * planes[C:]
             else:
                 sig = sig.astype(sos.dtype)  # f64 filtering under x64
                 if initial:
