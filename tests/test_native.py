@@ -249,3 +249,34 @@ def test_package_degrades_without_toolchain():
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-500:]
     assert 'degraded-ok' in r.stdout
+
+
+def test_native_lowering_interleaved_ext_dedup():
+    """Dedup HIT after another block was appended: the re-used factor's
+    length slot must be the original block's length, not the buffer tail
+    (round-4 review -- the tail length spanned both blocks, defeating
+    cross-channel dedup and corrupting the merged slices)."""
+    from waveforms_tpu import drag_sin, drag_sinx
+    from waveforms_tpu.core import WaveVStack
+    import waveforms_tpu.ops.lowering as L
+
+    if not native.lower_available():
+        pytest.skip(f"no lowering extension: {native._lower_error}")
+    bf = (151e6,)
+    a = drag_sin(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                 block_freq=bf, phase=0.1)
+    b = drag_sinx(0.2e9, 22.3e-9, plateau=6.1e-9, delta=3e6,
+                  block_freq=bf, phase=0.1, tab=0.5)
+    # one channel: A, then B (new key), then A again (dedup hit)
+    ch = WaveVStack([a, b >> 60e-9, a >> 120e-9])
+    low = L.lower_schedule([ch], -5e-9, 160e-9, 2e9)
+    orig = L._lower_schedule_native
+    L._lower_schedule_native = lambda *a_, **k_: None
+    try:
+        low_py = L.lower_schedule([ch], -5e-9, 160e-9, 2e9)
+    finally:
+        L._lower_schedule_native = orig
+    # args slot 8 carries the ext block length -- must match Python's
+    np.testing.assert_allclose(low.args, low_py.args, atol=1e-12)
+    assert low.ext.size == low_py.ext.size
+    np.testing.assert_allclose(low.ext, low_py.ext, rtol=1e-10, atol=1e-18)

@@ -42,14 +42,22 @@ def _build() -> None:
     # unique temp names + atomic rename: concurrent builders never clobber
     tmp = f"{_LIB}.{os.getpid()}"
     obj = tmp + '.o'
-    subprocess.run(['g++', '-O3', '-march=native', '-ffast-math',
-                    '-fopenmp', '-fPIC', '-c', _SRC, '-o', obj],
-                   check=True, capture_output=True, text=True)
-    subprocess.run(['g++', '-shared', '-fopenmp', '-o', tmp, obj,
-                    '-lmvec', '-lm'],
-                   check=True, capture_output=True, text=True)
-    os.unlink(obj)
-    os.replace(tmp, _LIB)
+    try:
+        subprocess.run(['g++', '-O3', '-march=native', '-ffast-math',
+                        '-fopenmp', '-fPIC', '-c', _SRC, '-o', obj],
+                       check=True, capture_output=True, text=True)
+        subprocess.run(['g++', '-shared', '-fopenmp', '-o', tmp, obj,
+                        '-lmvec', '-lm'],
+                       check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
+    finally:
+        # a failed compile/link must not strand tmp artifacts in the
+        # package dir (one pair per failing import attempt)
+        for leftover in (obj, tmp):
+            try:
+                os.unlink(leftover)
+            except OSError:
+                pass
 
 
 def _load():
@@ -103,11 +111,17 @@ def _load_lower():
                     < os.path.getmtime(_LOWER_SRC)):
                 inc = sysconfig.get_paths()['include']
                 tmp = f"{_LOWER_LIB}.{os.getpid()}"
-                subprocess.run(
-                    ['g++', '-O3', '-march=native', '-shared', '-fPIC',
-                     f'-I{inc}', _LOWER_SRC, '-o', tmp],
-                    check=True, capture_output=True, text=True)
-                os.replace(tmp, _LOWER_LIB)
+                try:
+                    subprocess.run(
+                        ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+                         f'-I{inc}', _LOWER_SRC, '-o', tmp],
+                        check=True, capture_output=True, text=True)
+                    os.replace(tmp, _LOWER_LIB)
+                finally:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
             _lower_mod = _import_lower(_LOWER_LIB)
         except Exception as exc:
             try:

@@ -85,12 +85,16 @@ struct Emit {
   std::vector<FactorRow> facs;
   // float64 side-buffer + dedup of identical static blocks
   std::vector<double> ext;
-  std::map<std::vector<double>, int64_t> ext_index;
+  std::map<std::vector<double>, std::pair<int64_t, int64_t>>
+      ext_index;  // dedup key -> (offset, length) of the shared block
 };
 
 double as_double(PyObject* o) {
   double v = PyFloat_AsDouble(o);
-  if (v == -1.0 && PyErr_Occurred()) throw Unsupported{};
+  // clear the indicator before throwing: Unsupported means "fall back
+  // to the Python lowering", and a live PyErr would turn the fallback
+  // into a user-visible TypeError at the return-None check
+  if (v == -1.0 && PyErr_Occurred()) { PyErr_Clear(); throw Unsupported{}; }
   return v;
 }
 
@@ -99,7 +103,7 @@ long as_long(PyObject* o) {
   if (!idx) { PyErr_Clear(); throw Unsupported{}; }
   long v = PyLong_AsLong(idx);
   Py_DECREF(idx);
-  if (v == -1 && PyErr_Occurred()) throw Unsupported{};
+  if (v == -1 && PyErr_Occurred()) { PyErr_Clear(); throw Unsupported{}; }
   return v;
 }
 
@@ -572,9 +576,10 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
                               tab, dt};
       key.insert(key.end(), block.begin(), block.end());
       auto it = em.ext_index.find(key);
-      int64_t off;
+      int64_t off, blk_len;
       if (it != em.ext_index.end()) {
-        off = it->second;
+        off = it->second.first;
+        blk_len = it->second.second;
       } else {
         DragSinStatic s = drag_sin_static(width, delta, block, !sinx);
         off = static_cast<int64_t>(em.ext.size());
@@ -608,10 +613,14 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
             }
           }
         }
-        em.ext_index.emplace(std::move(key), off);
+        blk_len = static_cast<int64_t>(em.ext.size()) - off;
+        em.ext_index.emplace(std::move(key), std::make_pair(off, blk_len));
       }
       r.a[7] = static_cast<float>(off);
-      r.a[8] = static_cast<float>(em.ext.size() - off);
+      // the block's OWN length, not the buffer tail: a dedup hit after
+      // other blocks were appended must restore the original span
+      // (round-4 review -- the tail length defeated dedup downstream)
+      r.a[8] = static_cast<float>(blk_len);
       break;
     }
     default:
@@ -655,7 +664,6 @@ void lower_pieces(PyObject* pieces, const double* grid, int64_t n_grid,
       const Py_ssize_t nterm = tuple_size(terms);
       if (tuple_size(amps) != nterm) throw Unsupported{};
       if (lo < hi && nterm > 0) {
-        const size_t seg_mark = out->term_amp.size();
         int32_t emitted_terms = 0;
         for (Py_ssize_t ti = 0; ti < nterm; ++ti) {
           PyObject* amp_o = tuple_item(amps, ti);
@@ -689,10 +697,8 @@ void lower_pieces(PyObject* pieces, const double* grid, int64_t n_grid,
           out->seg_lo.push_back(lo);
           out->seg_hi.push_back(hi);
           out->seg_nterm.push_back(emitted_terms);
-        } else {
-          // roll back nothing: no terms/factors were emitted
-          (void)seg_mark;
         }
+        // (emitted_terms == 0: nothing was pushed, nothing to roll back)
       }
       lo = hi;
     }
@@ -721,6 +727,7 @@ PyObject* py_lower_channel(PyObject*, PyObject* args) {
     lower_pieces(pieces, grid, n_grid, start, dt, want_imag, &out);
   } catch (Unsupported&) {
     ok = false;
+    PyErr_Clear();   // Unsupported == intentional Python-path fallback
   }
   PyBuffer_Release(&gridbuf);
   if (PyErr_Occurred()) return nullptr;

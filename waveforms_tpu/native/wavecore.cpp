@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <limits>
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -31,6 +32,14 @@
 #endif
 
 namespace {
+
+// infinity test by bit pattern: immune to -ffinite-math-only, under
+// which the compiler folds std::isinf(x) to false
+inline bool bits_inf(double x) {
+  uint64_t u;
+  std::memcpy(&u, &x, sizeof u);
+  return (u & 0x7FFFFFFFFFFFFFFFull) == 0x7FF0000000000000ull;
+}
 // Scoped FTZ/DAZ: flush-to-zero makes denormal-heavy tails (gaussian,
 // exp) run at full speed, but must NOT leak into the host process the way
 // crtfastmath.o would -- save and restore per call (and per OpenMP thread).
@@ -255,6 +264,11 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
       const double a1 = f.a[1], a2 = f.a[2];
       const double* tab = f.ext + static_cast<int64_t>(f.a[7]);
       const int np = static_cast<int>(f.a[8]);
+      if (np < 2) {  // degenerate table: constant fill, no tab[-1] read
+        const double v = np == 1 ? tab[0] : 0.0;
+        for (int i = 0; i < n; ++i) buf[i] = v;
+        break;
+      }
       for (int i = 0; i < n; ++i) {
         double pos = a1 * (di0 + i - frac) + a2;
         pos = std::min(std::max(pos, 0.0), static_cast<double>(np - 1));
@@ -345,7 +359,9 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
     default:
       for (int i = 0; i < n; ++i) buf[i] = 0.0;
   }
-  if (f.power != 1) {
+  if (f.power == 0) {          // x**0 == 1, matching the other engines
+    for (int i = 0; i < n; ++i) buf[i] = 1.0;
+  } else if (f.power != 1) {
     const int p = f.power < 0 ? -f.power : f.power;
     const bool inv = f.power < 0;
     for (int i = 0; i < n; ++i) {
@@ -407,7 +423,9 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
                          : nullptr;
       const double cmin = clip[2 * c];
       const double cmax = clip[2 * c + 1];
-      const bool has_clip = !(std::isinf(cmin) && std::isinf(cmax));
+      // bit test, not std::isinf: -ffinite-math-only folds isinf to
+      // false, which made EVERY channel pay the clamp pass (review r4)
+      const bool has_clip = !(bits_inf(cmin) && bits_inf(cmax));
       const int64_t bucket_lo = static_cast<int64_t>(b) * bucket_samples;
       const int64_t bucket_hi =
           std::min<int64_t>(bucket_lo + bucket_samples, n_samples);
@@ -425,11 +443,17 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
           const double a0 = amp[ti];
           const double a0i = pair ? amp_im[ti] : 0.0;
           const int32_t nf = nfac[ti];
-          // F is host-padded; descriptor factor counts never exceed the
-          // static factor axis, but guard anyway rather than truncate
+          // F is host-padded and lower_schedule enforces F <= 32; a
+          // hand-built descriptor above that must fail LOUDLY (NaN),
+          // never silently drop factors
           constexpr int kMaxFac = 32;
           Factor facs[kMaxFac];
-          const int n_use = std::min<int32_t>(nf, kMaxFac);
+          if (nf > kMaxFac) {
+            for (int64_t i = lo; i < hi; ++i)
+              ch[i] = std::numeric_limits<double>::quiet_NaN();
+            continue;
+          }
+          const int n_use = nf;
           for (int f = 0; f < n_use; ++f) {
             const int64_t fi = ti * F + f;
             facs[f] = Factor{op[fi], power[fi], shift_hi[fi],
