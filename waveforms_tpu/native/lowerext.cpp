@@ -689,6 +689,7 @@ void lower_pieces(PyObject* pieces, const double* grid, int64_t n_grid,
             double pw_d = as_double(pw);
             long pw_l = static_cast<long>(pw_d);
             if (pw_d != static_cast<double>(pw_l)) throw Unsupported{};
+            if (pw_l == 0) throw Unsupported{};  // matches lowering.py
             out->facs.push_back(lower_factor(
                 PyTuple_GET_ITEM(factors, fi2), pw_l, start, dt, *out));
           }

@@ -189,6 +189,13 @@ def _lower_factor(factor, power, start: float, dt: float,
     if power != int(power):
         raise UnsupportedFactor(f"non-integer power {power}")
     power = int(power)
+    if power == 0:
+        # x**0 == 1 exactly, but the kernels' power unroll (fori 1..|p|)
+        # and the C++ engine would evaluate it as x -- the algebra layer
+        # cancels zero powers, so one can only arrive via hand-built IR;
+        # fall back rather than diverge silently (round-4 review)
+        raise UnsupportedFactor("power 0 (constant factor) -- simplify "
+                                "the IR first")
     a = np.zeros(W_ARGS, dtype=np.float64)
 
     def plain_shift():
