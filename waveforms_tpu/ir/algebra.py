@@ -106,15 +106,21 @@ def add(x, y):
 
 
 def mul(x, y):
-    """Product of two expressions: cartesian product of their terms."""
+    """Product of two expressions: cartesian product of their terms.
+
+    Each insert searches the FULL term list: the merged keys
+    ``add(tx, ty)`` are not monotone over the cartesian product, so the
+    ascending-window reuse that ``add`` enjoys is invalid here -- the
+    reference carried the window anyway and emitted unsorted/duplicate
+    term lists for multi-term products, breaking exact cancellation and
+    structural equality (documented divergence, docs/PARITY.md)."""
     keys: list = []
     vals: list = []
-    lo, hi = 0, 0
     for (tx, ty), (vx, vy) in zip(product(x[0], y[0]), product(x[1], y[1])):
         v = vx * vy
         if v == 0:
             continue
-        lo, hi = _insert_pair(keys, vals, add(tx, ty), v, lo, hi)
+        _insert_pair(keys, vals, add(tx, ty), v, 0, len(keys))
     return tuple(keys), tuple(vals)
 
 

@@ -17,13 +17,12 @@ from __future__ import annotations
 import numpy as np
 from numpy import pi
 
-from .algebra import ZERO, add, const, is_const, mul
+from .algebra import ONE, ZERO, add, const, is_const, mul
 from .registry import (COS, COSH, D_GAUSSIAN, ERF, EXP, EXPONENTIALCHIRP,
                        GAUSSIAN, HYPERBOLICCHIRP, INTERP, LINEAR, LINEARCHIRP,
                        MOLLIFIER, SINC, SINH, derivativeBaseFunc,
                        registerDerivative)
 
-ONE = const(1.0)
 
 
 def _derive_factor(factor):

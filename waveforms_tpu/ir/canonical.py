@@ -26,10 +26,9 @@ from math import comb
 
 import numpy as np
 
-from .algebra import ZERO, add, basic_wave, const, is_const, mul
+from .algebra import ONE, ZERO, add, basic_wave, const, is_const, mul
 from .registry import COS, EXP, GAUSSIAN
 
-ONE = const(1.0)
 
 
 def _cos_power_to_harmonics(factor, n):
@@ -97,24 +96,29 @@ def _reduce_term(term, v):
     """Canonicalize one term: expand cos powers, merge exp and gaussian."""
     trig = ONE
     alpha = 0
-    shift = 0
+    wsum = 0            # accumulated n_i * alpha_i * shift_i
     factors, powers = [], []
     for factor, n in zip(*term):
         if factor[0] == COS:
             trig = _trig_mul(trig, _cos_power_to_harmonics(factor, n))
         elif factor[0] == EXP:
-            weighted = alpha * shift + n * factor[1] * factor[-1]
+            # prod e^{n_i a_i (t - s_i)} = e^{A t - W}: track A and W
+            # directly -- the reference's running-shift form zeroed W
+            # whenever A passed through 0, silently dropping the
+            # residual constant e^{-W} (documented divergence,
+            # docs/PARITY.md)
+            wsum += n * factor[1] * factor[-1]
             alpha += n * factor[1]
-            shift = 0 if alpha == 0 else weighted / alpha
         elif factor[0] == GAUSSIAN and n != 1:
             factors.append((factor[0], factor[1] / np.sqrt(n), factor[2]))
             powers.append(1)
         else:
             factors.append(factor)
             powers.append(n)
-    out = (((tuple(factors), tuple(powers)),), (v,))
+    amp = v if alpha != 0 or wsum == 0 else v * np.exp(-wsum)
+    out = (((tuple(factors), tuple(powers)),), (amp,))
     if alpha != 0:
-        out = mul(out, basic_wave(EXP, alpha, shift=shift))
+        out = mul(out, basic_wave(EXP, alpha, shift=wsum / alpha))
     return mul(out, trig)
 
 

@@ -77,15 +77,18 @@ def wave_sum(waves):
             bounds = list(bounds_)
             seq = [add(only, s) for s in seq_]
         else:
-            lo = 0
+            # lo = -1 for the FIRST incoming segment so the accumulated
+            # leading segment (index 0) receives it too; the reference's
+            # walk (lo = 0, bare insert at i == 0) dropped one side's
+            # leading segment -- simplify() then DISAGREED with direct
+            # evaluation left of the first bound (documented divergence,
+            # docs/PARITY.md)
+            lo = -1
             for b, s in zip(bounds_, seq_):
-                i = bisect_left(bounds, b, lo=lo)
+                i = bisect_left(bounds, b, lo=max(lo, 0))
                 if bounds[i] > b:
                     bounds.insert(i, b)
-                    if i == 0:
-                        seq.insert(i, s)
-                    else:
-                        seq.insert(i, add(s, seq[i]))
+                    seq.insert(i, add(s, seq[i]))
                     up = i - 1
                 else:
                     up = i
