@@ -88,3 +88,24 @@ def test_random_expression_engines_agree(seed):
         np.testing.assert_allclose(
             got, oracle, rtol=tol, atol=tol * scale,
             err_msg=f"engine {eng} seed {seed}")
+
+
+def test_mul_commutes_and_cancels():
+    """Multi-term products are canonical: mul(x, y) == mul(y, x)
+    structurally, and exact cancellation collapses to ZERO (fixed
+    reference bug: the cartesian-product insert reused add's
+    ascending-window search)."""
+    import itertools
+
+    from waveforms_tpu import cos, exp, gaussian, sin
+    from waveforms_tpu.ir import algebra as A
+
+    w1 = (gaussian(1) + cos(3) + 0.5 * sin(7)).simplify()
+    w2 = (cos(5) + 2.0 * gaussian(2) + exp(-1)).simplify()
+    ex = [s for s in w1.seq + w2.seq if len(s[0]) >= 2]
+    assert len(ex) >= 2
+    for a, b in itertools.product(ex, ex):
+        m1, m2 = A.mul(a, b), A.mul(b, a)
+        assert list(m1[0]) == sorted(m1[0])
+        assert m1 == m2
+        assert A.add(m1, A.mul(A.const(-1.0), m2)) == A.ZERO

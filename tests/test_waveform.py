@@ -383,3 +383,16 @@ def test_mask_negative_edge_collapses_region():
     m2 = square(2).mask(edge=-0.5)
     v = np.asarray(m2(t))
     assert v.max() == 1.0 and v[np.abs(t) > 0.5 + 1e-9].max() == 0.0
+
+
+def test_exp_product_cancellation_keeps_constant():
+    """exp factors whose exponents cancel leave the residual constant
+    e^{-W}, not 1 (fixed reference bug)."""
+    from waveforms_tpu import exp
+
+    t = np.linspace(0, 2, 21)
+    for w in ((exp(2) >> 1) * exp(-2),
+              (exp(2) >> 1) * exp(-2) * (exp(3) >> 5)):
+        d = np.real(np.asarray(w(t)))
+        s = np.real(np.asarray(w.simplify()(t)))
+        np.testing.assert_allclose(s, d, rtol=1e-12)

@@ -171,3 +171,16 @@ def test_shift_survives_stack_arithmetic():
     got3 = (base * cos(3))(t)
     want3 = ((gaussian(2) >> 5) * cos(3))(t)
     np.testing.assert_allclose(got3, want3, atol=1e-12)
+
+
+def test_wave_sum_leading_segments():
+    """Both operands' leading segments contribute left of the first bound
+    (fixed reference bug; simplify must agree with direct evaluation)."""
+    from waveforms_tpu import const, square
+
+    st = WaveVStack([const(1) + (square(2) >> 1), const(2) + (square(2) >> 5)])
+    t = np.linspace(-5, 10, 301)
+    d = np.asarray(st(t), float)
+    s = np.asarray(st.simplify()(t), float)
+    np.testing.assert_allclose(s, d, atol=1e-12)
+    assert d[0] == 3.0          # 1 + 2 left of every pulse
