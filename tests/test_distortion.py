@@ -192,3 +192,38 @@ def test_phase_curve_model():
 
     popt, _ = curve_fit(model, x, y, p0=[-0.03, 0.5e-6])
     assert np.allclose(popt, true, rtol=0.05)
+
+
+def test_factor_filter_roundtrips():
+    """Factoring then recombining reproduces (b, a) including the gain
+    (fixed reference bug: poly1d[0] indexed the constant coefficient)."""
+    from waveforms_tpu.distortion import (combine_filters,
+                                          exp_decay_filter, factor_filter)
+
+    b, a = combine_filters([exp_decay_filter(0.1, 50e-9, 1e9),
+                            exp_decay_filter(-0.05, 20e-9, 1e9)])
+    br, ar = combine_filters(factor_filter(b, a))
+    np.testing.assert_allclose(np.real(np.asarray(br, complex)), b,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.real(np.asarray(ar, complex)), a,
+                               rtol=1e-12)
+    # a zero at the origin must not zero out the whole cascade
+    br2, ar2 = combine_filters(factor_filter([2.0, 0.0], [1.0, 0.5]))
+    np.testing.assert_allclose(np.real(np.asarray(br2, complex)), [2.0, 0.0],
+                               atol=1e-12)
+
+
+def test_demod_matrix_per_tone_weights():
+    """getFTMatrix compatibility includes 2-D (n_tones, n_samples)
+    integration weights (round-4 review finding)."""
+    from waveforms_tpu.ops.demod import demod_matrix
+
+    fs, n, sr = [-12.7e6, 32.8e6], 500, 1e9
+    rng = np.random.default_rng(1)
+    w2 = rng.uniform(0.5, 1.5, (2, n))
+    m = np.asarray(demod_matrix(fs, n, sr, weight=w2))
+    t = np.linspace(0, n / sr, n, endpoint=False)
+    for k, f in enumerate(fs):
+        want = w2[k] * np.exp(-1j * 2 * np.pi * f * t)
+        np.testing.assert_allclose(m[:, k], want.astype(np.complex64),
+                                   rtol=2e-6)

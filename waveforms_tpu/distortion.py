@@ -200,10 +200,16 @@ def factor_filter(b, a):
 
     Each section carries an equal share of the overall gain (the n-th root),
     so the cascade reproduces b/a; unmatched roots pair with 0.
+
+    The gain is the ratio of LEADING coefficients (``.coeffs[0]``): the
+    reference reads ``b[0]/a[0]``, which on ``np.poly1d`` indexes the
+    CONSTANT (x^0) terms -- the cascade then reproduces b/a only when
+    prod(zeros) == prod(poles), and a zero at the origin collapses every
+    section to the zero filter (documented divergence, docs/PARITY.md).
     """
     b, a = np.poly1d(b), np.poly1d(a)
     n = max(len(b.roots), len(a.roots))
-    g = (b[0] / a[0]) ** (1 / n)
+    g = (b.coeffs[0] / a.coeffs[0]) ** (1 / n)
     return [([g, -g * zero], [1, -pole])
             for pole, zero in zip_longest(a.roots, b.roots, fillvalue=0)]
 

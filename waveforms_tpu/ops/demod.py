@@ -28,7 +28,10 @@ def demod_matrix(freqs, n_samples: int, sample_rate: float, phases=None,
     if weight is None:
         weight = np.full(n_samples, 2.0 / n_samples)
     weight = np.asarray(weight, dtype=float)
-    e = weight[:, None] * np.exp(
+    # getFTMatrix accepts per-tone integration weights too: a 2-D weight
+    # is (n_tones, n_samples), one row per tone (utils.py:79-83)
+    w = weight.T if weight.ndim == 2 else weight[:, None]
+    e = w * np.exp(
         -1j * (2 * np.pi * freqs[None, :] * t[:, None]
                + np.asarray(phases)[None, :]))
     return jnp.asarray(e, dtype=dtype)
