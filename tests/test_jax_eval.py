@@ -155,3 +155,21 @@ def test_compile_cache_hits():
     f1 = compile_waveform(w1.bounds, w1.seq, w1.min, w1.max)
     f2 = compile_waveform(w2.bounds, w2.seq, w2.min, w2.max)
     assert f1 is f2  # structurally equal IR -> same compiled program
+
+
+def test_complex_user_basis_keeps_imaginary_part():
+    """A complex-valued user basis function must keep its imaginary part
+    through the pure_callback fallback (round-4 review: forcing t.dtype
+    truncated it with only a ComplexWarning)."""
+    import jax.numpy as jnp
+
+    from waveforms_tpu import function
+    from waveforms_tpu.ops.jax_eval import evaluate
+
+    w = function(lambda t: np.exp(1j * t))
+    w.start, w.stop, w.sample_rate = 0.0, 1.0, 100.0
+    t = np.linspace(0, 1, 50)
+    host = np.asarray(w(t))
+    dev = np.asarray(evaluate(w, jnp.asarray(t)))
+    assert np.iscomplexobj(dev)
+    np.testing.assert_allclose(dev, host.astype(dev.dtype), rtol=2e-6)

@@ -24,8 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ir import registry as _reg
-from ..models.multy_drag import (B_series_mat, edge_blend_poly,
-                                 sin_power_derivative_table)
+from ..models.multy_drag import edge_blend_poly
 
 #: id -> callable(t_traced, *static_args) -> traced array
 traceableBaseFunc: dict = {}
@@ -44,10 +43,22 @@ def get_traceable(fun_id: int):
     host = _reg.baseFunc[fun_id]
 
     def fallback(t, *args):
-        shape = jax.ShapeDtypeStruct(t.shape, t.dtype)
+        # probe the host body's result DTYPE once at trace time (args
+        # are static IR values): a complex-valued user basis must keep
+        # its imaginary part -- forcing t.dtype silently truncated it
+        # with only a ComplexWarning (round-4 review finding)
+        probe = np.asarray(host(np.zeros(1, dtype=np.dtype(t.dtype)),
+                                *args))
+        if np.iscomplexobj(probe):
+            out_dtype = np.dtype(np.complex128 if t.dtype == jnp.float64
+                                 else np.complex64)
+        else:
+            out_dtype = np.dtype(t.dtype)
+        shape = jax.ShapeDtypeStruct(t.shape, out_dtype)
         return jax.pure_callback(
             lambda tt: np.asarray(host(np.asarray(tt), *args),
-                                  dtype=tt.dtype), shape, t, vmap_method='sequential')
+                                  dtype=out_dtype),
+            shape, t, vmap_method='sequential')
 
     return fallback
 
@@ -143,17 +154,6 @@ def _t_d_gaussian(t, std_sq2, n):
 # the final linear combination trace.  cf. models/multy_drag.py.
 
 
-def _sin_drag_static(width, delta, block_freq):
-    bs, m = [], 2
-    if block_freq is not None:
-        bs = 1 / np.pi / 2 / (np.asarray(block_freq) - delta)
-        m = max((len(bs) + 2) >> 1 << 1, m)
-    B_mat = B_series_mat(np.asarray(bs))
-    o = np.pi / width
-    A_mat = sin_power_derivative_table(m, len(bs), o)
-    return np.asarray(bs), m, o, B_mat, A_mat
-
-
 def _t_envelope_rows(t, t0, width, plateau, o, m):
     rise = t <= t0 + width / 2
     flat = (t > t0 + width / 2) & (t < t0 + plateau + width / 2)
@@ -169,15 +169,14 @@ def _t_envelope_rows(t, t0, width, plateau, o, m):
 def _t_drag_sin(t, t0, freq, width, delta, block_freq, phase, plateau=0):
     if isinstance(block_freq, float):
         block_freq = (block_freq,)
-    bs, m, o, B_mat, A_mat = _sin_drag_static(width, delta, block_freq)
+    # the model's own setup/normalization (models/multy_drag.py) IS the
+    # oracle this lowering must match -- call it, never re-derive it
+    from ..models.multy_drag import _blocking_setup, _normalization
+    bs, m, o, B_mat, A_mat = _blocking_setup(width, delta, block_freq)
     rows, flat = _t_envelope_rows(t, t0, width, plateau, o, m)
     rows = jnp.asarray(A_mat, dtype=t.dtype) @ rows
 
-    peak = np.ones([m + 1])
-    peak[1::2] = 0
-    peak = A_mat @ peak
-    coe = np.einsum('ijk,ki->j', B_mat, np.array([peak, np.zeros_like(peak)]))
-    coeff = np.sqrt(np.sum(np.abs(coe)**2))
+    coeff = _normalization(B_mat, A_mat, m)
 
     rows = rows.at[0].set(jnp.where(flat, 1.0, rows[0]))
     # Omega_j(t) = sum_i B[i, j, 0] * rows_i(t)
@@ -191,7 +190,8 @@ def _t_drag_sinx(t, t0, freq, width, delta, block_freq, phase, plateau=0,
                  tab=0.618):
     if isinstance(block_freq, float):
         block_freq = (block_freq,)
-    bs, m, o, B_mat, A_mat = _sin_drag_static(width, delta, block_freq)
+    from ..models.multy_drag import _blocking_setup
+    bs, m, o, B_mat, A_mat = _blocking_setup(width, delta, block_freq)
     rows, flat = _t_envelope_rows(t, t0, width, plateau, o, m)
     rows = jnp.asarray(A_mat, dtype=t.dtype) @ rows
 

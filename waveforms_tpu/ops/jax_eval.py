@@ -120,12 +120,29 @@ def evaluate(wav: Waveform, t) -> jax.Array:
     """Evaluate a Waveform (or WaveVStack) on grid *t* via XLA."""
     t = jnp.asarray(t)
     if isinstance(wav, WaveVStack):
+        if wav.function_lib is not None:
+            # the XLA path resolves basis IDs against the GLOBAL
+            # registry; a stack shipped from another process carries its
+            # own function_lib, and a missing ID here would otherwise
+            # KeyError (or, worse, collide with a local registration)
+            import waveforms_tpu.ir.registry as _reg
+            missing = sorted(
+                fid for fid in wav.function_lib
+                if fid not in _reg.baseFunc)
+            if missing:
+                raise ValueError(
+                    f"stack carries user basis IDs {missing} not in this "
+                    "process's registry -- ship it with registry."
+                    "packBaseFunc()/updateBaseFunc() first (the XLA "
+                    "engine resolves IDs globally)")
         out = jnp.zeros(t.shape,
                         dtype=(jnp.complex128 if t.dtype == jnp.float64
                                else jnp.complex64)) + wav.offset
         tt = t - wav.shift if wav.shift != 0 else t
         for bounds, seq in wav.wlist:
-            out = out + compile_waveform(bounds, seq)(tt)
+            # min/max passed explicitly: lru_cache keys omitted defaults
+            # differently and compiled identical programs twice
+            out = out + compile_waveform(bounds, seq, -np.inf, np.inf)(tt)
         return out.real
     return compile_waveform(wav.bounds, wav.seq, wav.min, wav.max)(t)
 
