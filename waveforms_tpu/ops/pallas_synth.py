@@ -85,14 +85,13 @@ def validate_out_mode(out_dtype, amp_im, n_channels, dac_scale):
     float outputs; raises on unsupported dtype / pair-mode combinations.
     """
     scale = dac_scale_tensor(out_dtype, dac_scale, n_channels)
-    if scale is not None:
-        if amp_im is not None:
-            raise ValueError("pair-mode (complex) synthesis requires f32")
-    elif amp_im is not None and out_dtype != jnp.float32:
+    if amp_im is not None and (scale is not None or jnp.dtype(out_dtype)
+                               != jnp.dtype(jnp.float32)):
+        # normalized comparison: 'float32'/np.float32 spellings are f32
         raise ValueError("pair-mode (complex) synthesis requires f32 output")
-    elif jnp.dtype(out_dtype) not in (jnp.dtype(jnp.float32),
-                                      jnp.dtype(jnp.bfloat16),
-                                      jnp.dtype(jnp.float16)):
+    if scale is None and jnp.dtype(out_dtype) not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+            jnp.dtype(jnp.float16)):
         raise ValueError(f"out_dtype must be a float type, got {out_dtype}")
     return scale
 
@@ -626,7 +625,11 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
     # lo-sorted list, with s0 from the running-max-of-hi (ascending under
     # overlap) and s1 from lo itself.  The kernel then does no searching.
     NB = seg_lo.shape[1]
-    S = seg_lo.shape[-1]
+    # the static S parameter must agree with the descriptor layout -- a
+    # silent reassignment here masked caller reshape bugs while still
+    # fragmenting the jit cache on the dead value
+    assert seg_lo.shape[-1] == S, (
+        f"S={S} but seg_lo trailing axis is {seg_lo.shape[-1]}")
     if NB == 1:
         # single bucket: G only partitions the tile->bucket index maps, so
         # any G >= the tile count is valid -- callers may pass a
@@ -638,7 +641,11 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
     # range arrays ride SMEM (2 x G x NF i32 per grid step); cap their
     # footprint so monster single-bucket launches never crowd the
     # descriptor block out of scalar memory (lowering.PALLAS_SMEM_BUDGET).
-    NF = R // FINE_ROWS if (fine and R > FINE_ROWS) else 1
+    # NF must DIVIDE R: a non-multiple R would make the prologue's
+    # fine_sz disagree with the kernel's Rf*128 sub-block (wrong segment
+    # windows + unwritten tail rows) and break sublane alignment
+    NF = (R // FINE_ROWS
+          if (fine and R > FINE_ROWS and R % FINE_ROWS == 0) else 1)
     if 8 * G * NF > 128 * 1024:
         NF = 1
     fine_sz = tile_sz // NF
