@@ -614,3 +614,27 @@ def test_sharded_combine_pair_false_planes():
         assert re.dtype == np.float32 and im.dtype == np.float32
         np.testing.assert_array_equal(re, z.real)
         np.testing.assert_array_equal(im, z.imag)
+
+
+def test_on_mesh_dac_scale_forwarded():
+    """synthesize_on_mesh must forward dac_scale to its routes (round-4
+    review: int16 through the mesh entry was locked to 32767)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveforms_tpu.parallel.mesh import channel_mesh, synthesize_on_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    chans = _sparse_schedule(4, seed=2)
+    stop = 8.192e-6
+    mesh = channel_mesh(n_channel=4, n_time=2)
+    f32 = np.asarray(synthesize_on_mesh(chans, 0, stop, FS, mesh,
+                                        interpret=True))
+    codes = np.asarray(synthesize_on_mesh(chans, 0, stop, FS, mesh,
+                                          interpret=True,
+                                          out_dtype=jnp.int16,
+                                          dac_scale=1000.0))
+    assert codes.dtype == np.int16
+    want = np.clip(np.round(f32.astype(np.float64) * 1000.0), -32768, 32767)
+    assert np.abs(codes.astype(np.int64) - want.astype(np.int64)).max() <= 1

@@ -56,7 +56,9 @@ def _sample_impl(sample_rate, start, duration, stop, amplitude, waveform,
     wav = _resolve_window(wave_eval(waveform), start, duration, stop,
                           sample_rate)
     if dtype == 'float64':
-        np.save(output, _synthesize(wav, engine) * amplitude)
+        # device engines return f32 jax arrays; honor the selected dtype
+        np.save(output, np.asarray(_synthesize(wav, engine),
+                                   dtype=np.float64) * amplitude)
         return
     # narrowed outputs go through the unified engine entry (in-kernel
     # quantize on the pallas routes); the amplitude folds into the DAC

@@ -207,7 +207,7 @@ class Sequencer:
 
         if out_dtype is None:
             out_dtype = jnp.float32
-        if self.pair and out_dtype != jnp.float32:
+        if self.pair and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32):
             raise ValueError(
                 "pair-mode (complex) synthesis requires f32 output")
 

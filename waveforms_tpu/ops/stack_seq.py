@@ -394,7 +394,8 @@ def _seq_call(metas, shapes, SC: int, n_super: int, n_chunks_pad: int,
     # int16 DAC codes quantize in-kernel from an f32 scratch (one
     # full-block store -- dynamic int16 sub-stores crash Mosaic),
     # halving the (n_shots, C, N) result stream
-    quant = out_dtype is not None and out_dtype != jnp.float32
+    quant = (out_dtype is not None
+             and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32))
     if quant and np.ndim(dac_scale) != 0:
         raise NotImplementedError(
             "stacked-table int16 supports a scalar dac_scale")

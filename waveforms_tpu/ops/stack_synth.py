@@ -872,7 +872,8 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # quantized store writes the output -- dynamic int16 sub-stores
     # crash real Mosaic (round-4 panel lesson), and halving the output
     # stream matters most for stacked shot batches (stack_seq)
-    quant = out_dtype is not None and out_dtype != jnp.float32
+    quant = (out_dtype is not None
+             and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32))
     if quant and probe is not None:
         raise ValueError("probe variants are f32-only")
     if quant and np.ndim(dac_scale) != 0:
@@ -978,7 +979,8 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
         raise UnsupportedFactor(
             "schedule has no batchable pulse instances (complex, clipped, "
             "or all-wide) -- use the kernel engines")
-    quant = out_dtype is not None and out_dtype != jnp.float32
+    quant = (out_dtype is not None
+             and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32))
     # per-channel dac_scale quantizes in the epilogue (stack chunks can
     # straddle channels, so the in-kernel store takes a scalar only)
     in_kernel_quant = quant and plan.wide is None \

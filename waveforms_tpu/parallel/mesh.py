@@ -128,10 +128,11 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
             "schedule is outside the Pallas kernel's descriptor budget "
             "or opcode set -- synthesize per-host with engine='native'/"
             "'numpy' instead (the mesh path has no host fallback)")
-    if low.amp_im is not None and out_dtype != jnp.float32:
-        raise ValueError("pair-mode (complex) synthesis requires f32 output")
     C, NB, S, T, F = low.shape
-    dac = jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer)
+    # one shared output-mode gate (normalized dtypes, clear errors)
+    from ..ops.pallas_synth import validate_out_mode
+    scale_v = validate_out_mode(out_dtype, low.amp_im, C, dac_scale)
+    dac = scale_v is not None
     nt_shards = mesh.shape['time']
     if rows_per_tile is None:
         from ..ops.pallas_synth import default_rows_per_tile
@@ -157,6 +158,9 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
         G = max(rows_local // R, 1)
 
     pair = low.amp_im is not None
+    # compact the opcode branch table like the single-chip path: one-op
+    # schedules then branch not at all in the per-sample hot loop
+    ops_present = tuple(int(o) for o in np.unique(low.op))
     bucket_spec = 'time' if NB > 1 else None
     in_spec = P('channel', bucket_spec, None, None)
     chan_spec = P('channel', None, None, None)
@@ -166,9 +170,7 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
 
     scale_t = None
     if dac:
-        from ..ops.pallas_synth import dac_scale_tensor
-        sc = np.asarray(dac_scale_tensor(out_dtype, dac_scale, C))
-        scale_t = jax.device_put(_pad_channels(sc, c_pad),
+        scale_t = jax.device_put(_pad_channels(np.asarray(scale_v), c_pad),
                                  NamedSharding(mesh, chan_spec))
 
     @functools.partial(
@@ -187,7 +189,8 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
                           rest[0] if pair else None,
                           rest[-1] if dac else None,
                           S=S, T=T, F=F, R=R, n_rows=rows_local,
-                          tiles_per_bucket=G, out_dtype=out_dtype,
+                          tiles_per_bucket=G, ops_present=ops_present,
+                          out_dtype=out_dtype,
                           interpret=interpret)
         if pair:
             re, im = out
@@ -208,7 +211,8 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
 def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
                        part: str = 'real', rows_per_tile: int | None = None,
                        interpret: bool = False,
-                       out_dtype=jnp.float32) -> jax.Array:
+                       out_dtype=jnp.float32,
+                       dac_scale=32767.0) -> jax.Array:
     """Lower + shard + synthesize in one call.
 
     Mirrors the single-chip engine's routing for EVERY output surface
@@ -234,13 +238,15 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
                 try:
                     return synthesize_panels_sharded(low, mesh, plan=plan,
                                                      interpret=interpret,
-                                                     out_dtype=out_dtype)
+                                                     out_dtype=out_dtype,
+                                                     dac_scale=dac_scale)
                 except UnsupportedFactor:
                     pass               # outside panel budgets: worklist
             if occ < _sparse_threshold() or occ < _panel_threshold():
                 return synthesize_sparse_sharded(low, mesh, plan=plan,
                                                  interpret=interpret,
-                                                 out_dtype=out_dtype)
+                                                 out_dtype=out_dtype,
+                                                 dac_scale=dac_scale)
         except UnsupportedFactor:
             pass
     if part == 'real' and rows_per_tile is None:
@@ -262,10 +268,12 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
             try:
                 return synthesize_stack_sharded(
                     channels, start, stop, sample_rate, mesh,
-                    interpret=interpret, out_dtype=out_dtype)
+                    interpret=interpret, out_dtype=out_dtype,
+                    dac_scale=dac_scale)
             except UnsupportedFactor:
                 if not low.pallas_ok:
                     raise      # dense cannot lower this schedule either
                 pass           # pair/multi-bucket/shard-split: dense
     return synthesize_sharded(low, mesh, rows_per_tile=rows_per_tile,
-                              interpret=interpret, out_dtype=out_dtype)
+                              interpret=interpret, out_dtype=out_dtype,
+                              dac_scale=dac_scale)

@@ -30,6 +30,28 @@ from .mesh import synthesize_sharded
 __all__ = ['make_step', 'run_step', 'run_sequence']
 
 
+def _make_postfilter(ba_filters):
+    """Shared (b, a)-cascade pre-compensation closure (or None).
+
+    One construction site for the lfiltic zero-history initial state and
+    the vmapped device lfilter -- make_step and run_sequence previously
+    carried verbatim copies."""
+    if not ba_filters:
+        return None
+    from scipy.signal import lfiltic
+
+    from ..distortion import combine_filters
+    b, a = combine_filters(ba_filters)
+    zi = jnp.asarray(lfiltic(b, a, np.zeros(len(a) - 1),
+                             np.zeros(len(b) - 1)))
+
+    def apply(sig):
+        from ..ops.iir import lfilter
+        return jax.vmap(lambda x: lfilter(b, a, x, zi=zi)[0])(sig)
+
+    return apply
+
+
 def make_step(low: LoweredSchedule, mesh, ba_filters=None, demod_freqs=None,
               rows_per_tile: int | None = None, interpret: bool = False):
     """Build the jitted sharded production step for a lowered schedule.
@@ -45,16 +67,7 @@ def make_step(low: LoweredSchedule, mesh, ba_filters=None, demod_freqs=None,
     fs = low.sample_rate
     n = low.n_samples
 
-    zi = None
-    ba = None
-    if ba_filters:
-        from scipy.signal import lfiltic
-
-        from ..distortion import combine_filters
-        b, a = combine_filters(ba_filters)
-        zi = jnp.asarray(lfiltic(b, a, np.zeros(len(a) - 1),
-                                 np.zeros(len(b) - 1)))
-        ba = (b, a)
+    filt = _make_postfilter(ba_filters)
 
     demod = None
     if demod_freqs is not None:
@@ -67,16 +80,12 @@ def make_step(low: LoweredSchedule, mesh, ba_filters=None, demod_freqs=None,
                                NamedSharding(mesh, spec))
 
     def postprocess(sig):
-        if ba is not None:
-            from ..ops.iir import lfilter
-            sig = jax.vmap(
-                lambda x: lfilter(ba[0], ba[1], x, zi=zi)[0])(sig)
+        if filt is not None:
+            sig = filt(sig)
         iq = None
         if demod is not None:
-            iq = jnp.einsum('cn,nk->ck',
-                            sig.astype(demod.real.dtype), demod.real) + \
-                1j * jnp.einsum('cn,nk->ck',
-                                sig.astype(demod.imag.dtype), demod.imag)
+            from ..ops.demod import demodulate
+            iq = demodulate(sig, demod)
         return sig, iq
 
     post = jax.jit(postprocess)
@@ -113,16 +122,7 @@ def run_sequence(seq, indices, ba_filters=None, demod_freqs=None,
     ``demod_freqs`` is given, otherwise the stacked signals
     (n_shots, C, N).
     """
-    zi = None
-    ba = None
-    if ba_filters:
-        from scipy.signal import lfiltic
-
-        from ..distortion import combine_filters
-        b, a = combine_filters(ba_filters)
-        zi = jnp.asarray(lfiltic(b, a, np.zeros(len(a) - 1),
-                                 np.zeros(len(b) - 1)))
-        ba = (b, a)
+    filt = _make_postfilter(ba_filters)
 
     demod = None
     if demod_freqs is not None:
@@ -135,12 +135,13 @@ def run_sequence(seq, indices, ba_filters=None, demod_freqs=None,
         def one(carry, k):
             sig = seq.play(k, rows_per_tile=rows_per_tile,
                            interpret=interpret)
-            if ba is not None:
-                from ..ops.iir import lfilter
-                sig = jax.vmap(
-                    lambda x: lfilter(ba[0], ba[1], x, zi=zi)[0])(sig)
+            if filt is not None:
+                sig = filt(sig)
             if demod is not None:
-                out = jnp.einsum('cn,nk->ck', sig.astype(demod.dtype), demod)
+                # two real MXU matmuls, no complex64 intermediate (the
+                # dtype the dev tunnel cannot transfer) in the hot loop
+                from ..ops.demod import demodulate
+                out = demodulate(sig, demod)
             else:
                 out = sig
             return carry, out
