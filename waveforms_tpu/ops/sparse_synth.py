@@ -621,6 +621,46 @@ def _validate_panel_plan(plan: PanelPlan, dev: DeviceSchedule) -> None:
                 "it was built from a different lowering")
 
 
+def _window_sparse_plan(base: SparsePlan, lo_t: int, hi_t: int,
+                        n_samples: int) -> SparsePlan:
+    """Slice a full-schedule worklist to the tile window [lo_t, hi_t).
+
+    Equivalent to ``build_sparse_plan(low, Rs, tile_window=(lo_t, hi_t))``
+    but pure array slicing -- no re-enumeration of the schedule (the
+    windowed path targets exactly the big-schedule class, where 16
+    windows would otherwise pay 17x one enumeration pass)."""
+    Rs = base.Rs
+    n_tiles = hi_t - lo_t
+    live = slice(0, base.n_live)
+    wt = base.work_t[live]
+    m = (wt >= lo_t) & (wt < hi_t)
+    wc, wb = base.work_c[live][m], base.work_b[live][m]
+    wt = wt[m]
+    ws0, ws1 = base.work_s0[live][m], base.work_s1[live][m]
+    n_live = len(wt)
+    K = next_pow2(n_live)
+    pad = K - n_live
+
+    def col(a, fill=0):
+        return np.concatenate(
+            [np.asarray(a, np.int64),
+             np.full(pad, fill, np.int64)]).astype(a.dtype
+                                                   if hasattr(a, 'dtype')
+                                                   else np.int64)
+
+    return SparsePlan(
+        Rs=Rs, n_tiles=n_tiles,
+        work_c=col(wc), work_b=col(wb),
+        work_t=col(wt, lo_t + n_tiles),
+        work_o=col(wt - lo_t, n_tiles),
+        work_s0=col(ws0), work_s1=col(ws1),
+        n_live=n_live,
+        window_samples=min(n_tiles * Rs * 128,
+                           n_samples - lo_t * Rs * 128),
+        n_channels=base.n_channels,
+        bucket_samples=base.bucket_samples)
+
+
 def plan_panel_windows(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
                        base: SparsePlan | None = None,
                        max_windows: int = 16,
@@ -653,7 +693,9 @@ def plan_panel_windows(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
     for lo_t, hi_t in zip(bounds[:-1], bounds[1:]):
         if hi_t <= lo_t:
             continue
-        p = build_panel_plan(low, Rs=Rs, tile_window=(lo_t, hi_t))
+        p = build_panel_plan(low, Rs=Rs,
+                             base=_window_sparse_plan(base, lo_t, hi_t,
+                                                      low.n_samples))
         if not panels_eligible(p, out_dtype):
             # a single column over budget -- or a dtype rule windowing
             # can never cure (narrowed multi-bucket stores): give up so
