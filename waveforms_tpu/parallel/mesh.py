@@ -59,7 +59,7 @@ def _pad_axis(arr: np.ndarray, axis: int, size: int) -> np.ndarray:
 
 
 def shard_schedule(low: LoweredSchedule, mesh: Mesh,
-                   nb_pad: int | None = None):
+                   nb_pad: int | None = None, op_remap=None):
     """Device-put descriptor tensors sharded along the mesh axes.
 
     Channels pad up to a multiple of the channel-axis size (padded channels
@@ -99,7 +99,9 @@ def shard_schedule(low: LoweredSchedule, mesh: Mesh,
         seg_hmax=put(np.maximum.accumulate(low.seg_hi, axis=-1), S),
         nterm=put(low.nterm, S),
         nfac=put(low.nfac, S * T), amp=put(low.amp, S * T),
-        op=put(low.op, S * T * F), pw=put(low.power, S * T * F),
+        op=put(op_remap[low.op] if op_remap is not None else low.op,
+               S * T * F),
+        pw=put(low.power, S * T * F),
         sh=put(low.shift_hi, S * T * F), q32=put(low.q32, S * T * F * 4),
         args=put(low.args, S * T * F * W_ARGS),
         ext=ext, clip=clipd,
@@ -139,6 +141,15 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
         rows_per_tile = default_rows_per_tile(
             -(-low.n_samples // nt_shards), low.bucket_samples, NB)
     R = rows_per_tile
+    # compact the opcode branch table like the single-chip path (one-op
+    # schedules then branch not at all); the kernel's lax.switch selects
+    # branches by COMPACT index, so the shipped op descriptors must be
+    # remapped to match (DeviceSchedule does the same)
+    from ..ops.lowering import N_OPS
+    ops_present = tuple(int(o) for o in np.unique(low.op))
+    op_remap = np.zeros(N_OPS, np.int32)
+    for i, o in enumerate(ops_present):
+        op_remap[o] = i
     if NB > 1:
         # bucketed: shard whole buckets across 'time' so every local tile's
         # bucket window lives on its own shard
@@ -148,19 +159,17 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
         nb_pad = -(-NB // nt_shards) * nt_shards
         rows_local = (nb_pad // nt_shards) * (low.bucket_samples // 128)
         n_rows = rows_local * nt_shards
-        tensors, c_pad = shard_schedule(low, mesh, nb_pad=nb_pad)
+        tensors, c_pad = shard_schedule(low, mesh, nb_pad=nb_pad,
+                                        op_remap=op_remap)
         G = low.bucket_samples // tile
     else:
         n_rows = -(-low.n_samples // 128)
         n_rows = -(-n_rows // (R * nt_shards)) * (R * nt_shards)
         rows_local = n_rows // nt_shards
-        tensors, c_pad = shard_schedule(low, mesh)
+        tensors, c_pad = shard_schedule(low, mesh, op_remap=op_remap)
         G = max(rows_local // R, 1)
 
     pair = low.amp_im is not None
-    # compact the opcode branch table like the single-chip path: one-op
-    # schedules then branch not at all in the per-sample hot loop
-    ops_present = tuple(int(o) for o in np.unique(low.op))
     bucket_spec = 'time' if NB > 1 else None
     in_spec = P('channel', bucket_spec, None, None)
     chan_spec = P('channel', None, None, None)
