@@ -324,3 +324,47 @@ def test_cli_sample_int16_codes(tmp_path):
     # amplitude folds into the DAC scale so codes round once
     want = np.clip(np.round(cp * 20000.0), -32768, 32767)
     assert np.abs(codes - want).max() <= 1
+
+
+def test_degenerate_interp_and_chirp_lowering():
+    """1-point interp tables lower as constants; alpha/k == 0 chirps
+    route to the XLA fallback instead of ZeroDivisionError (round-4
+    high-effort review findings)."""
+    from waveforms_tpu import chirp, samplingPoints
+    from waveforms_tpu.engine import synthesize
+
+    w = samplingPoints(0.0, 1e-6, [0.5])
+    t = np.arange(0, 2e-6, 1e-9)
+    want = np.asarray(w(t), float)
+    for eng in ('numpy', 'xla', 'pallas'):
+        out = np.asarray(synthesize([w], 0, 2e-6, 1e9, engine=eng))
+        assert np.abs(out[0][:len(want)] - want).max() < 1e-6, eng
+    # degenerate sweep endpoint: must not crash lowering
+    c = chirp(1e6, 1e6, 1e-6, type='exponential')
+    out = synthesize([c], 0, 1e-6, 1e9, engine='auto')
+    assert np.asarray(out).shape == (1, 1000)
+
+
+def test_shifted_stack_lowers_per_component():
+    """stack >> delay bakes the shift per component (O(N)) instead of
+    simplify-merging everything into one mega-segment; engine parity and
+    pallas_ok preserved (round-4 high-effort review finding)."""
+    from waveforms_tpu import cosPulse
+    from waveforms_tpu.core import WaveVStack
+    from waveforms_tpu.engine import synthesize
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    rng = np.random.default_rng(8)
+    st = WaveVStack([float(a) * cosPulse(50e-9) >> o
+                     for a, o in zip(rng.uniform(.2, 1, 30),
+                                     rng.uniform(0, 6e-6, 30))])
+    w = (st >> 1e-6) + 0.25
+    FS, STOP = 2e9, 8.192e-6
+    t = np.arange(0, STOP, 1 / FS)
+    want = np.asarray(w(t), float)
+    low = lower_schedule([w], 0, STOP, FS)
+    assert low.pallas_ok and low.shape[3] <= 4      # no term blow-up
+    for eng in ('numpy', 'xla', 'pallas'):
+        out = np.asarray(synthesize([w], 0, STOP, FS, engine=eng))
+        err = np.abs(out[0][:len(want)] - want).max()
+        assert err / np.abs(want).max() < 1e-6, eng

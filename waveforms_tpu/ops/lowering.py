@@ -270,18 +270,26 @@ def _lower_factor(factor, power, start: float, dt: float,
 
     if fun_id == _reg.EXPONENTIALCHIRP:
         f0, alpha, phi0 = fargs
+        if alpha == 0:
+            # degenerate sweep endpoint: the oracle yields NaN phases
+            # (0/0); route to the XLA path instead of ZeroDivisionError
+            raise UnsupportedFactor("exponential chirp with alpha == 0")
         hi = plain_shift()
         a[1] = _TWO_PI * f0 / alpha
         a[2] = alpha * dt
-        a[3] = np.float32((phi0 - _TWO_PI * f0 / alpha) % _TWO_PI)
+        # full f64 (the assembly casts the kernel view to f32; storing
+        # a pre-rounded value here would zero the hi tier's residual)
+        a[3] = (phi0 - _TWO_PI * f0 / alpha) % _TWO_PI
         return FactorDesc(OP_EXPCHIRP, power, hi, a)
 
     if fun_id == _reg.HYPERBOLICCHIRP:
         f0, k, phi0 = fargs
+        if k == 0:
+            raise UnsupportedFactor("hyperbolic chirp with k == 0")
         hi = plain_shift()
         a[1] = _TWO_PI * f0 / k
         a[2] = k * dt
-        a[3] = np.float32(phi0 % _TWO_PI)
+        a[3] = phi0 % _TWO_PI
         return FactorDesc(OP_HYPCHIRP, power, hi, a)
 
     if fun_id == _reg.COSH:
@@ -562,18 +570,16 @@ class LoweredSchedule:
         }
 
     def describe(self) -> str:
-        """One-line human-readable summary (debugging / logging aid)."""
-        C, NB, Sb, T, F = self.shape
-        live = int((self.nterm > 0).sum())
-        live_fac = np.arange(F) < self.nfac[..., None]
-        ops = sorted(int(o) for o in np.unique(self.op[live_fac]))
-        dur = self.n_samples / self.sample_rate
-        return (f"{C} ch x {self.n_samples} samples ({dur:.3g} s @ "
-                f"{self.sample_rate:.3g} S/s), {NB} bucket(s) x {Sb} segs "
-                f"(live {live}), T={T} F={F}, opcodes {ops}, "
-                f"ext {0 if self.ext is None else self.ext.size} f64, "
-                f"{'complex' if self.amp_im is not None else 'real'}, "
-                f"pallas_ok={self.pallas_ok}")
+        """One-line human-readable summary (formats :meth:`stats`)."""
+        st = self.stats()
+        return (f"{st['channels']} ch x {st['n_samples']} samples "
+                f"({st['duration_s']:.3g} s @ {self.sample_rate:.3g} S/s), "
+                f"{st['buckets']} bucket(s) x {st['segments_padded']} segs "
+                f"(live {st['live_segments']}), T={st['terms_padded']} "
+                f"F={st['factors_padded']}, opcodes {st['opcodes']}, "
+                f"ext {st['ext_f64_words']} f64, "
+                f"{'complex' if st['pair_mode'] else 'real'}, "
+                f"pallas_ok={st['pallas_ok']}")
 
     def save(self, path) -> None:
         """Checkpoint the lowered schedule (np.savez archive).
@@ -669,10 +675,17 @@ class LoweredSchedule:
 def _waveform_pieces(wav):
     """Yield (bounds, seq, vmin, vmax) pieces of a Waveform or WaveVStack."""
     if isinstance(wav, WaveVStack):
-        if wav.shift != 0 or wav.offset != 0:
-            wav = wav.simplify()
-            yield wav.bounds, wav.seq, wav.min, wav.max
-            return
+        if wav.shift != 0:
+            # bake the scalar delay into each component in O(N): a full
+            # simplify() here would wave_sum-merge all components into
+            # one segment with N terms -- T explodes and pallas_ok flips
+            # False for exactly the common 'delayed schedule' case
+            # (round-4 review finding)
+            wav = wav._spawn(WaveVStack._baked(wav.wlist, wav.shift),
+                             offset=wav.offset)
+        if wav.offset != 0:
+            from ..ir.algebra import const as _cst
+            yield (np.inf,), (_cst(complex(wav.offset)),), -np.inf, np.inf
         for bounds, seq in wav.wlist:
             yield bounds, seq, -np.inf, np.inf
         return
@@ -689,6 +702,8 @@ def _interp_affine(factor, k):
     _, xstart, xstop, points, s = (None, *factor[1:])
     pts = np.asarray(points, dtype=float)
     n = len(pts)
+    if n < 2:        # degenerate table: np.interp returns the constant
+        return _cst(float(pts[0]) if n else 0.0)
     step = (xstop - xstart) / (n - 1)
     if k < 0:
         return _cst(float(pts[0]))
@@ -728,6 +743,8 @@ def _expand_interp(bounds, seq):
                     if f[0] == _reg.INTERP:
                         _, xstart, xstop, points, s = (None, *f[1:])
                         n = len(points)
+                        if n < 2:   # constant table: no knots to insert
+                            continue
                         step = (xstop - xstart) / (n - 1)
                         for k in range(n):
                             x = s + xstart + k * step
@@ -748,24 +765,38 @@ def _expand_interp(bounds, seq):
                         if f[0] == _reg.INTERP:
                             _, xstart, xstop, points, s = (None, *f[1:])
                             n = len(points)
-                            step = (xstop - xstart) / (n - 1)
+                            if n < 2:
+                                k = 0   # _interp_affine: constant table
+                                step = 1.0
                             # the piece lies within one knot interval of
                             # f: index by the piece MIDPOINT when both
                             # edges are finite -- edge-based floor is one
                             # ulp from a knot and can off-by-one at large
                             # |s| (round-4 review finding; a 1-ulp sliver
                             # then carries the neighbor interval's slope)
-                            if piece_lo != -np.inf and piece_hi != np.inf:
+                            elif piece_lo != -np.inf and piece_hi != np.inf:
+                                step = (xstop - xstart) / (n - 1)
                                 k = int(np.floor(
                                     (0.5 * (piece_lo + piece_hi)
                                      - s - xstart) / step))
-                            elif piece_lo != -np.inf:
-                                k = int(np.floor(
-                                    (piece_lo - s - xstart) / step + 1e-9))
                             else:
-                                k = int(np.ceil(
-                                    (piece_hi - s - xstart) / step
-                                    - 1e-9)) - 1
+                                # semi-infinite piece: one finite edge,
+                                # usually AT a knot -- snap near-integer
+                                # ratios before floor/ceil so ulp noise
+                                # at large |s| can't off-by-one (the
+                                # trailing clamp piece would otherwise
+                                # extrapolate an interior slope)
+                                step = (xstop - xstart) / (n - 1)
+                                if piece_lo != -np.inf:
+                                    r = (piece_lo - s - xstart) / step
+                                    k = (int(round(r))
+                                         if abs(r - round(r)) < 1e-6
+                                         else int(np.floor(r)))
+                                else:
+                                    r = (piece_hi - s - xstart) / step
+                                    k = (int(round(r))
+                                         if abs(r - round(r)) < 1e-6
+                                         else int(np.ceil(r))) - 1
                             fac_expr = _interp_affine(f, k)
                             piece = _mul(piece, _pow(fac_expr, nn)
                                          if nn != 1 else fac_expr)
@@ -951,24 +982,35 @@ def _expand_exotic_chirps(bounds, seq, t_lo, t_hi, dt):
 def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
                   part: str = 'real',
                   ext: list | None = None,
-                  cache: dict | None = None
-                  ) -> tuple[list[SegmentDesc], float, float]:
+                  cache: dict | None = None,
+                  pieces=None) -> tuple[list[SegmentDesc], float, float]:
     """Lower one channel; returns its segment descriptors and clip limits.
 
     ``part`` selects the real or imaginary component of complex amplitudes
-    (factors themselves are always real-valued)."""
+    (factors themselves are always real-valued).  ``pieces`` supplies
+    ALREADY-EXPANDED ``(bounds, seq, vmin, vmax)`` tuples so the native
+    path's fallback does not re-run the interp/chirp expansions (the
+    adaptive chirp windowing is the expensive part)."""
     if ext is None:
         ext = []
     if cache is None:
         cache = {}
     segments: list[SegmentDesc] = []
     vmin, vmax = -np.inf, np.inf
-    for bounds, seq, bmin, bmax in _waveform_pieces(wav):
+
+    def expanded():
+        if pieces is not None:
+            yield from pieces
+            return
+        for bounds, seq, bmin, bmax in _waveform_pieces(wav):
+            bounds, seq = _expand_interp(bounds, seq)
+            if len(grid):
+                bounds, seq = _expand_exotic_chirps(bounds, seq, grid[0],
+                                                    grid[-1] + dt, dt)
+            yield bounds, seq, bmin, bmax
+
+    for bounds, seq, bmin, bmax in expanded():
         vmin, vmax = bmin, bmax
-        bounds, seq = _expand_interp(bounds, seq)
-        if len(grid):
-            bounds, seq = _expand_exotic_chirps(bounds, seq, grid[0],
-                                                grid[-1] + dt, dt)
         edges = np.searchsorted(grid, np.asarray(bounds, dtype=float))
         lo = 0
         for hi, expr in zip(edges, seq):
@@ -1236,6 +1278,7 @@ def _lower_schedule_native(channels, grid, start, dt, part, ext, cache):
     flat = []
     for ch in channels:
         pieces = []
+        pieces4 = []
         vmin, vmax = -np.inf, np.inf
         for bounds, seq, bmin, bmax in _waveform_pieces(ch):
             vmin, vmax = bmin, bmax
@@ -1244,10 +1287,14 @@ def _lower_schedule_native(channels, grid, start, dt, part, ext, cache):
                 bounds, seq = _expand_exotic_chirps(bounds, seq, grid[0],
                                                     grid[-1] + dt, dt)
             pieces.append((bounds, seq))
+            pieces4.append((bounds, seq, bmin, bmax))
         res = lower_channel_flat(pieces, grid, start, dt, want_imag)
         if res is None:
+            # reuse the expansion above -- re-running the adaptive chirp
+            # windowing doubled lowering time for fallback channels
             segments, vmin, vmax = lower_channel(ch, grid, start, dt, part,
-                                                 ext, cache)
+                                                 ext, cache,
+                                                 pieces=pieces4)
             res = _segments_to_flat(segments)
         else:
             res = _merge_channel_ext(res, ext, ext_seen)
@@ -1292,8 +1339,7 @@ def _assemble_from_flat(flat, n, NB, bucket_samples, start, sample_rate,
         new_group = np.flatnonzero(np.diff(sorted_b)) + 1
         starts = np.concatenate([[0], new_group])
         counts = np.diff(np.concatenate([starts, [len(sorted_b)]]))
-        slot_sorted = np.arange(len(sorted_b), dtype=np.intp) - np.repeat(
-            starts, counts)
+        slot_sorted = _grouped_arange(counts)
         slot = np.empty(len(row_b), np.intp)
         slot[order] = slot_sorted
         expanded.append((row_seg, row_b, slot))
