@@ -50,6 +50,20 @@ def next_pow2(n: int) -> int:
     """Smallest power of two >= max(n, 1) (kernel-cache-stable lengths)."""
     return 1 << (max(n, 1) - 1).bit_length()
 
+
+def _compact_ops(low: LoweredSchedule):
+    """(ops_present, op_remap) pair: compact opcode branch tables.
+
+    The kernels' lax.switch selects branches by COMPACT index, so any
+    path passing a compacted ops_present MUST ship remapped opcode
+    descriptors (shard_schedule's op_remap) -- one-op schedules then
+    branch not at all (DeviceSchedule applies the same rule)."""
+    ops_present = tuple(int(o) for o in np.unique(low.op))
+    op_remap = np.zeros(N_OPS, np.int32)
+    for i, o in enumerate(ops_present):
+        op_remap[o] = i
+    return ops_present, op_remap
+
 # Route engine='auto' here below this live-subtile fraction.  Breakeven
 # model from v5e device events (benchmarks/tpu_state.json): the worklist
 # pays one background fill (~0.8 ms/GB at the 656 GB/s store roofline)
@@ -396,6 +410,10 @@ def build_panel_plan(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
     build_sparse_plan); ``base`` reuses an already-built worklist."""
     if base is None:
         base = build_sparse_plan(low, Rs=Rs, tile_window=tile_window)
+    elif base.Rs != Rs:
+        # a base enumerated at another subtile height carries work_t in
+        # the wrong tile units -- silently wrong sample bases downstream
+        raise ValueError(f"base plan has Rs={base.Rs}, expected {Rs}")
     C, NB, S, T, F = low.shape
     n_rows_win = base.n_tiles * Rs
     P = max(Rs, min(panel_rows, n_rows_win))
@@ -677,6 +695,12 @@ def plan_panel_windows(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
     # target HALF the worklist budget per window (16 bytes per padded
     # slot), leaving room for the start table and boundary-tile spill --
     # eligibility is re-checked per window
+    if base.Rs != Rs:
+        raise ValueError(f"base plan has Rs={base.Rs}, expected {Rs}")
+    live = slice(0, base.n_live)
+    if not np.array_equal(base.work_o[live], base.work_t[live]):
+        raise ValueError("base plan is itself windowed -- window plans "
+                         "need the full-schedule worklist")
     per_window = max((PANEL_WORK_SMEM_BUDGET // 16) // 2, 8)
     n_windows = -(-base.n_live // per_window)
     if n_windows > max_windows:
@@ -935,6 +959,7 @@ def synthesize_panels_sharded(low: LoweredSchedule, mesh,
     c_pad = -(-C // nc) * nc
     cs = c_pad // nc
     tile = Rs * 128
+    ops_present, op_remap = _compact_ops(low)
     if NB > 1:
         if low.bucket_samples % tile:
             raise UnsupportedFactor(
@@ -944,21 +969,27 @@ def synthesize_panels_sharded(low: LoweredSchedule, mesh,
         nb_pad = -(-NB // nt) * nt
         nb_local = nb_pad // nt
         tps = nb_local * G_b
-        tensors, _ = shard_schedule(low, mesh, nb_pad=nb_pad)
+        tensors, _ = shard_schedule(low, mesh, nb_pad=nb_pad,
+                                    op_remap=op_remap)
         bucket_spec = 'time'
     else:
         n_rows = -(-low.n_samples // 128)
         n_tiles = -(-n_rows // Rs)
         tiles_pad = -(-n_tiles // nt) * nt
         tps = tiles_pad // nt
-        tensors, _ = shard_schedule(low, mesh)
+        tensors, _ = shard_schedule(low, mesh, op_remap=op_remap)
         nb_local = 1
         bucket_spec = None
 
     if plan is None:
         plan = build_sparse_plan(low, Rs=Rs)
-    elif plan.Rs != Rs:
-        raise ValueError(f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
+    else:
+        if plan.Rs != Rs:
+            raise ValueError(
+                f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
+        # same stale-plan guard as the single-chip paths (a plan from a
+        # different lowering silently synthesizes wrong samples)
+        _validate_plan(plan, low)
     work_np, counts, K, P, NP = shard_panel_work(plan, nc, nt, cs, tps,
                                                  nb_local, Rs)
     n_slots = cs * NP * nb_local
@@ -1006,8 +1037,8 @@ def synthesize_panels_sharded(low: LoweredSchedule, mesh,
             amp, op, pw, sh, q32, args, ext, clip,
             rest[0] if pair else None,
             rest[-1] if dac else None,
-            S=S, T=T, F=F, Rs=Rs, P=P, NP=NP, interpret=interpret,
-            out_dtype=out_dtype)
+            S=S, T=T, F=F, Rs=Rs, P=P, NP=NP, ops_present=ops_present,
+            interpret=interpret, out_dtype=out_dtype)
 
         def window(o):
             return o.reshape(o.shape[0], -1)[:, :local_samples]
@@ -1064,6 +1095,7 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     c_pad = -(-C // nc) * nc
     cs = c_pad // nc
     tile = Rs * 128
+    ops_present, op_remap = _compact_ops(low)
     if NB > 1:
         # whole buckets per time shard (dense-mesh layout): tiles map to
         # shards by wt // tps with tps = nb_local * tiles-per-bucket
@@ -1075,21 +1107,25 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
         nb_pad = -(-NB // nt) * nt
         nb_local = nb_pad // nt
         tps = nb_local * G_b
-        tensors, _ = shard_schedule(low, mesh, nb_pad=nb_pad)
+        tensors, _ = shard_schedule(low, mesh, nb_pad=nb_pad,
+                                    op_remap=op_remap)
         bucket_spec = 'time'
     else:
         n_rows = -(-low.n_samples // 128)
         n_tiles = -(-n_rows // Rs)
         tiles_pad = -(-n_tiles // nt) * nt
         tps = tiles_pad // nt                  # subtiles per time shard
-        tensors, _ = shard_schedule(low, mesh)
+        tensors, _ = shard_schedule(low, mesh, op_remap=op_remap)
         nb_local = 1
         bucket_spec = None
 
     if plan is None:
         plan = build_sparse_plan(low, Rs=Rs)
-    elif plan.Rs != Rs:
-        raise ValueError(f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
+    else:
+        if plan.Rs != Rs:
+            raise ValueError(
+                f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
+        _validate_plan(plan, low)     # stale-plan guard (single-chip parity)
     work_np, counts, K = shard_sparse_work(plan, nc, nt, cs, tps, nb_local)
     spec3 = P('channel', 'time', None)
 
@@ -1127,8 +1163,8 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
             amp, op, pw, sh, q32, args, ext, clip,
             rest[0] if pair else None,
             rest[-1] if dac else None,
-            S=S, T=T, F=F, Rs=Rs, n_tiles=tps, interpret=interpret,
-            out_dtype=out_dtype)
+            S=S, T=T, F=F, Rs=Rs, n_tiles=tps, ops_present=ops_present,
+            interpret=interpret, out_dtype=out_dtype)
 
         def window(o):
             return o.reshape(o.shape[0], -1)[:, :local_samples]

@@ -142,14 +142,10 @@ def synthesize_sharded(low: LoweredSchedule, mesh: Mesh,
             -(-low.n_samples // nt_shards), low.bucket_samples, NB)
     R = rows_per_tile
     # compact the opcode branch table like the single-chip path (one-op
-    # schedules then branch not at all); the kernel's lax.switch selects
-    # branches by COMPACT index, so the shipped op descriptors must be
-    # remapped to match (DeviceSchedule does the same)
-    from ..ops.lowering import N_OPS
-    ops_present = tuple(int(o) for o in np.unique(low.op))
-    op_remap = np.zeros(N_OPS, np.int32)
-    for i, o in enumerate(ops_present):
-        op_remap[o] = i
+    # schedules then branch not at all); _compact_ops pairs the branch
+    # list with the descriptor remap the kernel's lax.switch needs
+    from ..ops.sparse_synth import _compact_ops
+    ops_present, op_remap = _compact_ops(low)
     if NB > 1:
         # bucketed: shard whole buckets across 'time' so every local tile's
         # bucket window lives on its own shard
