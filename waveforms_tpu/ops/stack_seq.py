@@ -420,7 +420,7 @@ def _seq_call(metas, shapes, SC: int, n_super: int, n_chunks_pad: int,
         if quant:
             # dac_scale is integer-codes-only (float narrowing is a
             # plain astype -- the engines' shared convention)
-            if out_dtype == jnp.int16:
+            if jnp.dtype(out_dtype) == jnp.dtype(jnp.int16):
                 scaled = jnp.clip(
                     jnp.round(acc_ref[0] * np.float32(dac_scale)),
                     -32768.0, 32767.0)

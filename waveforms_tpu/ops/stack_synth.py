@@ -294,6 +294,12 @@ def build_stack_plan(low: LoweredSchedule,
         for name in ('nterm', 'nfac', 'amp', 'op', 'power', 'shift_hi',
                      'q32', 'args', 'seg_lo', 'seg_hi'):
             setattr(wide, name, getattr(low, name).copy())
+        # the hi-tier residual planes are NOT compacted below and
+        # _normalize_segment_order would permute them IN PLACE on the
+        # caller's arrays (shared via copy.copy) -- the wide residual is
+        # an f32 dense-kernel schedule, so drop them
+        wide.args_lo = None
+        wide.amp_lo = None
         from .lowering import SEG_SENTINEL
         seg_first = np.searchsorted(rep, np.arange(len(cs)))
         for j, (c, b, s) in enumerate(zip(cs, bs, ss)):
@@ -503,15 +509,19 @@ def _build_runner(plan: StackPlan, low: LoweredSchedule):
             src = np.pad(src, ((0, 0), (0, pad)), constant_values=-1)
             rb = np.pad(rb, ((0, 0), (0, pad)))
             lrt = np.pad(lrt, ((0, 0), (0, pad)), constant_values=128)
-        onehot = (jnp.asarray(lrt)[:, None, :]
-                  == jnp.arange(128)[None, :, None]).astype(jnp.float32)
+        # ship the int32 rows and expand the one-hot ON DEVICE inside
+        # jit (a host-built dense one-hot would embed a 128x-larger f32
+        # constant into the executable)
+        lrt_dev = jnp.asarray(lrt, jnp.int32)
         per_group.append((g, src.reshape(-1), rb.reshape(-1), k_max,
-                          onehot))
+                          lrt_dev))
 
     @jax.jit
     def run_stack():
         out = jnp.zeros((n_chunks, 128, 128), jnp.float32)
-        for g, src, rb, k_max, onehot in per_group:
+        for g, src, rb, k_max, lrt_dev in per_group:
+            onehot = (lrt_dev[:, None, :]
+                      == jnp.arange(128)[None, :, None]).astype(jnp.float32)
             vals = _eval_blocks(g, src, rb, ext_arr)
             vals = vals.reshape(n_chunks, k_max, 128)
             # HIGHEST-precision f32 einsum.  Two cheaper variants were
@@ -903,7 +913,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             # dac_scale applies to integer codes only; float narrowing
             # (bf16/f16) is a plain astype, matching _quantize_host and
             # the dense/panel kernels' convention
-            if out_dtype == jnp.int16:
+            if jnp.dtype(out_dtype) == jnp.dtype(jnp.int16):
                 scaled = jnp.clip(
                     jnp.round(acc_ref[0] * np.float32(dac_scale)),
                     -32768.0, 32767.0)
@@ -981,6 +991,10 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
             "or all-wide) -- use the kernel engines")
     quant = (out_dtype is not None
              and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32))
+    if (out_dtype is not None
+            and jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer)
+            and jnp.dtype(out_dtype) != jnp.dtype(jnp.int16)):
+        raise ValueError("integer output supports int16 only")
     # per-channel dac_scale quantizes in the epilogue (stack chunks can
     # straddle channels, so the in-kernel store takes a scalar only)
     in_kernel_quant = quant and plan.wide is None \
@@ -988,6 +1002,11 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
     key = '_runner_interp' if interpret else '_runner'
     if in_kernel_quant:
         key += f"_{jnp.dtype(out_dtype)}_{float(dac_scale)!r}"
+    # the table-layout env levers are baked into the compiled kernel at
+    # build time; omitting them from the key made A/B harnesses measure
+    # a stale cached variant silently
+    key += (f"_t{os.environ.get('WFTPU_STACK_TABLE_T', '0')}"
+            f"_l{os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2')}")
     runner = getattr(plan, key, None)
     if runner is None:
         runner = _build_kernel_runner(
@@ -1009,10 +1028,13 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
         # synthesis: fall back to the XLA op-chain runner once, loudly,
         # and cache it.  Runtime device faults re-raise (the engine's
         # fault classifier owns that policy).
+        from ..engine import _is_device_fault
         msg = str(exc).lower()
-        if getattr(plan, '_runner_is_xla_' + key, False) or not any(
-                m in msg for m in ('mosaic', 'unimplemented primitive',
-                                   'lowering', 'unsupported')):
+        if (getattr(plan, '_runner_is_xla_' + key, False)
+                or _is_device_fault(exc)   # runtime fault: engine's policy
+                or not any(m in msg
+                           for m in ('mosaic', 'unimplemented primitive',
+                                     'lowering', 'unsupported'))):
             raise
         import warnings
         warnings.warn(
@@ -1029,7 +1051,7 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
         out = out + synthesize_device(DeviceSchedule(plan.wide),
                                       interpret=interpret)
     if quant and not in_kernel_quant:
-        if out_dtype == jnp.int16:
+        if jnp.dtype(out_dtype) == jnp.dtype(jnp.int16):
             sc = np.asarray(dac_scale, np.float32)
             scaled = out * (sc.reshape(-1, 1) if sc.ndim else sc)
             out = jnp.clip(jnp.round(scaled), -32768.0,
