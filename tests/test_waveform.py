@@ -396,3 +396,22 @@ def test_exp_product_cancellation_keeps_constant():
         d = np.real(np.asarray(w(t)))
         s = np.real(np.asarray(w.simplify()(t)))
         np.testing.assert_allclose(s, d, rtol=1e-12)
+
+
+def test_chirp_constant_frequency_limit():
+    """chirp(f0, f0, T) is the continuous f1 -> f0 limit: the windowed
+    constant-frequency tone with the chirp's 2-pi convention (fixed
+    reference bug: bare sin(f0, phi0), unwindowed, wrong frequency)."""
+    from waveforms_tpu import chirp, coshPulse, general_cosine
+
+    t = np.linspace(-0.5, 1.5, 41)
+    for kind in ('linear', 'exponential', 'hyperbolic'):
+        near = np.asarray(chirp(1.0, 1.0 + 1e-9, 1.0, type=kind)(t), float)
+        degen = np.asarray(chirp(1.0, 1.0, 1.0, type=kind)(t), float)
+        assert np.abs(near - degen).max() < 1e-6, kind
+    # plateau-only coshPulse degenerates like gaussian
+    v = np.asarray(coshPulse(0, plateau=1.0)(np.array([0.0, 0.4, 0.6])),
+                   float)
+    np.testing.assert_array_equal(v, [1.0, 1.0, 0.0])
+    with pytest.raises(ValueError, match='general_cosine'):
+        general_cosine(1.0, 0.0, 1.0)

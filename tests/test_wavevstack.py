@@ -184,3 +184,24 @@ def test_wave_sum_leading_segments():
     s = np.asarray(st.simplify()(t), float)
     np.testing.assert_allclose(s, d, atol=1e-12)
     assert d[0] == 3.0          # 1 + 2 left of every pulse
+
+
+def test_empty_stack_simplify_keeps_offset():
+    """An empty stack with a DC offset keeps its value through
+    simplify() (fixed reference bug: bare zero() dropped it)."""
+    s = WaveVStack([]) + 5.0
+    s.start, s.stop, s.sample_rate = 0.0, 1.0, 10.0
+    t = np.array([0.0, 0.5])
+    np.testing.assert_allclose(np.asarray(s.simplify()(t), float), 5.0)
+    m = s.simplify()
+    assert m.start == 0.0 and m.sample_rate == 10.0
+
+
+def test_stack_bounds_access_raises_helpfully():
+    from waveforms_tpu import square
+
+    s = WaveVStack([square(1)])
+    with pytest.raises(AttributeError, match='simplify'):
+        s | 1
+    with pytest.raises(AttributeError, match='simplify'):
+        WaveVStack([s])

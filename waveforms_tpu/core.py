@@ -451,7 +451,8 @@ class Waveform:
         if out is None:
             out = np.zeros_like(x, dtype=dtype)
         elif not accumulate:
-            out *= 0
+            out[:] = 0      # NOT out *= 0: NaN/Inf in a reused buffer
+                            # would survive the multiply and poison +=
         for lo, hi, part in parts:
             out[lo:hi] += part
         return out
@@ -531,6 +532,19 @@ class WaveVStack(Waveform):
         self.shift = 0
         self.filters = self.label = self.function_lib = None
 
+    # inherited operators that need the merged IR (| & ** filter, or
+    # nesting a stack as a component) would otherwise die with a bare
+    # AttributeError from the un-set Waveform slot; say what to do
+    @property
+    def bounds(self):
+        raise AttributeError(
+            "WaveVStack keeps its components un-merged and has no "
+            "bounds/seq -- call simplify() to collapse it into a "
+            "Waveform first (also required to nest a stack inside "
+            "another WaveVStack)")
+
+    seq = bounds
+
     def _stack_begin(self):
         if self.wlist:
             return min(self._begin(b, s) for b, s in self.wlist)
@@ -600,7 +614,15 @@ class WaveVStack(Waveform):
     def simplify(self, eps=1e-15):
         """Collapse the stack into one canonical :class:`Waveform`."""
         if not self.wlist:
-            return zero()
+            # keep the DC offset and sampling metadata: the reference's
+            # bare zero() changed the waveform's VALUE for offset stacks
+            # (documented divergence, docs/PARITY.md)
+            merged = (zero() if self.offset == 0
+                      else const(self.offset).simplify(eps))
+            for name in ('start', 'stop', 'sample_rate', 'filters',
+                         'label'):
+                setattr(merged, name, getattr(self, name))
+            return merged
         merged = Waveform(*wave_sum(self.wlist))
         if self.offset != 0:
             merged += self.offset

@@ -181,6 +181,8 @@ def coshPulse(width: float, eps: float = 1.0,
     """
     if width <= 0 and plateau <= 0:
         return zero()
+    if width <= 0:      # plateau-only: a flat-top pulse, like gaussian's
+        return square(plateau)
     w = eps / width
     A = np.cosh(eps / 2)
     amps = (A / (A - 1), -1 / (A - 1))
@@ -205,7 +207,12 @@ def general_cosine(duration: float, *arg: float) -> Waveform:
     """Windowed sum-of-harmonics pulse (coefficients normalized)."""
     wav = zero()
     arg_ = np.asarray(arg, dtype=float)
-    arg_ /= arg_[::2].sum()
+    norm = arg_[::2].sum()
+    if norm == 0:
+        raise ValueError(
+            "general_cosine: even-indexed coefficients sum to 0 -- the "
+            "normalization is undefined (an all-NaN waveform otherwise)")
+    arg_ /= norm
     for i, a in enumerate(arg_, start=1):
         wav += a / 2 * (1 - (-1)**i * cos(i * 2 * pi / duration))
     return wav * square(duration)
@@ -308,10 +315,15 @@ def drag(freq: float, width: float, plateau: float = 0, delta: float = 0,
 def chirp(f0: float, f1: float, T: float, phi0: float = 0,
           type: str = 'linear') -> Waveform:
     """Frequency sweep from f0 to f1 over T; linear/exponential/hyperbolic."""
-    if f0 == f1:
-        return sin(f0, phi0)
     if T <= 0:
         raise ValueError('T must be positive')
+    if f0 == f1:
+        # constant-frequency limit: keep the chirp convention
+        # (sin(2 pi f t + phi0), windowed to [0, T]) -- the reference
+        # fell back to sin(f0, phi0), dropping BOTH the 2 pi factor and
+        # the window, a discontinuous jump as f1 -> f0 (documented
+        # divergence, docs/PARITY.md)
+        return cut(sin(2 * pi * f0, phi0), start=0, stop=T)
 
     if type == 'linear':
         return Waveform(bounds=(0, round(T, NDIGITS), +inf),
