@@ -163,9 +163,12 @@ class Sequencer:
                 [_pad_to(a, (C, NB, Sb, T, F, W_ARGS))
                  for a in args_rw])).reshape(
                 -1, C, NB, 1, Sb * T * F * W_ARGS),
-            jnp.asarray(np.broadcast_to(
-                np.pad(ext_np, (0, E - ext_np.size)),
-                (len(schedules), E)).copy()).reshape(-1, 1, 1, 1, E),
+            # ONE copy, not K: the ext buffer is table-wide after the
+            # merge above, and play()'s mode='clip' gather clamps the
+            # schedule index to 0 on this axis -- K identical copies
+            # wasted K x E x 4 bytes of HBM
+            jnp.asarray(np.pad(ext_np, (0, E - ext_np.size))).reshape(
+                1, 1, 1, 1, E),
             stack(lambda l: np.stack([l.clip_min, l.clip_max], 1),
                   (C, 2)).reshape(-1, C, 1, 1, 2),
         )
@@ -244,7 +247,8 @@ class Sequencer:
 
     def play_many(self, ks, rows_per_tile: int | None = None,
                   sparse: bool = False, Rs: int = 32,
-                  interpret: bool = False, out_dtype=None):
+                  interpret: bool = False, out_dtype=None,
+                  dac_scale=32767.0):
         """Synthesize a whole shot sequence in ONE dispatch -> (len(ks), C, N).
 
         ``jax.vmap`` over the shot-index vector turns the per-shot gather +
@@ -273,7 +277,8 @@ class Sequencer:
         else:
             fn = lambda k: self.play(k, rows_per_tile=rows_per_tile,       # noqa: E731
                                      interpret=interpret,
-                                     out_dtype=out_dtype)
+                                     out_dtype=out_dtype,
+                                     dac_scale=dac_scale)
         return jax.vmap(fn)(ks)
 
     def _sparse_table(self, Rs: int):

@@ -142,10 +142,18 @@ class StackSequencer:
         self.n_samples = first.n_samples
         self.sample_rate = first.sample_rate
         n_rows = plans[0].n_rows
-        if any(p.n_rows != n_rows for p in plans):
-            raise ValueError(
-                "pre-built plans disagree on n_rows -- they were not "
-                "built from these schedules")
+        for k, (p, low) in enumerate(zip(plans, lows)):
+            # cross-reference each plan with ITS schedule: a reordered
+            # or foreign plans list silently synthesizes wrong samples
+            # (the ext gathers would read low's buffer with the other
+            # plan's offsets)
+            if (p.n_rows != n_rows or p.n_channels != low.shape[0]
+                    or p.n_samples != low.n_samples):
+                raise ValueError(
+                    f"plans[{k}] does not match lows[{k}] "
+                    f"(rows {p.n_rows}/{n_rows}, ch {p.n_channels}/"
+                    f"{low.shape[0]}, samples {p.n_samples}/"
+                    f"{low.n_samples}) -- plans must pair 1:1 with lows")
         total_rows = C * n_rows
         n_chunks = -(-total_rows // 128)
         self._n_rows = n_rows
@@ -191,8 +199,10 @@ class StackSequencer:
             return assign_memo[mkey]
 
         eff_max = {key: 1 if n_ident else 0 for key in key_union}
+        seen_groups = set()
         for plan in plans:
             for g in plan.groups:
+                seen_groups.add(id(g))
                 *_, lay_cnt, _sp, _k = assign(g, n_ident)
                 key = _group_key(g)
                 eff_max[key] = max(eff_max[key], int(lay_cnt.max()))
@@ -221,7 +231,9 @@ class StackSequencer:
                 meta, tab, cnts = _group_table(
                     g, n_rows, n_chunks, self._ext_of(lows[k]),
                     n_ident, table_t, k_sp_force=k_sp_max[key],
-                    n_ident_force=eff_max[key])
+                    n_ident_force=eff_max[key],
+                    assignment=(assign(g, eff_max[key])
+                                if id(g) in seen_groups else None))
                 tab = np.pad(tab, ((0, pad_c), (0, 0), (0, 0)))
                 if table_t:
                     tab = np.ascontiguousarray(tab.transpose(0, 2, 1))
@@ -251,6 +263,7 @@ class StackSequencer:
                 "table budget -- fewer/smaller schedules per table")
         self._calls = {}
         self._device_ops = None      # lazy one-time upload (first play)
+        self._replicated = {}        # mesh -> replicated operand cache
 
     @staticmethod
     def _ext_of(low: LoweredSchedule) -> np.ndarray:
@@ -292,7 +305,8 @@ class StackSequencer:
         ks = jnp.asarray(ks, jnp.int32)
         n_shots = int(ks.shape[0])
         key = (n_shots, interpret,
-               str(jnp.dtype(out_dtype or jnp.float32)), float(dac_scale))
+               str(jnp.dtype(out_dtype or jnp.float32)),
+               np.asarray(dac_scale, np.float32).tobytes())
         call = self._calls.get(key)
         if call is None:
             call = self._build_call(n_shots, interpret, out_dtype,
@@ -355,12 +369,18 @@ class StackSequencer:
             self._calls[key] = call
 
         axes = tuple(mesh.axis_names)
-        rep = []
-        for cnts, tab in self._operands:
-            rep.append(jax.device_put(cnts, NamedSharding(
-                mesh, P(*(None,) * np.ndim(cnts)))))
-            rep.append(jax.device_put(tab, NamedSharding(
-                mesh, P(*(None,) * np.ndim(tab)))))
+        rep = self._replicated.get(mesh)
+        if rep is None:
+            # replicate ONCE per mesh: the table set can be hundreds of
+            # MiB, and re-uploading per shot batch would contradict the
+            # 'upload once' waveform-memory contract
+            rep = []
+            for cnts, tab in self._operands:
+                rep.append(jax.device_put(cnts, NamedSharding(
+                    mesh, P(*(None,) * np.ndim(cnts)))))
+                rep.append(jax.device_put(tab, NamedSharding(
+                    mesh, P(*(None,) * np.ndim(tab)))))
+            self._replicated[mesh] = rep
         in_specs = (P(axes),) + tuple(
             P(*(None,) * np.ndim(a)) for a in rep)
 
@@ -396,8 +416,14 @@ def _seq_call(metas, shapes, SC: int, n_super: int, n_chunks_pad: int,
     # halving the (n_shots, C, N) result stream
     quant = (out_dtype is not None
              and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32))
+    if (out_dtype is not None
+            and jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer)
+            and jnp.dtype(out_dtype) != jnp.dtype(jnp.int16)):
+        raise ValueError("integer output supports int16 only")
     if quant and np.ndim(dac_scale) != 0:
-        raise NotImplementedError(
+        # UnsupportedFactor so mesh routing can fall back to the dense
+        # sharded path (which supports per-channel scales)
+        raise UnsupportedFactor(
             "stacked-table int16 supports a scalar dac_scale")
 
     def kernel(ks_ref, *refs):

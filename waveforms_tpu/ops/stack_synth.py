@@ -556,7 +556,8 @@ def _pad128(x: int) -> int:
 def _group_table(g: GroupData, n_rows: int, n_chunks: int,
                  ext_np: np.ndarray, n_ident: int, table_t: bool,
                  k_sp_force: int | None = None,
-                 n_ident_force: int | None = None):
+                 n_ident_force: int | None = None,
+                 assignment=None):
     """Build one group's packed per-chunk slot table (host arrays).
 
     Returns ``(meta, tab, cnts)``: the static kernel parameters, the
@@ -565,14 +566,18 @@ def _group_table(g: GroupData, n_rows: int, n_chunks: int,
     identity-layer / spill counts.  ``k_sp_force`` pads the spill strip
     region to a table-wide width and ``n_ident_force`` pins the
     identity-layer count so tables from different schedules stack into
-    one tensor (see stack_seq.StackSequencer)."""
+    one tensor (see stack_seq.StackSequencer).  ``assignment`` accepts
+    a precomputed ``_chunk_assign_hybrid(g, n_rows, n_chunks,
+    n_ident_force)`` result so the sequencer's memoized placement walk
+    is not re-run here."""
     TF = len(g.ops)
     NT = len(g.term_nfac)
     W = g.args.shape[-1]
     if n_ident_force is not None:
         n_ident = n_ident_force
-    src, rb, lrt, lay_cnt, sp_cnt, k_sp = _chunk_assign_hybrid(
-        g, n_rows, n_chunks, n_ident)
+    src, rb, lrt, lay_cnt, sp_cnt, k_sp = (
+        assignment if assignment is not None
+        else _chunk_assign_hybrid(g, n_rows, n_chunks, n_ident))
     if n_ident_force is None:
         # TRIM empty identity layers: layer l's 128 slots exist for
         # every chunk, so an all-empty trailing layer is pure table
