@@ -172,6 +172,10 @@ def classify_pallas_route(low, force=None, out_dtype=None):
                                    panels_eligible)
 
     sparse_plan = None
+    if not low.pallas_ok and force in ('sparse', 'panel'):
+        raise UnsupportedFactor(
+            "schedule is outside the fused kernels' descriptor budget or "
+            "opcode set -- the forced engine cannot run it")
     if low.pallas_ok and force in (None, 'sparse', 'panel'):
         try:
             sparse_plan = build_sparse_plan(low)
@@ -241,15 +245,21 @@ def _quantize_host(out, out_dtype, dac_scale):
     (native/numpy engines) and jax.Array (xla engine) results."""
     if out_dtype is None:
         return out
-    import jax.numpy as jnp
-    xp = np if isinstance(out, np.ndarray) else jnp
-    if jnp.dtype(out_dtype) == jnp.int16:    # dac_scale is codes-only
+    dt = np.dtype(out_dtype)     # jax-free: host engines must quantize
+    if np.issubdtype(dt, np.integer):        # without jax installed
+        if dt != np.dtype(np.int16):
+            # the device engines' gate (dac_scale_tensor); silently
+            # astype'ing here truncated unit-range samples to ~0 codes
+            raise ValueError("integer output supports int16 only")
+        xp = np if isinstance(out, np.ndarray) else __import__(
+            'jax.numpy', fromlist=['jnp'])
         sc = np.asarray(dac_scale, np.float64)
         scaled = out * (sc.reshape(-1, 1) if sc.ndim else float(sc))
         return xp.clip(xp.round(scaled), -32768.0,
-                       32767.0).astype(np.int16 if xp is np else jnp.int16)
-    return out.astype(out_dtype) if xp is jnp else \
-        np.asarray(out).astype(out_dtype)
+                       32767.0).astype(np.int16)
+    if isinstance(out, np.ndarray):
+        return np.asarray(out).astype(dt)
+    return out.astype(out_dtype)
 
 
 def synthesize(channels, start: float, stop: float, sample_rate: float,
@@ -283,13 +293,14 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     if precision not in ('single', 'double'):
         raise ValueError(f"unknown precision {precision!r}")
     if out_dtype is not None:
-        import jax.numpy as jnp
+        # np.dtype understands jnp dtype objects too -- keep this block
+        # jax-free so host-only deployments can narrow/quantize
         if precision == 'double':
             raise ValueError("out_dtype narrowing contradicts "
                              "precision='double'")
-        if part == 'complex' and jnp.dtype(out_dtype) != jnp.float32:
+        if part == 'complex' and np.dtype(out_dtype) != np.float32:
             raise ValueError("part='complex' requires f32 output")
-        if jnp.dtype(out_dtype) == jnp.float32:
+        if np.dtype(out_dtype) == np.dtype(np.float32):
             out_dtype = None        # f32 is every engine's default
     if precision == 'double' and engine not in ('native', 'numpy'):
         if engine not in ('auto', 'pallas', 'pallas-dense', 'xla'):
@@ -321,6 +332,13 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
                 except UnsupportedFactor:
                     if engine != 'auto':
                         raise
+                except Exception as exc:
+                    # same device-fault-only degradation contract as the
+                    # f32 auto ladder: native/numpy ARE the f64 oracle,
+                    # so the fallback is lossless
+                    if engine != 'auto':
+                        raise
+                    _degrade_or_raise(exc, 'hi')
             # auto off-TPU / unsupported ops: host f64 engines below
             return synthesize(channels, start, stop, sample_rate,
                               engine='native' if _native_ok() else 'numpy',
@@ -408,7 +426,13 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
         # bandwidth -- routing order is tpu-pallas > accel-xla > native >
         # numpy (round-4 fix: previously GPU hosts silently fell through
         # to the host engines)
-        if backend not in (None, 'cpu', 'tpu'):
+        # the xla rung only under x64: the trace engine samples t
+        # directly, and an f32 grid collapses adjacent samples once
+        # t/dt > ~2^23 (start = 1 s at 1 GS/s is 60-sample ulps) -- the
+        # host f64 engines below are the correct single-precision-host
+        # fallback
+        if (backend not in (None, 'cpu', 'tpu')
+                and jax.config.read('jax_enable_x64')):
             try:
                 return synthesize(channels, start, stop, sample_rate,
                                   engine='xla', part=part,

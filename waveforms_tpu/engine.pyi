@@ -8,7 +8,8 @@ from .core import Waveform
 Engine = Literal['auto', 'pallas', 'pallas-panel', 'pallas-sparse',
                  'pallas-dense', 'pallas-stack', 'xla', 'native', 'numpy']
 
-RouteKind = Literal['panel', 'sparse', 'stack', 'dense']
+RouteKind = Literal['panel', 'panel-windowed', 'sparse',
+                    'stack', 'dense']
 
 
 def synthesize(channels: Iterable[Waveform], start: float, stop: float,

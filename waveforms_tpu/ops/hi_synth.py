@@ -82,7 +82,14 @@ def op_builders_hi(di, arg, arglo, q32):
         return x_df()
 
     def op_gaussian():
-        return df.exp(*df.neg(*df.sqr(*x_df())))
+        # clamp like op_exp: df.exp's range reduction NaNs once the
+        # magnitude passes ~3e7, where the oracle (and the f32 kernel)
+        # underflow to 0 -- e^-80 is already exactly 0 in f32
+        nh, nl = df.neg(*df.sqr(*x_df()))
+        clip = nh < -_EXP_CLAMP
+        nh = jnp.maximum(nh, -_EXP_CLAMP)
+        nl = jnp.where(clip, 0.0, nl)
+        return df.exp(nh, nl)
 
     def op_exp():
         xh, xl = x_df()
@@ -450,6 +457,12 @@ def synthesize_hi_panels(dev, low=None, plan=None, Rs=32,
         if low is None:
             raise ValueError("synthesize_hi_panels needs `low` or `plan`")
         plan = build_panel_plan(low, Rs=Rs)
+    else:
+        # same stale-plan guard as the f32 twin: a cached plan from a
+        # different lowering silently synthesizes garbage (or reads the
+        # descriptor block out of bounds)
+        from .sparse_synth import _validate_panel_plan
+        _validate_panel_plan(plan, dev)
     if not panels_eligible(plan, jnp.float32):
         raise UnsupportedFactor("worklist exceeds the panel SMEM budget")
     tensors = dev.tensors[:2] + dev.tensors[3:]
@@ -468,14 +481,27 @@ def synthesize_hi_panels(dev, low=None, plan=None, Rs=32,
 
 def synthesize_hi_routed(low, combine: bool = True):
     """Occupancy-routed hi tier: panel kernel below the panel threshold
-    (the same crossover the f32 engine uses), dense hi grid otherwise."""
+    (the same crossover the f32 engine uses -- including the padded-row
+    occupancy correction and the short-window preference), dense hi grid
+    otherwise."""
     if low.shape[1] == 1 and low.pallas_ok and low.amp_im is None:
         from ..engine import _panel_threshold
+        from .pallas_synth import default_rows_per_tile
         from .sparse_synth import (build_panel_plan, build_sparse_plan,
                                    panels_eligible)
         try:
             sp = build_sparse_plan(low)
-            if sp.occupied_fraction < _panel_threshold():
+            # mirror classify_pallas_route: dense pads the row count to
+            # its tile height and padding rows are real work, so compare
+            # against the PADDED tile count; short windows (<= 2 dense
+            # steps) prefer panels outright
+            R = default_rows_per_tile(low.n_samples, low.bucket_samples,
+                                      low.shape[1])
+            n_rows = -(-low.n_samples // 128)
+            padded_rows = -(-n_rows // R) * R
+            occ = sp.occupied_fraction * n_rows / padded_rows
+            small = padded_rows <= 2 * R
+            if small or occ < _panel_threshold():
                 pp = build_panel_plan(low, base=sp)
                 if panels_eligible(pp, jnp.float32):
                     return synthesize_hi_panels(low, plan=pp,
