@@ -232,3 +232,39 @@ def test_sosfilt_near_unit_double_pole_matches_scipy():
     want = sp_sosfilt(sos, x)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 1e-9
+
+
+def test_extract_kernel_jax_skip_matches_reference():
+    """skip trims both kernel ends like the reference extractKernel."""
+    from waveforms_tpu.ops.fft import extract_kernel_jax
+
+    rng = np.random.default_rng(5)
+    n = 256
+    sig_out = rng.standard_normal(n)
+    h = np.exp(-np.arange(8) / 3.0)
+    sig_in = np.convolve(sig_out, h)[:n]
+    full = np.asarray(extract_kernel_jax(sig_in, sig_out, 1e9))
+    trimmed = np.asarray(extract_kernel_jax(sig_in, sig_out, 1e9, skip=10))
+    np.testing.assert_allclose(trimmed, full[10:-10], rtol=1e-12)
+
+
+def test_fft_convolve_sharded_centered_alignment():
+    """centered=True treats the kernel's zero-lag as its center tap (the
+    extract_kernel_jax convention); without it such kernels shift the
+    output by half the kernel length (round-4 review finding)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from waveforms_tpu.ops.fft_sharded import fft_convolve_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip('needs 4 virtual devices')
+    mesh = Mesh(np.array(jax.devices()[:4]), ('time',))
+    n = 1024
+    rng = np.random.default_rng(2)
+    sig = jnp.asarray(rng.standard_normal(n))
+    K = 33
+    ker = np.zeros(K)
+    ker[K // 2] = 1.0                         # centered identity kernel
+    out = np.asarray(fft_convolve_sharded(sig, ker, mesh, centered=True))
+    np.testing.assert_allclose(out, np.asarray(sig), atol=1e-4)

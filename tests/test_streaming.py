@@ -149,3 +149,33 @@ def test_stream_complex_pair_nonzero_initial():
     ref = ref_re + 1j * ref_im
     scale = max(np.abs(ref).max(), 1e-30)
     assert np.abs(got[0] - ref).max() / scale < 1e-5
+
+
+def test_stream_int16_dac_codes():
+    """Streaming with out_dtype=int16 yields in-kernel DAC codes chunk by
+    chunk, matching the one-shot engine's codes exactly."""
+    import jax.numpy as jnp
+    import pytest
+
+    from waveforms_tpu import cosPulse, gaussian
+    from waveforms_tpu.ops.pallas_synth import synthesize_device
+
+    w = gaussian(100e-9) >> 0.3e-6
+    low = lower_schedule([w, 0.5 * cosPulse(80e-9) >> 0.7e-6],
+                         0, 1e-6, 2e9)
+    dev = DeviceSchedule(low)
+    want = np.asarray(synthesize_device(dev, rows_per_tile=8,
+                                        interpret=True,
+                                        out_dtype=jnp.int16,
+                                        dac_scale=1000.0))
+    chunks = [np.asarray(c) for c in
+              synthesize_stream(dev, chunk_rows=8, rows_per_tile=8,
+                                interpret=True, out_dtype=jnp.int16,
+                                dac_scale=1000.0)]
+    got = np.concatenate(chunks, axis=1)
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match='quantized streaming'):
+        next(iter(synthesize_stream(dev, chunk_rows=8, rows_per_tile=8,
+                                    interpret=True, out_dtype=jnp.int16,
+                                    filters=(tf2sos(*butter(3, 0.1)), 0))))

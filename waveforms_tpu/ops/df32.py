@@ -239,7 +239,13 @@ def sincos_rad(xh, xl, need_sin=True, need_cos=True):
     """
     k = jnp.round(xh * np.float32(2 / np.pi))
     quad = (k.astype(jnp.int32)) & 3
-    ph, pl = mul_f(np.float32(np.pi / 2),
-                   np.float32(np.pi / 2 - float(np.float32(np.pi / 2))), k)
+    p_h = np.float32(np.pi / 2)
+    p_l = np.float32(np.pi / 2 - float(p_h))
+    # third constant term: the 2-term pair leaves ~1.5e-15 * k of pi/2
+    # unrepresented, which breaches the 1e-9 contract past k ~ 1e6; the
+    # residual correction k * p_ll is tiny, so a single f32 term fixes it
+    p_ll = np.float32(np.pi / 2 - float(p_h) - float(p_l))
+    ph, pl = mul_f(p_h, p_l, k)
     x = add(xh, xl, -ph, -pl)
+    x = add(*x, -p_ll * k, np.float32(0.0))
     return _sincos_core(x, quad, need_sin, need_cos)

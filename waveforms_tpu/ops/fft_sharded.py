@@ -61,17 +61,23 @@ def fft_sharded(xl: jax.Array, axis_name: str) -> jax.Array:
     # short column DFTs on the MXU
     B = _dft_matrix(P, False, cdt) @ at                      # (P, L/P)
     # twiddle w^(c p): this shard owns columns c = my_block*L/P + j
-    me = jax.lax.axis_index(axis_name)
-    c = (me * (L // P) + jnp.arange(L // P))[None, :]
-    p = jnp.arange(P)[:, None]
-    N = P * L
-    tw = jnp.exp((-2j * jnp.pi / N) * (c * p)).astype(cdt)
-    C = B * tw
+    C = B * _twiddle(axis_name, P, L, -1.0, cdt)
     # transpose back: shard p <- row p of C, i.e. C[p, :] full length L
     back = jax.lax.all_to_all(C, axis_name, split_axis=0, concat_axis=0,
                               tiled=False)                   # (P, L/P)
     row = back.reshape(L)
     return jnp.fft.fft(row)                                  # X[p + P q]
+
+
+def _twiddle(axis_name: str, P: int, L: int, sign: float, cdt):
+    """The (P, L/P) twiddle block w^(sign * c p) this shard owns --
+    shared by the forward and inverse transforms so the layout math
+    cannot drift between them."""
+    me = jax.lax.axis_index(axis_name)
+    c = (me * (L // P) + jnp.arange(L // P))[None, :]
+    p = jnp.arange(P)[:, None]
+    N = P * L
+    return jnp.exp((sign * 2j * jnp.pi / N) * (c * p)).astype(cdt)
 
 
 def ifft_sharded(Xl: jax.Array, axis_name: str) -> jax.Array:
@@ -84,12 +90,7 @@ def ifft_sharded(Xl: jax.Array, axis_name: str) -> jax.Array:
     back = row.reshape(P, L // P)
     C = jax.lax.all_to_all(back, axis_name, split_axis=0, concat_axis=0,
                            tiled=False)
-    me = jax.lax.axis_index(axis_name)
-    c = (me * (L // P) + jnp.arange(L // P))[None, :]
-    p = jnp.arange(P)[:, None]
-    N = P * L
-    tw = jnp.exp((2j * jnp.pi / N) * (c * p)).astype(cdt)
-    B = C * tw
+    B = C * _twiddle(axis_name, P, L, +1.0, cdt)
     at = (_dft_matrix(P, True, cdt) / P) @ B
     blocks = jax.lax.all_to_all(at, axis_name, split_axis=0, concat_axis=0,
                                 tiled=False)
@@ -97,7 +98,8 @@ def ifft_sharded(Xl: jax.Array, axis_name: str) -> jax.Array:
 
 
 def fft_convolve_sharded(sig: jax.Array, ker: np.ndarray, mesh,
-                         axis: str = 'time') -> jax.Array:
+                         axis: str = 'time',
+                         centered: bool = False) -> jax.Array:
     """Circular FFT convolution of a sample-axis-sharded signal.
 
     ``sig``: (N,) real or complex, sharded (or shardable) over ``axis`` of
@@ -105,6 +107,14 @@ def fft_convolve_sharded(sig: jax.Array, ker: np.ndarray, mesh,
     kernel spectrum is computed once on the host in f64 and distributed in
     the SAME strided order the sharded FFT emits, so the pointwise product
     never crosses shards.  Returns the (N,) convolution, block-sharded.
+
+    ``centered=True`` treats the kernel's zero-lag as its CENTER tap
+    (``len(ker)//2``) -- the convention of :func:`extract_kernel_jax` /
+    the reference's ``extractKernel`` -- by rolling it before the
+    transform; without it, such kernels shift the output by half the
+    kernel length.  NB: this is CIRCULAR convolution either way (the
+    first/last ~len(ker)/2 samples wrap); the single-chip
+    :func:`fft_convolve_centered` zero-pads instead.
     """
     from jax.sharding import NamedSharding, PartitionSpec as PS
 
@@ -113,6 +123,11 @@ def fft_convolve_sharded(sig: jax.Array, ker: np.ndarray, mesh,
     if N % (P * P):
         raise ValueError(f"N ({N}) must be a multiple of P^2 ({P * P})")
     ker = np.asarray(ker, np.complex128)
+    if centered:
+        rolled = np.zeros(N, np.complex128)
+        K = ker.shape[-1]
+        rolled[:K] = ker
+        ker = np.roll(rolled, -(K // 2))
     if ker.shape[-1] > N:
         raise ValueError(
             f"kernel ({ker.shape[-1]} taps) longer than the signal ({N}) "

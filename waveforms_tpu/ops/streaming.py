@@ -26,7 +26,8 @@ __all__ = ['synthesize_stream']
 
 def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
                       rows_per_tile: int | None = None, filters=None,
-                      interpret: bool = False
+                      interpret: bool = False, out_dtype=None,
+                      dac_scale=32767.0
                       ) -> Generator[jax.Array, None, None]:
     """Yield (C, chunk_rows*128) chunks of the schedule, in time order.
 
@@ -35,8 +36,26 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
     The final chunk is trimmed to the schedule's sample count.
     Complex (pair-mode) schedules stream complex64 chunks; SOS filtering
     applies to the real and imaginary planes independently.
+
+    ``out_dtype=jnp.int16`` streams exact in-kernel DAC codes scaled by
+    the scalar/per-channel ``dac_scale`` (the shared engine convention)
+    -- the AWG-upload use case this generator exists for.  Quantized
+    streaming excludes ``filters`` (filter f32, then quantize).
     """
     C, NB, S, T, F = dev.shape
+    scale_t = None
+    if out_dtype is not None and jnp.dtype(out_dtype) != jnp.dtype(
+            jnp.float32):
+        if filters is not None:
+            raise ValueError(
+                "quantized streaming excludes filters -- stream f32, "
+                "filter, then quantize host-side (codes must round once)")
+        from .pallas_synth import validate_out_mode
+        scale_np = validate_out_mode(out_dtype, dev.amp_im, C, dac_scale)
+        if scale_np is not None:
+            scale_t = jnp.asarray(scale_np)
+    else:
+        out_dtype = None
     if rows_per_tile is None:
         rows_per_tile = default_rows_per_tile(
             min(dev.n_samples, chunk_rows * 128), dev.bucket_samples, NB,
@@ -91,9 +110,11 @@ def synthesize_stream(dev: DeviceSchedule, chunk_rows: int = 512,
         else:
             tensors = list(dev.tensors)
             amp_im = dev.amp_im
-        out = _run_kernel(row0, *tensors, amp_im, S=S, T=T, F=F, R=R,
-                          n_rows=chunk_rows, tiles_per_bucket=G,
-                          ops_present=dev.ops_present, interpret=interpret)
+        out = _run_kernel(row0, *tensors, amp_im, scale_t, S=S, T=T, F=F,
+                          R=R, n_rows=chunk_rows, tiles_per_bucket=G,
+                          ops_present=dev.ops_present, interpret=interpret,
+                          out_dtype=(out_dtype if out_dtype is not None
+                                     else jnp.float32))
         if amp_im is not None:
             re, im = out
             out = re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
