@@ -21,6 +21,7 @@
 #include <map>
 
 #include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -96,6 +97,17 @@ double as_double(PyObject* o) {
   // into a user-visible TypeError at the return-None check
   if (v == -1.0 && PyErr_Occurred()) { PyErr_Clear(); throw Unsupported{}; }
   return v;
+}
+
+// f64 -> f32 with explicit overflow handling: static_cast past
+// FLT_MAX is formally UB ([conv.double]); numpy's cast gives +-inf,
+// so do that deliberately (reachable via high-order derivative chains)
+float to_f32(double x) {
+  if (x > static_cast<double>(std::numeric_limits<float>::max()))
+    return std::numeric_limits<float>::infinity();
+  if (x < -static_cast<double>(std::numeric_limits<float>::max()))
+    return -std::numeric_limits<float>::infinity();
+  return static_cast<float>(x);
 }
 
 long as_long(PyObject* o) {
@@ -360,6 +372,24 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
   if (nf < 2) throw Unsupported{};
   const long fun_id = as_long(PyTuple_GET_ITEM(factor, 0));
   const double shift = as_double(PyTuple_GET_ITEM(factor, nf - 1));
+  // arity check: (fun_id, *args, shift).  A short tuple would read the
+  // SHIFT slot as a basis argument and lower a plausible-but-wrong
+  // descriptor (the Python path raises a loud unpack error); -1 = the
+  // variable-arity bases validate in their own case blocks.
+  auto expect_args = [&](Py_ssize_t n) {
+    if (nf != n + 2) throw Unsupported{};
+  };
+  switch (fun_id) {
+    case B_LINEAR: expect_args(0); break;
+    case B_GAUSSIAN: case B_ERF: case B_COS: case B_SINC: case B_EXP:
+    case B_COSH: case B_SINH: expect_args(1); break;
+    case B_MOLLIFIER: case B_D_GAUSSIAN: expect_args(2); break;
+    case B_EXPONENTIALCHIRP: case B_HYPERBOLICCHIRP: expect_args(3);
+      break;
+    case B_LINEARCHIRP: expect_args(4); break;
+    case B_DRAG: expect_args(6); break;
+    default: break;               // DRAG_SIN/SINX check nf themselves
+  }
 
   FactorRow r{};
   r.power = static_cast<int32_t>(power);
@@ -440,6 +470,7 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
       plain();
       r.op = OP_EXPCHIRP;
       const double f0 = arg(0), alpha = arg(1), phi0 = arg(2);
+      if (alpha == 0.0) throw Unsupported{};  // matches lowering.py
       r.a[1] = static_cast<float>(kTwoPi * f0 / alpha);
       r.a[2] = static_cast<float>(alpha * dt);
       r.a[3] = static_cast<float>(
@@ -451,6 +482,7 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
       plain();
       r.op = OP_HYPCHIRP;
       const double f0 = arg(0), k = arg(1), phi0 = arg(2);
+      if (k == 0.0) throw Unsupported{};      // matches lowering.py
       r.a[1] = static_cast<float>(kTwoPi * f0 / k);
       r.a[2] = static_cast<float>(k * dt);
       r.a[3] = static_cast<float>(
@@ -631,6 +663,10 @@ FactorRow lower_factor(PyObject* factor, long power, double start,
 
 // np.searchsorted(grid, b, side='left') over the f64 grid
 int64_t searchsorted(const double* grid, int64_t n, double b) {
+  // NaN sorts LAST in numpy; grid[mid] < NaN is always false and would
+  // otherwise collapse the window to 0, silently mis-windowing every
+  // later segment
+  if (std::isnan(b)) return n;
   int64_t lo = 0, hi = n;
   while (lo < hi) {
     int64_t mid = (lo + hi) >> 1;
@@ -681,7 +717,7 @@ void lower_pieces(PyObject* pieces, const double* grid, int64_t n_grid,
           PyObject* powers = tuple_item(term, 1);
           const Py_ssize_t nfac = tuple_size(factors);
           if (tuple_size(powers) != nfac) throw Unsupported{};
-          out->term_amp.push_back(static_cast<float>(amp));
+          out->term_amp.push_back(to_f32(amp));
           out->term_nfac.push_back(static_cast<int32_t>(nfac));
           ++emitted_terms;
           for (Py_ssize_t fi2 = 0; fi2 < nfac; ++fi2) {

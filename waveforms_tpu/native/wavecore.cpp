@@ -200,8 +200,11 @@ void eval_factor_block(const Factor& f, int64_t idx0, int n, double* buf) {
     case OP_HYPCHIRP: {
       const double a1 = f.a[1], a2 = f.a[2], a3 = f.a[3];
       for (int i = 0; i < n; ++i)
+        // clamp matches the Pallas kernel's 1e-30 (pallas_synth.py):
+        // this engine's role is a high-precision oracle for KERNEL
+        // semantics (the numpy oracle keeps the reference's NaNs)
         buf[i] = std::sin(a3 + a1 * std::log(std::max(
-            1.0 + a2 * (di0 + i - frac), 1e-300)));
+            1.0 + a2 * (di0 + i - frac), 1e-30)));
       break;
     }
     case OP_COSH: {
@@ -395,7 +398,10 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
                          int32_t n_threads) {
   const bool pair = amp_im != nullptr && out_im != nullptr;
 #if defined(_OPENMP)
-  if (n_threads > 0) omp_set_num_threads(n_threads);
+  // per-region clause, NOT omp_set_num_threads: the global setter
+  // leaks into later calls (n_threads=0 then never restored the
+  // all-cores default) and into other OpenMP users in the process
+  const int nt = n_threads > 0 ? n_threads : omp_get_num_procs();
 #endif
   // Buckets write disjoint sample windows (segments are clipped to their
   // bucket), so (channel x bucket) parallelism scales even for
@@ -405,7 +411,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
   // whole synthesis -- run serial below ~1M samples
   const bool small = total < (1 << 20);
 #if defined(_OPENMP)
-#pragma omp parallel for schedule(static) if (!small)
+#pragma omp parallel for schedule(static) if (!small) num_threads(nt)
 #endif
   for (int64_t i = 0; i < static_cast<int64_t>(C) * n_samples; i += 65536) {
     const int64_t n = std::min<int64_t>(65536, C * n_samples - i);
@@ -413,7 +419,8 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
     if (pair) std::memset(out_im + i, 0, sizeof(double) * n);
   }
 #if defined(_OPENMP)
-#pragma omp parallel for collapse(2) schedule(dynamic, 1) if (!small)
+#pragma omp parallel for collapse(2) schedule(dynamic, 1) if (!small) \
+    num_threads(nt)
 #endif
   for (int32_t c = 0; c < C; ++c) {
     for (int32_t b = 0; b < NB; ++b) {
@@ -429,6 +436,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
       const int64_t bucket_lo = static_cast<int64_t>(b) * bucket_samples;
       const int64_t bucket_hi =
           std::min<int64_t>(bucket_lo + bucket_samples, n_samples);
+      bool poisoned = false;
       const int64_t seg_base = (static_cast<int64_t>(c) * NB + b) * Sb;
       for (int32_t s = 0; s < Sb; ++s) {
         const int64_t si = seg_base + s;
@@ -449,8 +457,7 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
           constexpr int kMaxFac = 32;
           Factor facs[kMaxFac];
           if (nf > kMaxFac) {
-            for (int64_t i = lo; i < hi; ++i)
-              ch[i] = std::numeric_limits<double>::quiet_NaN();
+            poisoned = true;
             continue;
           }
           const int n_use = nf;
@@ -494,6 +501,18 @@ void wavecore_synthesize(const int32_t* seg_lo, const int32_t* seg_hi,
             for (int64_t i = lo; i < hi; ++i)
               chi[i] = std::min(std::max(chi[i], cmin), cmax);
         }
+      }
+      if (poisoned) {
+        // fail LOUDLY: bit-pattern NaN stores AFTER the clip pass --
+        // -ffast-math min/max would otherwise launder an in-loop NaN
+        // into a plausible clipped value, and the imag plane must
+        // poison too
+        uint64_t nan_bits = 0x7FF8000000000000ull;
+        double nan_v;
+        std::memcpy(&nan_v, &nan_bits, sizeof nan_v);
+        for (int64_t i = bucket_lo; i < bucket_hi; ++i) ch[i] = nan_v;
+        if (pair)
+          for (int64_t i = bucket_lo; i < bucket_hi; ++i) chi[i] = nan_v;
       }
     }
   }
