@@ -76,3 +76,17 @@ def test_mixing_drag_correction_reduces_leakage():
         return np.abs(np.sum(z * np.exp(-2j * np.pi * f_block * t)) * dt)
 
     assert leakage(I1, Q1) < 1e-3 * leakage(I0, Q0)
+
+
+def test_d_sinc_stable_at_center():
+    """D(sinc) is finite everywhere including the removable singularity
+    (the earlier pole representation was NaN at the center)."""
+    from waveforms_tpu import sinc
+    from waveforms_tpu.models.mixing import D
+
+    w = sinc(1.3)
+    t = np.linspace(-2, 2, 4001)        # includes exact 0
+    v = np.asarray(D(w)(t), float)
+    assert np.isfinite(v).all() and v[2000] == 0.0
+    num = np.gradient(np.asarray(w(t), float), t)
+    assert np.abs(v - num)[100:-100].max() < 1e-5

@@ -61,3 +61,15 @@ def test_drag_sin_plateau_serialization():
     w2 = Waveform.fromlist(l)
     t = np.linspace(0, 40e-9, 2001)
     assert np.allclose(w(t), w2(t))
+
+
+def test_blocking_guards():
+    """block_freq == delta raises eagerly (silent NaNs before); real
+    scalars of any type normalize."""
+    from waveforms_tpu import drag_sin
+
+    with pytest.raises(ValueError, match='diverges'):
+        drag_sin(5.0, 10.0, delta=0.1, block_freq=(0.1,))
+    v = drag_sin(5.0, 10.0, block_freq=6)      # int scalar
+    t = np.linspace(0, 10, 11)
+    assert np.isfinite(np.asarray(v(t), float)).all()

@@ -415,3 +415,27 @@ def test_chirp_constant_frequency_limit():
     np.testing.assert_array_equal(v, [1.0, 1.0, 0.0])
     with pytest.raises(ValueError, match='general_cosine'):
         general_cosine(1.0, 0.0, 1.0)
+
+
+def test_simplify_nonpositive_cos_power():
+    """cos**-1 survives simplify() (the reference's binomial expansion
+    silently zeroed it); fractional powers don't crash."""
+    from waveforms_tpu import cos
+
+    t = np.array([0.1, 0.35])
+    w = cos(2.0) ** -1
+    np.testing.assert_allclose(np.real(np.asarray(w.simplify()(t))),
+                               np.real(np.asarray(w(t))), rtol=1e-12)
+    w2 = cos(2.0) ** 0.5
+    assert np.isfinite(np.real(np.asarray(w2.simplify()(t)))).all()
+
+
+def test_wave_eval_fresh_headers():
+    """Each wave_eval call returns a fresh header over the cached IR --
+    two call sites setting sampling metadata must not interact."""
+    from waveforms_tpu import wave_eval
+
+    a = wave_eval('gaussian(10)')
+    b = wave_eval('gaussian(10)')
+    a.sample_rate = 123.0
+    assert b.sample_rate is None and a == b and a.seq is b.seq

@@ -271,13 +271,24 @@ def parse_waveform_expression(expr: str) -> core.Waveform:
 
 
 @lru_cache(maxsize=1024)
+def _wave_eval_cached(expr: str) -> core.Waveform:
+    return parse_waveform_expression(expr)
+
+
 def wave_eval(expr: str) -> core.Waveform:
     """Cached parse of a waveform expression; raises SyntaxError on failure.
 
-    Expression hashability (the whole IR is nested tuples) makes the cache
-    sound; identical strings return the identical Waveform object.
-    """
+    Expression hashability (the whole IR is nested tuples) makes the
+    cache sound for the IR itself, but the HEADER slots (start/stop/
+    sample_rate/filters/...) are mutable and callers routinely set them
+    before sample() -- so every call returns a FRESH Waveform sharing
+    the cached immutable bounds/seq (returning the identical object let
+    two call sites clobber each other's sampling window through the
+    cache -- round-4 review finding)."""
     try:
-        return parse_waveform_expression(expr)
+        cached = _wave_eval_cached(expr)
     except Exception as exc:
         raise SyntaxError(f"Failed to parse expression '{expr}': {exc}")
+    fresh = core.Waveform(cached.bounds, cached.seq, min=cached.min,
+                          max=cached.max)
+    return fresh

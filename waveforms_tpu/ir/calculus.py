@@ -82,13 +82,36 @@ def _d_cos(shift, w):
     return (((((COS, w, shift - pi / w / 2),), (1,)),), (w,))
 
 
+_D_SINC_ID = None
+
+
+def _d_sinc_body(t, bw):
+    """d/dt sinc(bw*t) = (cos(pi*bw*t) - sinc(bw*t)) / t, stable at 0.
+
+    The removable singularity evaluates via its series (-(pi b)^2 t/3
+    * (1 - x^2/10)) below |x| < 1e-4; the closed form's two ~1/t terms
+    would otherwise cancel catastrophically (NaN at the center, ~1e2
+    absolute error a few samples away -- round-4 review finding against
+    the earlier LINEAR^-1 pole representation)."""
+    t = np.asarray(t, float)
+    x = np.pi * bw * t
+    small = np.abs(x) < 1e-4
+    safe_t = np.where(small, 1.0, t)
+    closed = (np.cos(x) - np.sinc(bw * t)) / safe_t
+    series = -(np.pi * bw) ** 2 * t / 3.0 * (1.0 - x * x / 10.0)
+    return np.where(small, series, closed)
+
+
 def _d_sinc(shift, bw):
-    # d/dt sinc(bw*(t-s)) = (t-s)^-1 cos(pi*bw*(t-s))
-    #                       - (pi*bw)^-1 (t-s)^-2 sin(pi*bw*(t-s))
-    w = pi * bw
-    return ((((LINEAR, shift), (COS, w, shift)), (-1, 1)),
-            (((LINEAR, shift), (COS, w, shift + 1 / (2 * bw))),
-             (-2, 1))), (1, -1 / w)
+    # a DEDICATED basis, registered lazily on first use so the built-in
+    # ID block (1..15 at registry import, 16/17 at multy_drag import)
+    # keeps its serialization-stable numbering.  Second derivatives of
+    # sinc have no rule (raises like any unregistered derivative).
+    global _D_SINC_ID
+    if _D_SINC_ID is None:
+        from .registry import registerBaseFunc
+        _D_SINC_ID = registerBaseFunc(_d_sinc_body)
+    return ((((_D_SINC_ID, bw, shift),), (1,)),), (1.0,)
 
 
 def _d_exp(shift, alpha):

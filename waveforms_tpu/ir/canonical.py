@@ -99,7 +99,11 @@ def _reduce_term(term, v):
     wsum = 0            # accumulated n_i * alpha_i * shift_i
     factors, powers = [], []
     for factor, n in zip(*term):
-        if factor[0] == COS:
+        if factor[0] == COS and isinstance(n, (int, np.integer)) and n >= 1:
+            # only positive integer powers expand to harmonics; the
+            # reference's binomial walk silently ZEROED cos**-1 (empty
+            # range) and crashed on fractional powers -- those pass
+            # through unexpanded (documented divergence, docs/PARITY.md)
             trig = _trig_mul(trig, _cos_power_to_harmonics(factor, n))
         elif factor[0] == EXP:
             # prod e^{n_i a_i (t - s_i)} = e^{A t - W}: track A and W
@@ -127,7 +131,10 @@ def _split_carrier(term):
     rest_factors, rest_powers = [], []
     freq, shift = 0, 0
     for factor, n in zip(*term):
-        if factor[0] == COS:
+        if factor[0] == COS and n == 1:
+            # non-unit cos powers (negative/fractional pass-throughs)
+            # stay in ``rest``: treating them as the carrier would merge
+            # phasors at the wrong harmonic
             if freq != 0:
                 raise ValueError("run _reduce_term first")
             freq = factor[1]

@@ -64,7 +64,16 @@ def _blocking_setup(width: float, delta: float, block_freq):
     """Common setup: blocking coefficients, envelope order, matrices."""
     bs, m = [], 2
     if block_freq is not None:
-        bs = 1 / np.pi / 2 / (np.asarray(block_freq) - delta)
+        if not hasattr(block_freq, '__len__'):
+            block_freq = (float(block_freq),)   # int/np scalars too
+        diff = np.asarray(block_freq, float) - delta
+        if np.any(diff == 0):
+            # the single-tone _drag guards this; inf coefficients here
+            # flowed NaNs silently into every sample
+            raise ValueError(
+                "drag_sin: a blocking frequency equals delta -- the "
+                "blocking coefficient 1/(2 pi (f_b - delta)) diverges")
+        bs = 1 / np.pi / 2 / diff
         m = max((len(bs) + 2) >> 1 << 1, m)
     B_mat = B_series_mat(np.asarray(bs))
     o = np.pi / width
@@ -194,8 +203,9 @@ def drag_sin(freq, width, plateau=0, delta=0, block_freq=None, phase=0,
              t0=0) -> Waveform:
     """Multi-tone DRAG pulse with sin^m envelope."""
     phase += pi * delta * (width + plateau)
-    if isinstance(block_freq, float):
-        block_freq = (block_freq,)
+    if block_freq is not None and not hasattr(block_freq, '__len__'):
+        block_freq = (float(block_freq),)
+    _blocking_setup(width, delta, block_freq)   # eager validation
     return Waveform(seq=(ZERO,
                          basic_wave(DRAG_SIN, t0, freq, width, delta,
                                     block_freq, phase, plateau), ZERO),
@@ -207,8 +217,9 @@ def drag_sinx(freq, width, plateau=0, delta=0, block_freq=None, phase=0,
               t0=0, tab=0.618) -> Waveform:
     """Multi-tone DRAG pulse with polynomial-blended envelope edges."""
     phase += pi * delta * (width + plateau)
-    if isinstance(block_freq, float):
-        block_freq = (block_freq,)
+    if block_freq is not None and not hasattr(block_freq, '__len__'):
+        block_freq = (float(block_freq),)
+    _blocking_setup(width, delta, block_freq)   # eager validation
     return Waveform(seq=(ZERO,
                          basic_wave(DRAG_SINX, t0, freq, width, delta,
                                     block_freq, phase, plateau, tab), ZERO),
