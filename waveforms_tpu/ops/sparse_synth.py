@@ -925,166 +925,19 @@ def shard_panel_work(plan: SparsePlan, nc: int, nt: int, cs: int,
             NP)
 
 
-def synthesize_panels_sharded(low: LoweredSchedule, mesh,
-                              Rs: int = DEFAULT_SUBTILE_ROWS,
-                              interpret: bool = False,
-                              plan: SparsePlan | None = None,
-                              out_dtype=jnp.float32,
-                              dac_scale=32767.0,
-                              combine_pair: bool = True) -> jax.Array:
-    """Panel-kernel synthesis over a ('channel', 'time') device mesh.
+def _run_sharded_common(low, mesh, Rs, plan, out_dtype, dac_scale,
+                        combine_pair, interpret, make_worklist, run_local):
+    """Shared scaffolding for the two sharded kernels.
 
-    The multi-chip twin of :func:`synthesize_panels` (and the sharded
-    mirror of the single-chip engine's production route): each device
-    zero-fills and walks only its own (channel block, sample slice)
-    panels from an SMEM-resident local worklist -- no collectives, same
-    1/P work scaling as the worklist path, but without its ~1 us
-    per-live-subtile grid-step cost.  Covers the full output surface
-    (pair, int16, bf16, bucketed) under the same eligibility rules as
-    the single-chip panel kernel, applied per shard.
-
-    ``combine_pair=False`` returns pair-mode output as two separate f32
-    (re, im) plane arrays instead of complex64 -- the same escape the
-    single-chip paths offer for runtimes whose complex transfers are
-    broken (the tunneled dev chip) and for labs feeding separate DACs.
-    """
+    Mesh/bucket setup, descriptor sharding (with opcode compaction +
+    remap), stale-plan validation, worklist upload, the shard_map
+    plumbing, and the pair/DAC/window epilogue live ONCE here -- the
+    two entry points differ only in their worklist builder and local
+    kernel call.  ``make_worklist(plan, nc, nt, cs, tps, nb_local) ->
+    (work_np, static)`` may raise UnsupportedFactor (budget guards);
+    ``run_local(work_locals, descr, pair_op, scale_op, static) ->
+    (C_local, rows, 128)-ish local output`` (or an (re, im) pair)."""
     from jax.sharding import NamedSharding, PartitionSpec as P_
-
-    from ..parallel.mesh import shard_schedule
-
-    C, NB, S, T, F = low.shape
-    pair = low.amp_im is not None
-    scale = validate_out_mode(out_dtype, low.amp_im, C, dac_scale)
-    nc, nt = mesh.shape['channel'], mesh.shape['time']
-    c_pad = -(-C // nc) * nc
-    cs = c_pad // nc
-    tile = Rs * 128
-    ops_present, op_remap = _compact_ops(low)
-    if NB > 1:
-        if low.bucket_samples % tile:
-            raise UnsupportedFactor(
-                f"bucket_samples {low.bucket_samples} must be a multiple "
-                f"of the sparse subtile ({tile})")
-        G_b = low.bucket_samples // tile
-        nb_pad = -(-NB // nt) * nt
-        nb_local = nb_pad // nt
-        tps = nb_local * G_b
-        tensors, _ = shard_schedule(low, mesh, nb_pad=nb_pad,
-                                    op_remap=op_remap)
-        bucket_spec = 'time'
-    else:
-        n_rows = -(-low.n_samples // 128)
-        n_tiles = -(-n_rows // Rs)
-        tiles_pad = -(-n_tiles // nt) * nt
-        tps = tiles_pad // nt
-        tensors, _ = shard_schedule(low, mesh, op_remap=op_remap)
-        nb_local = 1
-        bucket_spec = None
-
-    if plan is None:
-        plan = build_sparse_plan(low, Rs=Rs)
-    else:
-        if plan.Rs != Rs:
-            raise ValueError(
-                f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
-        # same stale-plan guard as the single-chip paths (a plan from a
-        # different lowering silently synthesizes wrong samples)
-        _validate_plan(plan, low)
-    work_np, counts, K, P, NP = shard_panel_work(plan, nc, nt, cs, tps,
-                                                 nb_local, Rs)
-    n_slots = cs * NP * nb_local
-    if (4 * K + n_slots + 1) * 4 > PANEL_WORK_SMEM_BUDGET:
-        raise UnsupportedFactor(
-            "per-shard panel worklist exceeds the SMEM budget -- use "
-            "synthesize_sparse_sharded")
-    if nb_local > 1 and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32):
-        raise UnsupportedFactor(
-            "narrowed multi-bucket stores are outside the panel kernel's "
-            "budgets -- use synthesize_sparse_sharded")
-    spec3 = P_('channel', 'time', None)
-
-    def put3(a):
-        return jax.device_put(a, NamedSharding(mesh, spec3))
-
-    work = [put3(a) for a in work_np]
-    in_spec = P_('channel', bucket_spec, None, None)
-    chan_spec = P_('channel', None, None, None)
-    local_samples = tps * tile
-    dac = scale is not None
-    scale_t = None
-    if dac:
-        from ..parallel.mesh import _pad_channels
-        scale_t = jax.device_put(_pad_channels(np.asarray(scale), c_pad),
-                                 NamedSharding(mesh, chan_spec))
-
-    split = pair and not combine_pair
-    out_spec = ((P_('channel', 'time'),) * 2 if split
-                else P_('channel', 'time'))
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(spec3,) * 5 + (in_spec,) * 10
-        + (P_(None, None, None, None), chan_spec)
-        + ((in_spec,) if pair else ())
-        + ((chan_spec,) if dac else ()),
-        out_specs=out_spec,
-        check_vma=False)
-    def run(startl, wtl, wol, ws0l, ws1l, seg_lo, seg_hi, nterm, nfac,
-            amp, op, pw, sh, q32, args, ext, clip, *rest):
-        out = _run_panels(
-            startl.reshape(n_slots + 1), wtl.reshape(K), wol.reshape(K),
-            ws0l.reshape(K), ws1l.reshape(K), seg_lo, seg_hi, nterm, nfac,
-            amp, op, pw, sh, q32, args, ext, clip,
-            rest[0] if pair else None,
-            rest[-1] if dac else None,
-            S=S, T=T, F=F, Rs=Rs, P=P, NP=NP, ops_present=ops_present,
-            interpret=interpret, out_dtype=out_dtype)
-
-        def window(o):
-            return o.reshape(o.shape[0], -1)[:, :local_samples]
-
-        if pair:
-            re, im = out
-            if not combine_pair:
-                return window(re), window(im)
-            out = (re.astype(jnp.complex64)
-                   + 1j * im.astype(jnp.complex64))
-        return window(out)
-
-    out = run(*work, tensors['seg_lo'], tensors['seg_hi'],
-              tensors['nterm'], tensors['nfac'], tensors['amp'],
-              tensors['op'], tensors['pw'], tensors['sh'], tensors['q32'],
-              tensors['args'], tensors['ext'], tensors['clip'],
-              *((tensors['amp_im'],) if pair else ()),
-              *((scale_t,) if dac else ()))
-    if split:
-        return (out[0][:C, :low.n_samples], out[1][:C, :low.n_samples])
-    return out[:C, :low.n_samples]
-
-
-def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
-                              Rs: int = DEFAULT_SUBTILE_ROWS,
-                              interpret: bool = False,
-                              plan: SparsePlan | None = None,
-                              out_dtype=jnp.float32,
-                              dac_scale=32767.0,
-                              combine_pair: bool = True) -> jax.Array:
-    """Sparse worklist synthesis over a ('channel', 'time') device mesh.
-
-    The global worklist partitions by (channel shard, time shard) -- each
-    device runs exactly its own live subtiles (padded to a common length
-    so the program is SPMD), over its channel block's descriptors, writing
-    its sample slice.  Silence on a shard costs that shard one local
-    background fill; no collectives are needed at all (basis evaluation is
-    pointwise in t).  Covers the single-chip engine's full output surface
-    (round-4 routing parity): pair-mode complex, int16 DAC codes, bf16,
-    and bucketed descriptors -- bucket windows shard along 'time' exactly
-    like :func:`waveforms_tpu.parallel.mesh.synthesize_sharded`, so the
-    ``wt // tps`` shard map respects bucket boundaries by construction.
-    ``combine_pair=False`` returns pair-mode output as two f32 (re, im)
-    planes instead of complex64 (see synthesize_panels_sharded).
-    """
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import shard_schedule
 
@@ -1125,16 +978,22 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
         if plan.Rs != Rs:
             raise ValueError(
                 f"prebuilt plan has Rs={plan.Rs}, expected {Rs}")
-        _validate_plan(plan, low)     # stale-plan guard (single-chip parity)
-    work_np, counts, K = shard_sparse_work(plan, nc, nt, cs, tps, nb_local)
-    spec3 = P('channel', 'time', None)
+        # same stale-plan guard as the single-chip paths (a plan from a
+        # different lowering silently synthesizes wrong samples)
+        _validate_plan(plan, low)
+    work_np, static = make_worklist(plan, nc, nt, cs, tps, nb_local)
+    static = dict(static, S=S, T=T, F=F, Rs=Rs, tps=tps,
+                  ops_present=ops_present, interpret=interpret,
+                  out_dtype=out_dtype)
+    spec3 = P_('channel', 'time', None)
 
     def put3(a):
         return jax.device_put(a, NamedSharding(mesh, spec3))
 
     work = [put3(a) for a in work_np]
-    in_spec = P('channel', bucket_spec, None, None)
-    chan_spec = P('channel', None, None, None)
+    n_work = len(work)
+    in_spec = P_('channel', bucket_spec, None, None)
+    chan_spec = P_('channel', None, None, None)
     local_samples = tps * tile
     dac = scale is not None
     scale_t = None
@@ -1144,27 +1003,23 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
                                  NamedSharding(mesh, chan_spec))
 
     split = pair and not combine_pair
-    out_spec = ((P('channel', 'time'),) * 2 if split
-                else P('channel', 'time'))
+    out_spec = ((P_('channel', 'time'),) * 2 if split
+                else P_('channel', 'time'))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(spec3,) * 6 + (in_spec,) * 10
-        + (P(None, None, None, None), chan_spec)
+        in_specs=(spec3,) * n_work + (in_spec,) * 10
+        + (P_(None, None, None, None), chan_spec)
         + ((in_spec,) if pair else ())
         + ((chan_spec,) if dac else ()),
         out_specs=out_spec,
         check_vma=False)
-    def run(wcl, wbl, wtl, wol, ws0l, ws1l, seg_lo, seg_hi, nterm, nfac,
-            amp, op, pw, sh, q32, args, ext, clip, *rest):
-        out = _run_sparse(
-            wcl.reshape(K), wbl.reshape(K), wtl.reshape(K), wol.reshape(K),
-            ws0l.reshape(K), ws1l.reshape(K), seg_lo, seg_hi, nterm, nfac,
-            amp, op, pw, sh, q32, args, ext, clip,
-            rest[0] if pair else None,
-            rest[-1] if dac else None,
-            S=S, T=T, F=F, Rs=Rs, n_tiles=tps, ops_present=ops_present,
-            interpret=interpret, out_dtype=out_dtype)
+    def run(*args):
+        wl = args[:n_work]
+        descr = args[n_work:n_work + 12]
+        rest = args[n_work + 12:]
+        out = run_local(wl, descr, rest[0] if pair else None,
+                        rest[-1] if dac else None, static)
 
         def window(o):
             return o.reshape(o.shape[0], -1)[:, :local_samples]
@@ -1186,3 +1041,98 @@ def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
     if split:
         return (out[0][:C, :low.n_samples], out[1][:C, :low.n_samples])
     return out[:C, :low.n_samples]
+
+
+def synthesize_panels_sharded(low: LoweredSchedule, mesh,
+                              Rs: int = DEFAULT_SUBTILE_ROWS,
+                              interpret: bool = False,
+                              plan: SparsePlan | None = None,
+                              out_dtype=jnp.float32,
+                              dac_scale=32767.0,
+                              combine_pair: bool = True) -> jax.Array:
+    """Panel-kernel synthesis over a ('channel', 'time') device mesh.
+
+    The multi-chip twin of :func:`synthesize_panels` (and the sharded
+    mirror of the single-chip engine's production route): each device
+    zero-fills and walks only its own (channel block, sample slice)
+    panels from an SMEM-resident local worklist -- no collectives, same
+    1/P work scaling as the worklist path, but without its ~1 us
+    per-live-subtile grid-step cost.  Covers the full output surface
+    (pair, int16, bf16, bucketed) under the same eligibility rules as
+    the single-chip panel kernel, applied per shard.
+
+    ``combine_pair=False`` returns pair-mode output as two separate f32
+    (re, im) plane arrays instead of complex64 -- the same escape the
+    single-chip paths offer for runtimes whose complex transfers are
+    broken (the tunneled dev chip) and for labs feeding separate DACs.
+    """
+    def make_worklist(plan, nc, nt, cs, tps, nb_local):
+        work_np, counts, K, P, NP = shard_panel_work(plan, nc, nt, cs,
+                                                     tps, nb_local, Rs)
+        n_slots = cs * NP * nb_local
+        if (4 * K + n_slots + 1) * 4 > PANEL_WORK_SMEM_BUDGET:
+            raise UnsupportedFactor(
+                "per-shard panel worklist exceeds the SMEM budget -- use "
+                "synthesize_sparse_sharded")
+        if nb_local > 1 and jnp.dtype(out_dtype) != jnp.dtype(jnp.float32):
+            raise UnsupportedFactor(
+                "narrowed multi-bucket stores are outside the panel "
+                "kernel's budgets -- use synthesize_sparse_sharded")
+        return work_np, dict(K=K, P=P, NP=NP, n_slots=n_slots)
+
+    def run_local(wl, descr, pair_op, scale_op, st):
+        startl, wtl, wol, ws0l, ws1l = wl
+        return _run_panels(
+            startl.reshape(st['n_slots'] + 1), wtl.reshape(st['K']),
+            wol.reshape(st['K']), ws0l.reshape(st['K']),
+            ws1l.reshape(st['K']), *descr, pair_op, scale_op,
+            S=st['S'], T=st['T'], F=st['F'], Rs=st['Rs'], P=st['P'],
+            NP=st['NP'], ops_present=st['ops_present'],
+            interpret=st['interpret'], out_dtype=st['out_dtype'])
+
+    return _run_sharded_common(low, mesh, Rs, plan, out_dtype, dac_scale,
+                               combine_pair, interpret, make_worklist,
+                               run_local)
+
+
+def synthesize_sparse_sharded(low: LoweredSchedule, mesh,
+                              Rs: int = DEFAULT_SUBTILE_ROWS,
+                              interpret: bool = False,
+                              plan: SparsePlan | None = None,
+                              out_dtype=jnp.float32,
+                              dac_scale=32767.0,
+                              combine_pair: bool = True) -> jax.Array:
+    """Sparse worklist synthesis over a ('channel', 'time') device mesh.
+
+    The global worklist partitions by (channel shard, time shard) -- each
+    device runs exactly its own live subtiles (padded to a common length
+    so the program is SPMD), over its channel block's descriptors, writing
+    its sample slice.  Silence on a shard costs that shard one local
+    background fill; no collectives are needed at all (basis evaluation is
+    pointwise in t).  Covers the single-chip engine's full output surface
+    (round-4 routing parity): pair-mode complex, int16 DAC codes, bf16,
+    and bucketed descriptors -- bucket windows shard along 'time' exactly
+    like :func:`waveforms_tpu.parallel.mesh.synthesize_sharded`, so the
+    ``wt // tps`` shard map respects bucket boundaries by construction.
+    ``combine_pair=False`` returns pair-mode output as two f32 (re, im)
+    planes instead of complex64 (see synthesize_panels_sharded).
+    """
+    def make_worklist(plan, nc, nt, cs, tps, nb_local):
+        work_np, counts, K = shard_sparse_work(plan, nc, nt, cs, tps,
+                                               nb_local)
+        return work_np, dict(K=K)
+
+    def run_local(wl, descr, pair_op, scale_op, st):
+        K = st['K']
+        wcl, wbl, wtl, wol, ws0l, ws1l = wl
+        return _run_sparse(
+            wcl.reshape(K), wbl.reshape(K), wtl.reshape(K),
+            wol.reshape(K), ws0l.reshape(K), ws1l.reshape(K), *descr,
+            pair_op, scale_op,
+            S=st['S'], T=st['T'], F=st['F'], Rs=st['Rs'],
+            n_tiles=st['tps'], ops_present=st['ops_present'],
+            interpret=st['interpret'], out_dtype=st['out_dtype'])
+
+    return _run_sharded_common(low, mesh, Rs, plan, out_dtype, dac_scale,
+                               combine_pair, interpret, make_worklist,
+                               run_local)
