@@ -438,8 +438,12 @@ def task_stack_row(name):
     jax.block_until_ready(run())
     # the fused runner jits its pallas program alone (span
     # 'jit__stack_call' -- comparable to the other kernel rows); the XLA
-    # chain runner is one whole program ('jit_run_stack')
-    runner = getattr(plan, '_runner', None)
+    # chain runner is one whole program ('jit_run_stack').  The cache
+    # key carries env-lever suffixes ('_runner_t0_l2', ...), so scan the
+    # plan's attrs rather than hard-coding one name.
+    runner = next((v for k, v in vars(plan).items()
+                   if k.startswith('_runner') and not k.startswith(
+                       '_runner_is_xla') and v is not None), None)
     span = getattr(runner, 'kernel_span', 'jit_run_stack')
     med = measure_device(run, span)
     res = {"device_ms": round(med * 1e3, 3), "span": span}
