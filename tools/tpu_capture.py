@@ -1981,6 +1981,18 @@ def pending_tasks(state):
     # narrow-pulse analog of play_packed, oracle-anchored
     tasks.append(("r4_seq_stack_100", lambda: task_seq_stack(100)))
     tasks.append(("r4_seq_stack_1000", lambda: task_seq_stack(1000)))
+    # stack retake 7 (session 5): 8-granular spill padding + narrow tail
+    # strips (k_sp 256 -> 176 on the vstack row, ~31% less slot eval/dot
+    # work) and MERGED operands (one counts + one table block per step
+    # instead of 2 per group; the floor probe priced per-operand
+    # machinery inside the 14.3 us floor)
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4j_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
+    tasks.append(("r4_stack_cost_probe8",
+                  lambda: task_stack_cost_probe('vstack_1000x200k')))
+    # the sequencer shares _emit_chunk: re-pin one stacked-playback row
+    tasks.append(("r4j_seq_stack_1000", lambda: task_seq_stack(1000)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -177,7 +177,9 @@ class StackSequencer:
                 f"schedules x {n_chunks_pad} chunks) exceed the kernel "
                 "SMEM budget -- fewer/smaller schedules per table")
 
-        n_ident = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2'))
+        # one-hot scatter default per the clean-window A/B
+        # (r4_stack_layout_ab; see stack_synth._build_kernel_runner)
+        n_ident = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0'))
         table_t = os.environ.get('WFTPU_STACK_TABLE_T', '0') == '1'
         W = next(g.args.shape[-1] for p in plans for g in p.groups)
 

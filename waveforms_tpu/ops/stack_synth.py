@@ -456,8 +456,12 @@ def _chunk_assign_hybrid(g: GroupData, n_rows: int, n_chunks: int,
     sp_mask = depth >= n_ident
     n_sp = int(np.bincount(sc_[sp_mask], minlength=n_chunks).max()) \
         if sp_mask.any() else 0
-    from .sparse_synth import next_pow2
-    k_sp = (max(8, next_pow2(n_sp)) if n_sp else 0)
+    # pad the spill width to the f32 SUBLANE (8), not the next power of
+    # two: strips are pl.ds slices of an already-resident VMEM block, so
+    # a 48-row tail strip costs 48 rows of eval + dot, while pow2
+    # rounding made every ~145-live vstack chunk pay 256 slot-evals
+    # (43% padding waste on the row's critical path -- r4 session 5)
+    k_sp = (max(8, -(-n_sp // 8) * 8) if n_sp else 0)
     width = n_ident * 128 + k_sp
     src = np.full((n_chunks, width), -1, np.int64)
     rb = np.zeros((n_chunks, width), np.int64)
@@ -605,6 +609,14 @@ def _group_table(g: GroupData, n_rows: int, n_chunks: int,
         rb = np.pad(rb, ((0, 0), (0, padw)))
         lrt = np.pad(lrt, ((0, 0), (0, padw)), constant_values=128)
         k_sp = k_sp_pad
+    # spill strips: 128-wide walks plus ONE narrow tail (a multiple of
+    # the f32 sublane), so per-chunk eval/dot work tracks the live
+    # count at 8-slot granularity instead of the strip width
+    if table_t:
+        sp_widths = (128,) * (k_sp // 128)
+    else:
+        sp_widths = (128,) * (k_sp // 128) + (
+            (k_sp % 128,) if k_sp % 128 else ())
     KSsp = (128 if table_t else min(128, k_sp)) if k_sp else 0
     k_max = n_ident * 128 + k_sp
     valid = src >= 0
@@ -645,6 +657,7 @@ def _group_table(g: GroupData, n_rows: int, n_chunks: int,
             0.0).astype(np.float32)
     meta = dict(ops=g.ops, powers=g.powers, term_nfac=g.term_nfac, W=W,
                 n_ident=n_ident, k_sp=k_sp, KSsp=KSsp, k_max=k_max,
+                sp_widths=sp_widths,
                 IW=IW, AW=AW, QW=QW, EW=EW, PW=PW, off_amp=off_amp,
                 off_args=off_args, off_q=off_q, off_ext=off_ext,
                 table_t=table_t)
@@ -652,14 +665,18 @@ def _group_table(g: GroupData, n_rows: int, n_chunks: int,
     return meta, tab, cnts
 
 
-def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool):
+def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
+                   base: int = 0):
     """Per-(group, table-ref) strip evaluator for the fused kernel.
 
     ``strip(off, KS, sc, use_dot)`` loads the KS-slot strip at static
     slot offset ``off`` of superchunk lane ``sc``, evaluates every
     slot's 128-sample block, and returns the (128, 128) chunk
     contribution (identity layers return slot-major values directly;
-    spill strips scatter through the one-hot MXU dot).
+    spill strips scatter through the one-hot MXU dot).  ``base`` is the
+    group's slot offset inside a MERGED table operand (all groups'
+    tables concatenated on the slot axis -- one block fetch per step
+    instead of one per group).
 
     NB: the factor/power/term-product recurrence here mirrors
     _eval_blocks (accessor-for-accessor); change both together -- see
@@ -673,7 +690,7 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool):
             # in-kernel transpose (tpu.transpose)
             tt = jnp.transpose(tab_ref[0, sc, :, off:off + KS], (1, 0))
         else:
-            tt = tab_ref[0, sc, pl.ds(off, KS), :]
+            tt = tab_ref[0, sc, pl.ds(base + off, KS), :]
 
         def icol(c):
             return jax.lax.bitcast_convert_type(tt[:, c:c + 1], jnp.int32)
@@ -776,12 +793,13 @@ def _emit_chunk(meta: dict, strip, out_ref, sc: int, lay, spc):
         def _(l=l, sc=sc):
             out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
                 l * 128, 128, sc, False)
-    KSsp = meta['KSsp']
-    for j in range(meta['k_sp'] // KSsp if KSsp else 0):
-        @pl.when(j * KSsp < spc)
-        def _(j=j, sc=sc, KSsp=KSsp):
+    off = 0
+    for w in meta['sp_widths']:
+        @pl.when(off < spc)
+        def _(off=off, w=w, sc=sc):
             out_ref[0, sc * 128:(sc + 1) * 128, :] += strip(
-                meta['n_ident'] * 128 + j * KSsp, KSsp, sc, True)
+                meta['n_ident'] * 128 + off, w, sc, True)
+        off += w
 
 
 def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
@@ -840,15 +858,23 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # then loads (PW8, KS) and recovers slot-major (KS, PW8) with ONE
     # in-kernel tpu.transpose.  Strip offsets stay static, but slot
     # strips must be 128-lane aligned, so spill strips pad to 128 wide
-    # (padding slots are exact zeros).  Opt-in until the on-chip A/B
-    # (r4_stack_fetch_ab) prices the transpose against the saved bytes.
+    # (padding slots are exact zeros).  MEASURED NEGATIVE on chip
+    # (r4_stack_fetch_ab: row-major 26.7 us vs transposed 37.6 us on
+    # vstack_1000x200k -- the in-kernel transpose costs more than the
+    # saved operand bytes); kept opt-in for other table shapes.
     TABLE_T = os.environ.get('WFTPU_STACK_TABLE_T', '0') == '1'
 
-    N_IDENT = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2'))
+    # Identity-layer hybrid scatter: MEASURED NEGATIVE on chip in the
+    # clean-window A/B (r4_stack_layout_ab: one-hot 24.8 us vs ident2
+    # 26.7 us on vstack_1000x200k -- the HIGHEST one-hot dot overlaps
+    # VPU eval, so skipping it buys nothing and the extra strip
+    # bookkeeping costs ~7%).  Default is therefore the pure one-hot
+    # layout; the hybrid stays opt-in for re-measurement.
+    N_IDENT = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0'))
     metas = []       # static per-group kernel parameters
-    operands = []    # device arrays, 2 per group
+    tabs = []        # host table arrays, one per group
+    cnts_l = []      # host (n_chunks_pad, 2) count arrays, one per group
     vmem = 2 * SC * 2 * 128 * 128 * 4            # double-buffered out
-    hbm = 0
     pad_c = n_chunks_pad - n_chunks
     for g in plan.groups:
         # HYBRID placement (round 4, probe-driven): N_IDENT IDENTITY
@@ -862,17 +888,40 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                                        N_IDENT, TABLE_T)
         metas.append(meta)
         vmem += 2 * 4 * SC * meta['k_max'] * meta['PW']
-        tab = np.pad(tab, ((0, pad_c), (0, 0), (0, 0)))
-        if TABLE_T:
+        tabs.append(np.pad(tab, ((0, pad_c), (0, 0), (0, 0))))
+        cnts_l.append(np.pad(cnts, ((0, pad_c), (0, 0))))
+    # MERGED OPERANDS (round-4 session 5): the floor probe prices each
+    # grid step's machinery at ~0.4 us per operand block; concatenating
+    # every group's slot table on the slot axis (and the counts on
+    # their column axis) turns 2 blocks per group into 2 blocks total.
+    # Group slot bases stay multiples of 8 (k_max is), so the strip
+    # slices stay sublane-aligned.  The TABLE_T layout keeps per-group
+    # operands (its PW8 differs per group, so slot-axis concat would
+    # misalign lanes).
+    merged = not TABLE_T
+    if merged:
+        PWmax = max(meta['PW'] for meta in metas)
+        bases = []
+        b = 0
+        for meta, tab in zip(metas, tabs):
+            bases.append(b)
+            b += meta['k_max']
+        k_tot = b
+        big_tab = np.concatenate(
+            [np.pad(tab, ((0, 0), (0, 0), (0, PWmax - meta['PW'])))
+             for meta, tab in zip(metas, tabs)], axis=1)
+        big_cnt = np.concatenate(cnts_l, axis=1)
+        operands = [[big_cnt,
+                     big_tab.reshape(n_super, SC, k_tot, PWmax)]]
+    else:
+        bases = [0] * len(metas)
+        operands = []
+        for meta, tab, cnts in zip(metas, tabs, cnts_l):
             tab = np.ascontiguousarray(tab.transpose(0, 2, 1))
-        cnts = np.pad(cnts, ((0, pad_c), (0, 0)))
-        group_ops = [cnts,
-                     tab.reshape((n_super, SC, meta['PW'], meta['k_max'])
-                                 if TABLE_T
-                                 else (n_super, SC, meta['k_max'],
-                                       meta['PW']))]
-        hbm += sum(a.nbytes for a in group_ops)
-        operands.append(group_ops)
+            operands.append([cnts,
+                             tab.reshape(n_super, SC, meta['PW'],
+                                         meta['k_max'])])
+    hbm = sum(a.nbytes for group_ops in operands for a in group_ops)
     if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
         return None
     # budgets hold: NOW move the tables to the device (uploading first
@@ -906,14 +955,21 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             # probe 'floor': grid + operand block fetches + epilogue
             # only -- the cost of the launch STRUCTURE with no strips
             r = 0
-            for meta in metas:
-                cnt_ref, tab_ref = refs[r:r + 2]
-                r += 2
-                strip = _strip_builder(meta, tab_ref, probe, dot3)
+            for gi, meta in enumerate(metas):
+                if merged:
+                    cnt_ref, tab_ref = refs[0], refs[1]
+                    ccol = 2 * gi
+                else:
+                    cnt_ref, tab_ref = refs[r:r + 2]
+                    r += 2
+                    ccol = 0
+                strip = _strip_builder(meta, tab_ref, probe, dot3,
+                                       base=bases[gi])
                 for sc in range(SC):
                     row = pl.program_id(0) * SC + sc
                     _emit_chunk(meta, strip, acc_ref, sc,
-                                cnt_ref[row, 0], cnt_ref[row, 1])
+                                cnt_ref[row, ccol],
+                                cnt_ref[row, ccol + 1])
         if quant:
             # dac_scale applies to integer codes only; float narrowing
             # (bf16/f16) is a plain astype, matching _quantize_host and
@@ -928,10 +984,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
 
     in_specs = []
     flat_ops = []
-    for meta, group_ops in zip(metas, operands):
+    for group_ops in operands:
         # counts ride whole in SMEM (block == array shape; a (1, 1) block
         # over (n, 1) violates Mosaic's divisible-or-full rule for n > 1)
-        in_specs.append(pl.BlockSpec((n_chunks_pad, 2), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec(group_ops[0].shape,
+                                     lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec((1,) + group_ops[1].shape[1:],
                                      lambda i: (i, 0, 0, 0),
@@ -1011,7 +1068,7 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
     # build time; omitting them from the key made A/B harnesses measure
     # a stale cached variant silently
     key += (f"_t{os.environ.get('WFTPU_STACK_TABLE_T', '0')}"
-            f"_l{os.environ.get('WFTPU_STACK_IDENT_LAYERS', '2')}")
+            f"_l{os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0')}")
     runner = getattr(plan, key, None)
     if runner is None:
         runner = _build_kernel_runner(
