@@ -286,3 +286,64 @@ def test_stack_bf16_is_plain_astype_no_dac_scale():
     bf2 = np.asarray(synthesize_stack(low2, plan2,
                                       out_dtype=jnp.bfloat16), np.float32)
     assert np.abs(bf2 - f32b).max() / max(np.abs(f32b).max(), 1e-30) < 1e-2
+
+
+def test_spill_width_is_sublane_granular_with_tail_strip():
+    """Spill widths pad to the f32 sublane (8), NOT the next power of
+    two, and the strip walk is 128-wide strips plus one narrow tail --
+    so per-chunk eval/dot work tracks the live count (round-4 session 5:
+    pow2 rounding made ~145-live vstack chunks pay 256 slot-evals)."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               _group_table)
+
+    rng = np.random.default_rng(53)
+    # ~1000 short pulses over 100 us at 2 GS/s -> ~140 live blocks per
+    # 16384-sample chunk, the vstack-row regime
+    wl = [(0.5 * cosPulse(100e-9) >> o)
+          for o in rng.uniform(0, 95e-6, 1000)]
+    low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+    plan = build_stack_plan(low)
+    n_chunks = -(-plan.n_channels * plan.n_rows // 128)
+    ext_np = np.zeros(1)
+    main = max(plan.groups, key=lambda g: len(g.amp))
+    meta, tab, cnts = _group_table(main, plan.n_rows, n_chunks, ext_np,
+                                   0, False)
+    assert meta['k_sp'] % 8 == 0
+    assert meta['k_sp'] == max(8, -(-int(cnts[:, 1].max()) // 8) * 8)
+    assert sum(meta['sp_widths']) == meta['k_sp']
+    assert all(w == 128 for w in meta['sp_widths'][:-1])
+    assert meta['sp_widths'][-1] <= 128 and meta['sp_widths'][-1] % 8 == 0
+    # the full kernel with the tail strips still matches the oracle
+    kr = _build_kernel_runner(plan, low, True)
+    assert kr is not None
+    out = np.asarray(kr())
+    t, want = _oracle([WaveVStack(wl).simplify()], 0, 100e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_merged_operands_single_table_block():
+    """All groups' slot tables concatenate into ONE operand (+ one
+    counts block): the runner's pallas program takes exactly 2 operands
+    however many structure groups the plan has, and group slot bases
+    stay sublane-aligned."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+
+    rng = np.random.default_rng(59)
+    # three structure groups: cosPulse (const+cos), gaussian, mixed drag
+    wl = [(0.5 * cosPulse(50e-9) >> o) for o in rng.uniform(0, 7e-6, 40)]
+    wl += [(0.3 * gaussian(60e-9) >> o) for o in rng.uniform(0, 7e-6, 40)]
+    wl += [(mixing(0.2 * cosPulse(40e-9) >> o, freq=-150e6,
+                   DRAGScaling=1e-10)[0]) for o in rng.uniform(0, 7e-6, 8)]
+    low = lower_schedule([WaveVStack(wl)], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    assert len(plan.groups) >= 2
+    kr = _build_kernel_runner(plan, low, True)
+    assert kr is not None
+    assert len(kr.kernel_args) == 2           # one counts + one table
+    cnts, tab = kr.kernel_args
+    assert cnts.shape[1] == 2 * len(plan.groups)
+    assert tab.shape[2] % 8 == 0              # merged slot axis
+    out = np.asarray(kr())
+    t, want = _oracle([WaveVStack(wl).simplify()], 0, 8.192e-6)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
