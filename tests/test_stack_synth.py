@@ -347,3 +347,23 @@ def test_merged_operands_single_table_block():
     out = np.asarray(kr())
     t, want = _oracle([WaveVStack(wl).simplify()], 0, 8.192e-6)
     assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_superchunk_env_lever_parity(monkeypatch):
+    """WFTPU_STACK_SC changes only the grid shape: any SC (including an
+    odd one that forces padding superchunks) must produce identical
+    output."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+
+    rng = np.random.default_rng(61)
+    wl = [(0.5 * cosPulse(100e-9) >> o)
+          for o in rng.uniform(0, 95e-6, 120)]
+    low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+    plan = build_stack_plan(low)
+    base = np.asarray(_build_kernel_runner(plan, low, True)())
+    for sc in ('1', '5', '16'):
+        monkeypatch.setenv('WFTPU_STACK_SC', sc)
+        plan2 = build_stack_plan(low)
+        out = np.asarray(_build_kernel_runner(plan2, low, True)())
+        assert np.array_equal(out, base), f"SC={sc} diverged"

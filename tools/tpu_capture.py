@@ -778,6 +778,43 @@ def task_stack_fetch_ab(row='vstack_1000x200k'):
     return res
 
 
+def task_stack_sc_ab(row='vstack_1000x200k'):
+    """Superchunk-size sweep, SAME chip window: per-step machinery vs
+    fetch/compute double-buffering granularity (merged tables left the
+    VMEM budget ~10x clear, so SC up to one-grid-step now fits)."""
+    import importlib
+    import os
+
+    import jax
+
+    from waveforms_tpu.ops import stack_synth as st
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    t = np.arange(start, stop, 1 / fs)
+    oracle = np.stack([np.asarray(w(t), float) for w in chans])
+    scale = max(np.abs(oracle).max(), 1e-30)
+    res = {}
+    for sc in ('4', '8', '16'):
+        os.environ['WFTPU_STACK_SC'] = sc
+        try:
+            plan = st.build_stack_plan(low)
+            runner = st._build_kernel_runner(plan, low, False)
+            out = np.asarray(runner())
+            res[f"sc{sc}_rel_err"] = float(
+                np.abs(out - oracle).max() / scale)
+            med = profile_median(runner, runner.kernel_span)
+            res[f"sc{sc}_ms"] = round(med * 1e3, 4)
+        finally:
+            os.environ.pop('WFTPU_STACK_SC', None)
+    n = len(chans) * low.n_samples
+    best = min(v for k, v in res.items() if k.endswith('_ms'))
+    res["best_gsps"] = round(n / (best * 1e-3) / 1e9, 3)
+    return res
+
+
 def task_stack_dot3(row='vstack_1000x200k'):
     """Candidate 3-split bf16 scatter dot, ORACLE-anchored on silicon
     (round-3 lesson: interpret-mode equality does not catch MXU downcast
@@ -1993,6 +2030,10 @@ def pending_tasks(state):
                   lambda: task_stack_cost_probe('vstack_1000x200k')))
     # the sequencer shares _emit_chunk: re-pin one stacked-playback row
     tasks.append(("r4j_seq_stack_1000", lambda: task_seq_stack(1000)))
+    # superchunk sweep under the merged tables (same window; SC=16 caps
+    # at n_chunks=13 -> one grid step on the vstack row)
+    tasks.append(("r4_stack_sc_ab",
+                  lambda: task_stack_sc_ab('vstack_1000x200k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

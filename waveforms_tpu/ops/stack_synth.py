@@ -843,8 +843,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # grid step (the same per-step machinery the panel kernel was built
     # to avoid); processing 4 chunks per step with static in-kernel
     # offsets cuts it ~4x.  Padding chunks have zero counts, so their
-    # strips predicate away and their output rows stay zero.
-    SC = min(4, n_chunks)
+    # strips predicate away and their output rows stay zero.  The env
+    # lever exists for on-chip A/B: larger SC trades per-step machinery
+    # against fetch/compute double-buffering granularity (merged tables
+    # left the VMEM budget ~10x clear on vstack-class plans).
+    SC = min(int(os.environ.get('WFTPU_STACK_SC', '4')), n_chunks)
     n_super = -(-n_chunks // SC)
     n_chunks_pad = n_super * SC
 
@@ -1068,7 +1071,8 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
     # build time; omitting them from the key made A/B harnesses measure
     # a stale cached variant silently
     key += (f"_t{os.environ.get('WFTPU_STACK_TABLE_T', '0')}"
-            f"_l{os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0')}")
+            f"_l{os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0')}"
+            f"_s{os.environ.get('WFTPU_STACK_SC', '4')}")
     runner = getattr(plan, key, None)
     if runner is None:
         runner = _build_kernel_runner(
