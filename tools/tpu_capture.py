@@ -2034,6 +2034,10 @@ def pending_tasks(state):
     # at n_chunks=13 -> one grid step on the vstack row)
     tasks.append(("r4_stack_sc_ab",
                   lambda: task_stack_sc_ab('vstack_1000x200k')))
+    # dot3 retake: with ~31% less eval the HIGHEST 6-pass dot may no
+    # longer hide behind VPU work (the r4 A/B measured it neutral)
+    tasks.append(("r4j_stack_dot3_vstack",
+                  lambda: task_stack_dot3('vstack_1000x200k')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
