@@ -890,7 +890,6 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         meta, tab, cnts = _group_table(g, n_rows, n_chunks, ext_np,
                                        N_IDENT, TABLE_T)
         metas.append(meta)
-        vmem += 2 * 4 * SC * meta['k_max'] * meta['PW']
         tabs.append(np.pad(tab, ((0, pad_c), (0, 0), (0, 0))))
         cnts_l.append(np.pad(cnts, ((0, pad_c), (0, 0))))
     # MERGED OPERANDS (round-4 session 5): the floor probe prices each
@@ -924,6 +923,11 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             operands.append([cnts,
                              tab.reshape(n_super, SC, meta['PW'],
                                          meta['k_max'])])
+    # the VMEM guard prices the ACTUAL table blocks (the merged block is
+    # k_tot x PWmax -- PW padding to the widest group can exceed the
+    # per-group sum), double-buffered
+    vmem += sum(2 * 4 * SC * ops[1].shape[2] * ops[1].shape[3]
+                for ops in operands)
     hbm = sum(a.nbytes for group_ops in operands for a in group_ops)
     if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
         return None
