@@ -367,3 +367,84 @@ def test_superchunk_env_lever_parity(monkeypatch):
         plan2 = build_stack_plan(low)
         out = np.asarray(_build_kernel_runner(plan2, low, True)())
         assert np.array_equal(out, base), f"SC={sc} diverged"
+
+
+def test_dict_table_compaction_parity_and_geometry(monkeypatch):
+    """WFTPU_STACK_DICT=1 bakes bitwise-constant table columns into the
+    kernel as immediates and streams only the varying columns.  On a
+    near-identical-pulse stack (the vstack-row regime) only the
+    shift-derived columns vary, so the table narrows from the lane-
+    padded 128 to <= 16 columns -- and the output must be BIT-identical
+    (same math, same values; only loads become constants)."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+
+    rng = np.random.default_rng(67)
+    wl = [(0.5 * cosPulse(100e-9) >> o)
+          for o in rng.uniform(0, 95e-6, 300)]
+    low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+    plan = build_stack_plan(low)
+    kr = _build_kernel_runner(plan, low, True)
+    base = np.asarray(kr())
+    full_bytes = sum(int(np.prod(o.shape)) * 4 for o in kr.kernel_args)
+    monkeypatch.setenv('WFTPU_STACK_DICT', '1')
+    plan_d = build_stack_plan(low)
+    kr_d = _build_kernel_runner(plan_d, low, True)
+    assert kr_d is not None
+    got = np.asarray(kr_d())
+    assert np.array_equal(got, base)
+    dict_bytes = sum(int(np.prod(o.shape)) * 4 for o in kr_d.kernel_args)
+    assert dict_bytes * 4 < full_bytes     # the operand stream shrank
+    t, want = _oracle([WaveVStack(wl).simplify()], 0, 100e-6)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_dict_table_padding_mask_columns_stay_per_slot():
+    """lo/hi (the mask columns) may only bake when constant across ALL
+    slots: padding slots rely on their lo=hi=0 empty mask to stay exact
+    zeros once amp/args columns are baked to nonzero immediates."""
+    from waveforms_tpu.ops.stack_synth import _group_table
+
+    rng = np.random.default_rng(71)
+    wl = [(0.5 * cosPulse(100e-9) >> o)
+          for o in rng.uniform(0, 95e-6, 300)]
+    low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+    plan = build_stack_plan(low)
+    n_chunks = -(-plan.n_channels * plan.n_rows // 128)
+    main = max(plan.groups, key=lambda g: len(g.amp))
+    meta, tab, cnts = _group_table(main, plan.n_rows, n_chunks,
+                                   np.zeros(1), 0, False, dict_cols=True)
+    assert 'col_pos' in meta
+    # mask columns stay in the table (instances start at distinct lo/hi)
+    assert 2 in meta['col_pos'] and 3 in meta['col_pos']
+    # the amp column baked (every instance has amplitude 0.25) even
+    # though padding slots carry amp 0 -- their empty mask protects them
+    assert meta['off_amp'] in meta['col_const'] \
+        or meta['off_amp'] in meta['col_pos']
+    assert meta['PW'] <= 16
+    assert tab.shape[-1] == meta['PW']
+
+
+def test_dict_table_heterogeneous_groups(monkeypatch):
+    """Compaction is per-group: groups with diverse args keep their
+    columns while uniform groups shrink, and the merged operand pads to
+    the widest kept group -- output still bit-matches the full layout."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+
+    rng = np.random.default_rng(73)
+    wl = [(0.5 * cosPulse(50e-9) >> o) for o in rng.uniform(0, 7e-6, 40)]
+    wl += [(float(a) * gaussian(w) >> o)     # per-instance widths/amps
+           for a, w, o in zip(rng.uniform(0.1, 1, 20),
+                              rng.uniform(40e-9, 90e-9, 20),
+                              rng.uniform(0, 7e-6, 20))]
+    low = lower_schedule([WaveVStack(wl)], 0, 8.192e-6, FS)
+    plan = build_stack_plan(low)
+    base = np.asarray(_build_kernel_runner(plan, low, True)())
+    monkeypatch.setenv('WFTPU_STACK_DICT', '1')
+    plan_d = build_stack_plan(low)
+    kr_d = _build_kernel_runner(plan_d, low, True)
+    got = np.asarray(kr_d())
+    assert np.array_equal(got, base)
+    t, want = _oracle([WaveVStack(wl).simplify()], 0, 8.192e-6)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-6

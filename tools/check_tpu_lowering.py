@@ -171,6 +171,18 @@ def check_stack_including_ext():
     runner.kernel_jit.trace(*runner.kernel_args).lower(
         lowering_platforms=('tpu',))
 
+    # dictionary-compacted tables: the narrow-lane operand block (PW=8)
+    # and baked-immediate strip math must lower too
+    os.environ['WFTPU_STACK_DICT'] = '1'
+    try:
+        rd = st._build_kernel_runner(st.build_stack_plan(low), low, False)
+        assert rd is not None
+        assert rd.kernel_args[-1].shape[-1] < 128   # actually compacted
+        rd.kernel_jit.trace(*rd.kernel_args).lower(
+            lowering_platforms=('tpu',))
+    finally:
+        os.environ.pop('WFTPU_STACK_DICT', None)
+
     p = drag_sin(5e9, 20e-9, plateau=10e-9, delta=1e6)
     x = sh.zero()
     for _ in range(10):

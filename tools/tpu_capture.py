@@ -778,6 +778,51 @@ def task_stack_fetch_ab(row='vstack_1000x200k'):
     return res
 
 
+def task_stack_dict_ab(row='vstack_1000x200k'):
+    """Full vs DICTIONARY-COMPACTED packed tables, SAME chip window,
+    oracle-anchored (the narrow-lane operand block and baked-immediate
+    strip math are unproven on real Mosaic; interpret equality proved
+    nothing for the bf16 dots or the int16 dynamic stores either).
+    Compaction bakes bitwise-constant table columns into the kernel as
+    immediates -- on the vstack row only the shift-derived columns vary,
+    so the HBM operand stream shrinks ~12x with no in-kernel transpose
+    (the lever TABLE_T failed to be)."""
+    import importlib
+    import os
+
+    import jax
+
+    from waveforms_tpu.ops import stack_synth as st
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    t = np.arange(start, stop, 1 / fs)
+    oracle = np.stack([np.asarray(w(t), float) for w in chans])
+    scale = max(np.abs(oracle).max(), 1e-30)
+    res = {}
+    for name, flag in (("full", '0'), ("dict", '1')):
+        os.environ['WFTPU_STACK_DICT'] = flag
+        try:
+            plan = st.build_stack_plan(low)
+            runner = st._build_kernel_runner(plan, low, False)
+            tab_bytes = sum(int(np.prod(o.shape)) * 4
+                            for o in runner.kernel_args)
+            out = np.asarray(runner())
+            res[name + "_rel_err"] = float(
+                np.abs(out[:, :len(t)] - oracle).max() / scale)
+            med = profile_median(runner, runner.kernel_span)
+            res[name + "_ms"] = round(med * 1e3, 4)
+            res[name + "_operand_bytes"] = tab_bytes
+        finally:
+            os.environ.pop('WFTPU_STACK_DICT', None)
+    n = len(chans) * low.n_samples
+    best = min(v for k, v in res.items() if k.endswith('_ms'))
+    res["best_gsps"] = round(n / (best * 1e-3) / 1e9, 3)
+    return res
+
+
 def task_stack_sc_ab(row='vstack_1000x200k'):
     """Superchunk-size sweep, SAME chip window: per-step machinery vs
     fetch/compute double-buffering granularity (merged tables left the
@@ -2038,6 +2083,14 @@ def pending_tasks(state):
     # longer hide behind VPU work (the r4 A/B measured it neutral)
     tasks.append(("r4j_stack_dot3_vstack",
                   lambda: task_stack_dot3('vstack_1000x200k')))
+    # dictionary-compacted tables (bake bitwise-constant columns as
+    # kernel immediates): the operand-floor lever TABLE_T failed to be
+    # -- ~12x fewer table bytes on the vstack row, no in-kernel
+    # transpose.  Oracle-anchored A/B, same chip window per row.
+    tasks.append(("r4_stack_dict_ab",
+                  lambda: task_stack_dict_ab('vstack_1000x200k')))
+    tasks.append(("r4_stack_dict_ab_overlap",
+                  lambda: task_stack_dict_ab('overlap100_drag_2200')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -561,7 +561,7 @@ def _group_table(g: GroupData, n_rows: int, n_chunks: int,
                  ext_np: np.ndarray, n_ident: int, table_t: bool,
                  k_sp_force: int | None = None,
                  n_ident_force: int | None = None,
-                 assignment=None):
+                 assignment=None, dict_cols: bool = False):
     """Build one group's packed per-chunk slot table (host arrays).
 
     Returns ``(meta, tab, cnts)``: the static kernel parameters, the
@@ -661,6 +661,51 @@ def _group_table(g: GroupData, n_rows: int, n_chunks: int,
                 IW=IW, AW=AW, QW=QW, EW=EW, PW=PW, off_amp=off_amp,
                 off_args=off_args, off_q=off_q, off_ext=off_ext,
                 table_t=table_t)
+    if dict_cols and not table_t:
+        # DICTIONARY COMPACTION (round 4, fetch-side lever): stacked
+        # schedules are typically many near-identical pulses -- on
+        # vstack_1000x200k only the shift-derived columns (cos phase
+        # offset + sub-sample residuals) and the placement ints vary per
+        # instance; the other ~100 of 128 lane-padded columns repeat one
+        # value.  Bake every column that is bitwise-constant across the
+        # VALID slots into the kernel as an immediate (np.float32 /
+        # np.int32 -- the strip accessors broadcast scalars), keep only
+        # the varying columns in the table.  This shrinks the HBM
+        # operand stream ~PW/kept x WITHOUT the in-kernel transpose that
+        # sank the TABLE_T layout, and turns table loads into constants
+        # on the eval path.  Padding slots stay exact zeros: their mask
+        # columns (lo/hi) may only bake when constant across ALL slots
+        # (a baked valid-only lo/hi would un-mask padding), while every
+        # other column is already neutralized by the empty mask / zero
+        # values the mask forces.
+        used = off_ext + EW
+        bits = tab.view(np.int32).reshape(-1, PW)
+        vflat = valid.reshape(-1)
+        vb = bits[vflat]
+        keep, col_pos, col_const = [], {}, {}
+        for c in range(used):
+            col = vb[:, c]
+            is_const = col.size == 0 or bool(np.all(col == col[0]))
+            if is_const and c in (2, 3):
+                is_const = bool(np.all(bits[:, c] == bits[:, c]
+                                       [0])) if bits.shape[0] else True
+            if is_const:
+                iv = np.int32(col[0] if col.size else 0)
+                col_const[c] = (np.float32(iv.view(np.float32)), iv)
+            else:
+                col_pos[c] = len(keep)
+                keep.append(c)
+        if not keep:            # all-constant group: keep one column
+            col_const.pop(0)
+            col_pos[0] = 0
+            keep.append(0)
+        PW = max(8, -(-len(keep) // 8) * 8)
+        ctab = np.zeros((n_chunks, k_max, PW), np.float32)
+        ctab[..., :len(keep)] = tab[..., keep]
+        tab = ctab
+        meta['PW'] = PW
+        meta['col_pos'] = col_pos
+        meta['col_const'] = col_const
     cnts = np.stack([lay_cnt, sp_cnt], axis=1).astype(np.int32)
     return meta, tab, cnts
 
@@ -682,6 +727,9 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
     _eval_blocks (accessor-for-accessor); change both together -- see
     the note there."""
 
+    cpos = meta.get('col_pos')       # dict-compacted tables only
+    ccon = meta.get('col_const')
+
     def strip(off, KS, sc, use_dot):
         W = meta['W']
         lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
@@ -692,8 +740,21 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
         else:
             tt = tab_ref[0, sc, pl.ds(base + off, KS), :]
 
+        def fcol(c):
+            """Logical f32 column c: a (KS, 1) table slice, or the baked
+            np.float32 immediate when the column was dict-compacted."""
+            if cpos is None:
+                return tt[:, c:c + 1]
+            if c in cpos:
+                j = cpos[c]
+                return tt[:, j:j + 1]
+            return ccon[c][0]
+
         def icol(c):
-            return jax.lax.bitcast_convert_type(tt[:, c:c + 1], jnp.int32)
+            if cpos is not None and c not in cpos:
+                return ccon[c][1]
+            j = c if cpos is None else cpos[c]
+            return jax.lax.bitcast_convert_type(tt[:, j:j + 1], jnp.int32)
 
         if probe == 'tables':
             # probe: table load + strip machinery only (the row-sum
@@ -706,15 +767,13 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
             di = idx - icol(4 + f)
 
             def arg(k, f=f):
-                c = meta['off_args'] + f * W + k
-                return tt[:, c:c + 1]
+                return fcol(meta['off_args'] + f * W + k)
 
             def q32(jq, f=f):
                 return icol(meta['off_q'] + 4 * f + jq)
 
             def eread(k):
-                c = meta['off_ext'] + k
-                return tt[:, c:c + 1]
+                return fcol(meta['off_ext'] + k)
 
             val = op_builders(di, arg, q32, eread)[meta['ops'][f]]()
             power = meta['powers'][f]
@@ -732,7 +791,7 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
         f0 = 0
         for t, nf in enumerate(term_nfac):
             prod = jnp.broadcast_to(
-                tt[:, meta['off_amp'] + t:meta['off_amp'] + t + 1],
+                jnp.asarray(fcol(meta['off_amp'] + t), jnp.float32),
                 (KS, 128))
             for f in range(f0, f0 + nf):
                 prod = prod * factor(f)
@@ -874,6 +933,16 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # bookkeeping costs ~7%).  Default is therefore the pure one-hot
     # layout; the hybrid stays opt-in for re-measurement.
     N_IDENT = int(os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0'))
+
+    # Dictionary-compacted tables (see _group_table): bake bitwise-
+    # constant columns as kernel immediates, stream only the varying
+    # ones.  Orthogonal to TABLE_T (which it supersedes on vstack-class
+    # plans: ~12x fewer operand bytes there, with no in-kernel
+    # transpose).  Off by default until the on-chip A/B
+    # (r4_stack_dict_ab) proves the narrow-lane operand on real Mosaic
+    # -- interpret mode and AOT lowering accepted layouts real Mosaic
+    # rejected before (the int16 dynamic-store lesson).
+    DICT = os.environ.get('WFTPU_STACK_DICT', '0') == '1' and not TABLE_T
     metas = []       # static per-group kernel parameters
     tabs = []        # host table arrays, one per group
     cnts_l = []      # host (n_chunks_pad, 2) count arrays, one per group
@@ -888,7 +957,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         # schedules).  WFTPU_STACK_IDENT_LAYERS=0 degenerates into the
         # pure one-hot layout (every block spills) for A/B timing.
         meta, tab, cnts = _group_table(g, n_rows, n_chunks, ext_np,
-                                       N_IDENT, TABLE_T)
+                                       N_IDENT, TABLE_T, dict_cols=DICT)
         metas.append(meta)
         tabs.append(np.pad(tab, ((0, pad_c), (0, 0), (0, 0))))
         cnts_l.append(np.pad(cnts, ((0, pad_c), (0, 0))))
@@ -1076,7 +1145,8 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
     # a stale cached variant silently
     key += (f"_t{os.environ.get('WFTPU_STACK_TABLE_T', '0')}"
             f"_l{os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0')}"
-            f"_s{os.environ.get('WFTPU_STACK_SC', '4')}")
+            f"_s{os.environ.get('WFTPU_STACK_SC', '4')}"
+            f"_d{os.environ.get('WFTPU_STACK_DICT', '0')}")
     runner = getattr(plan, key, None)
     if runner is None:
         runner = _build_kernel_runner(
