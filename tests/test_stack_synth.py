@@ -448,3 +448,65 @@ def test_dict_table_heterogeneous_groups(monkeypatch):
     assert np.array_equal(got, base)
     t, want = _oracle([WaveVStack(wl).simplify()], 0, 8.192e-6)
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_onestrip_and_dot3_levers_parity(monkeypatch):
+    """WFTPU_STACK_ONESTRIP collapses the predicated spill strips into
+    one full-width strip per chunk (padding slots are exact zeros, so
+    walking them is safe); WFTPU_STACK_DOT3 swaps the HIGHEST scatter
+    dot for the 3-split exact-bf16 dot.  Both must stay within the
+    oracle budget, and onestrip alone (same dot) must match the
+    predicated walk bit-for-bit on a single-strip-per-chunk schedule."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+
+    rng = np.random.default_rng(79)
+    wl = [(0.5 * cosPulse(100e-9) >> o)
+          for o in rng.uniform(0, 95e-6, 300)]
+    low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+    monkeypatch.setenv('WFTPU_STACK_ONESTRIP', '0')
+    plan = build_stack_plan(low)
+    base = np.asarray(_build_kernel_runner(plan, low, True)())
+    t, want = _oracle([WaveVStack(wl).simplify()], 0, 100e-6)
+    for oflag, d3 in (('1', False), ('1', True), ('auto', True)):
+        monkeypatch.setenv('WFTPU_STACK_ONESTRIP', oflag)
+        plan2 = build_stack_plan(low)
+        out = np.asarray(_build_kernel_runner(plan2, low, True, dot3=d3)())
+        assert np.abs(out - want).max() / np.abs(want).max() < 2e-6, \
+            (oflag, d3)
+        if not d3:
+            # same dot, same slots, different strip partition: the only
+            # numeric difference would be HIGHEST-dot accumulation
+            # order across the strip boundary -- interpret mode's f32
+            # dot is associative-free here, so demand closeness
+            assert np.abs(out - base).max() <= 1e-6 * np.abs(want).max()
+
+
+def test_onestrip_auto_is_occupancy_gated():
+    """'auto' collapses strips only when chunk occupancy is uniform:
+    a skewed schedule (pulses clustered in one corner of a long window)
+    must keep the predicated 128-wide walk."""
+    from waveforms_tpu.ops.stack_synth import (_build_kernel_runner,
+                                               build_stack_plan)
+
+    rng = np.random.default_rng(83)
+    # uniform: ~300 pulses spread evenly -> collapse
+    wl_u = [(0.5 * cosPulse(100e-9) >> o)
+            for o in rng.uniform(0, 95e-6, 300)]
+    low_u = lower_schedule([WaveVStack(wl_u)], 0, 100e-6, FS)
+    # skewed: same pulse count packed into the first 5% of the window
+    wl_s = [(0.5 * cosPulse(100e-9) >> o)
+            for o in rng.uniform(0, 5e-6, 300)]
+    low_s = lower_schedule([WaveVStack(wl_s)], 0, 100e-6, FS)
+    kr_u = _build_kernel_runner(build_stack_plan(low_u), low_u, True)
+    kr_s = _build_kernel_runner(build_stack_plan(low_s), low_s, True)
+    main_u = max(kr_u.metas, key=lambda m: m['k_sp'])
+    main_s = max(kr_s.metas, key=lambda m: m['k_sp'])
+    assert len(main_u['sp_widths']) == 1          # collapsed
+    assert main_u['sp_widths'][0] == main_u['k_sp']
+    assert len(main_s['sp_widths']) > 1           # kept predicated
+    assert all(w == 128 for w in main_s['sp_widths'][:-1])
+    for kr, wl in ((kr_u, wl_u), (kr_s, wl_s)):
+        out = np.asarray(kr())
+        t, want = _oracle([WaveVStack(wl).simplify()], 0, 100e-6)
+        assert np.abs(out - want).max() / np.abs(want).max() < 2e-6

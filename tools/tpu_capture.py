@@ -823,6 +823,49 @@ def task_stack_dict_ab(row='vstack_1000x200k'):
     return res
 
 
+def task_stack_strip_ab(row='vstack_1000x200k'):
+    """(onestrip x dot3) race, SAME chip window, oracle-anchored.  The
+    cost-probe8 decomposition (floor 5.1, tables 5.3, eval 11.6,
+    scatter 19.1, full 21.4 us) says per-strip machinery + the strip
+    dot chain is now the critical path: onestrip walks each chunk's
+    whole spill region as ONE (k_sp, 128) strip (one dot per chunk),
+    dot3 replaces the HIGHEST 6-pass dot with 3 exact-split bf16
+    passes (parity proven on this row twice: 7.55e-8 / 7.6e-8)."""
+    import importlib
+    import os
+
+    import jax
+
+    from waveforms_tpu.ops import stack_synth as st
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    t = np.arange(start, stop, 1 / fs)
+    oracle = np.stack([np.asarray(w(t), float) for w in chans])
+    scale = max(np.abs(oracle).max(), 1e-30)
+    res = {}
+    for oflag in ('0', '1'):
+        for d3 in (False, True):
+            name = f"os{oflag}_d3{int(d3)}"
+            os.environ['WFTPU_STACK_ONESTRIP'] = oflag
+            try:
+                plan = st.build_stack_plan(low)
+                runner = st._build_kernel_runner(plan, low, False, dot3=d3)
+                out = np.asarray(runner())
+                res[name + "_rel_err"] = float(
+                    np.abs(out[:, :len(t)] - oracle).max() / scale)
+                med = profile_median(runner, runner.kernel_span)
+                res[name + "_ms"] = round(med * 1e3, 4)
+            finally:
+                os.environ.pop('WFTPU_STACK_ONESTRIP', None)
+    n = len(chans) * low.n_samples
+    best = min(v for k, v in res.items() if k.endswith('_ms'))
+    res["best_gsps"] = round(n / (best * 1e-3) / 1e9, 3)
+    return res
+
+
 def task_stack_sc_ab(row='vstack_1000x200k'):
     """Superchunk-size sweep, SAME chip window: per-step machinery vs
     fetch/compute double-buffering granularity (merged tables left the
@@ -2091,6 +2134,12 @@ def pending_tasks(state):
                   lambda: task_stack_dict_ab('vstack_1000x200k')))
     tasks.append(("r4_stack_dict_ab_overlap",
                   lambda: task_stack_dict_ab('overlap100_drag_2200')))
+    # scatter-side levers after probe8 moved the bound to the strip
+    # machinery: (onestrip x dot3) race, oracle-anchored per row
+    tasks.append(("r4_stack_strip_ab",
+                  lambda: task_stack_strip_ab('vstack_1000x200k')))
+    tasks.append(("r4_stack_strip_ab_overlap",
+                  lambda: task_stack_strip_ab('overlap100_drag_2200')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -863,7 +863,7 @@ def _emit_chunk(meta: dict, strip, out_ref, sc: int, lay, spc):
 
 def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                          interpret: bool, probe: str | None = None,
-                         dot3: bool = False, out_dtype=None,
+                         dot3: bool | None = None, out_dtype=None,
                          dac_scale: float = 32767.0):
     """The whole batched path as ONE Pallas kernel (cached on the plan).
 
@@ -943,6 +943,27 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # -- interpret mode and AOT lowering accepted layouts real Mosaic
     # rejected before (the int16 dynamic-store lesson).
     DICT = os.environ.get('WFTPU_STACK_DICT', '0') == '1' and not TABLE_T
+
+    # 3-split bf16 scatter dot (see _strip_builder): on-chip parity
+    # proven twice on the vstack row (7.55e-8 / 7.6e-8, r4/r4j
+    # task_stack_dot3) and slightly faster than the HIGHEST 6-pass dot
+    # (20.7 vs 21.4 us).  The env default lets the production path and
+    # the A/B harness share one switch; an explicit dot3 argument (the
+    # capture tasks) always wins.
+    if dot3 is None:
+        dot3 = os.environ.get('WFTPU_STACK_DOT3', '0') == '1'
+
+    # SINGLE FULL-WIDTH SPILL STRIPS (round-4 session 6): with operands
+    # merged and the floor at ~5 us, the scatter probe (19.1 of 21.4 us,
+    # r4_stack_cost_probe8) says per-strip machinery + the per-strip dot
+    # chain is the critical path.  When chunk occupancy is UNIFORM (the
+    # vstack regime: every chunk ~137 of 176 slots live), predicated
+    # 128-wide strips buy nothing -- almost every chunk runs all of
+    # them -- so walking the whole spill region as ONE (k_sp, 128) strip
+    # halves the strip count and dot count per chunk.  Padding slots are
+    # exact zeros by table construction, so evaluating them is safe.
+    # 'auto' collapses when the padding waste is <= 60% of live work.
+    ONESTRIP = os.environ.get('WFTPU_STACK_ONESTRIP', 'auto')
     metas = []       # static per-group kernel parameters
     tabs = []        # host table arrays, one per group
     cnts_l = []      # host (n_chunks_pad, 2) count arrays, one per group
@@ -958,6 +979,13 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         # pure one-hot layout (every block spills) for A/B timing.
         meta, tab, cnts = _group_table(g, n_rows, n_chunks, ext_np,
                                        N_IDENT, TABLE_T, dict_cols=DICT)
+        if (not TABLE_T and meta['k_sp'] > 0
+                and len(meta['sp_widths']) > 1
+                and (ONESTRIP == '1'
+                     or (ONESTRIP == 'auto'
+                         and n_chunks * meta['k_sp']
+                         <= 1.6 * max(int(cnts[:, 1].sum()), 1)))):
+            meta['sp_widths'] = (meta['k_sp'],)
         metas.append(meta)
         tabs.append(np.pad(tab, ((0, pad_c), (0, 0), (0, 0))))
         cnts_l.append(np.pad(cnts, ((0, pad_c), (0, 0))))
@@ -1101,6 +1129,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     run_stack_kernel.kernel_span = 'jit__stack_call'
     run_stack_kernel.kernel_jit = _stack_call     # AOT lowering checks
     run_stack_kernel.kernel_args = flat_ops
+    run_stack_kernel.metas = metas                # geometry introspection
     return run_stack_kernel
 
 
@@ -1146,7 +1175,9 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
     key += (f"_t{os.environ.get('WFTPU_STACK_TABLE_T', '0')}"
             f"_l{os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0')}"
             f"_s{os.environ.get('WFTPU_STACK_SC', '4')}"
-            f"_d{os.environ.get('WFTPU_STACK_DICT', '0')}")
+            f"_d{os.environ.get('WFTPU_STACK_DICT', '0')}"
+            f"_3{os.environ.get('WFTPU_STACK_DOT3', '0')}"
+            f"_o{os.environ.get('WFTPU_STACK_ONESTRIP', 'auto')}")
     runner = getattr(plan, key, None)
     if runner is None:
         runner = _build_kernel_runner(
