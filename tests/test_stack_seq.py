@@ -304,3 +304,30 @@ def test_play_packed_sharded_int16():
                                       dac_scale=500.0))
     assert codes.dtype == np.int16
     assert np.abs(codes.astype(np.int64) - want.astype(np.int64)).max() == 0
+
+
+def test_dict_tables_joint_compaction(monkeypatch):
+    """WFTPU_STACK_DICT=1 compacts the stacked tables JOINTLY: one
+    column layout for every schedule of a group key, decided over the
+    union of their valid slots -- output bit-matches the full layout,
+    and the device table bytes shrink (the operand stream scales with
+    shot-schedule count here, so this is where compaction pays)."""
+    lows, chans = _table(n_schedules=3, n_pulses=40, seed=19)
+    seq_full = StackSequencer(lows)
+    ks = [2, 0, 1, 1]
+    base = np.asarray(seq_full.play_packed(ks))
+    bytes_full = sum(int(t.nbytes) for _, t in seq_full._operands)
+    monkeypatch.setenv('WFTPU_STACK_DICT', '1')
+    seq_d = StackSequencer(lows)
+    out = np.asarray(seq_d.play_packed(ks))
+    assert np.array_equal(out, base)
+    bytes_d = sum(int(t.nbytes) for _, t in seq_d._operands)
+    assert bytes_d * 4 < bytes_full
+    # amplitudes differ per instance here, so the amp column must have
+    # stayed in the table while the pure-shape columns baked
+    meta = max(seq_d._metas, key=lambda m: m['k_sp'])
+    assert meta['off_amp'] in meta['col_pos'] \
+        or meta['off_amp'] + 1 in meta['col_pos']
+    for i, k in enumerate(ks):
+        want = _oracle(chans[k])
+        assert np.abs(out[i, 0] - want).max() / np.abs(want).max() < 2e-6

@@ -41,8 +41,9 @@ import numpy as np
 from .lowering import (PALLAS_SMEM_BUDGET, LoweredSchedule,
                        UnsupportedFactor)
 from .stack_synth import (KERNEL_MAX_HBM, KERNEL_MAX_VMEM, GroupData,
-                          StackPlan, _group_table, _kernel_runner_viable,
-                          _emit_chunk, _strip_builder, build_stack_plan)
+                          StackPlan, _dict_compact, _group_table,
+                          _kernel_runner_viable, _emit_chunk,
+                          _strip_builder, build_stack_plan)
 
 __all__ = ['StackSequencer', 'synthesize_stack_sharded']
 
@@ -223,8 +224,13 @@ class StackSequencer:
         vmem = 2 * SC * 2 * 128 * 128 * 4
         hbm = 0
         pad_c = n_chunks_pad - n_chunks
+        # dictionary compaction must be JOINT across the K schedules
+        # (one column layout per group key), so tables build full first
+        # and compact after the loop -- see stack_synth._dict_compact
+        dict_cols = (os.environ.get('WFTPU_STACK_DICT', '0') == '1'
+                     and not table_t)
         for key in key_union:
-            tabs, cnts_all = [], []
+            tabs, valids, cnts_all = [], [], []
             meta = None
             for k, plan in enumerate(plans):
                 g = group_of[k].get(key)
@@ -236,14 +242,21 @@ class StackSequencer:
                     n_ident_force=eff_max[key],
                     assignment=(assign(g, eff_max[key])
                                 if id(g) in seen_groups else None))
-                tab = np.pad(tab, ((0, pad_c), (0, 0), (0, 0)))
-                if table_t:
-                    tab = np.ascontiguousarray(tab.transpose(0, 2, 1))
-                tabs.append(tab.reshape(
-                    (self.n_super, SC, meta['PW'], meta['k_max'])
-                    if table_t
-                    else (self.n_super, SC, meta['k_max'], meta['PW'])))
+                valids.append(meta.pop('_valid', None))
+                tabs.append(tab)
                 cnts_all.append(np.pad(cnts, ((0, pad_c), (0, 0))))
+            if dict_cols and all(v is not None for v in valids):
+                tabs = _dict_compact(meta, tabs, valids)
+            tabs = [np.pad(t, ((0, pad_c), (0, 0), (0, 0)))
+                    for t in tabs]
+            if table_t:
+                tabs = [np.ascontiguousarray(t.transpose(0, 2, 1))
+                        for t in tabs]
+            tabs = [t.reshape(
+                (self.n_super, SC, meta['PW'], meta['k_max'])
+                if table_t
+                else (self.n_super, SC, meta['k_max'], meta['PW']))
+                for t in tabs]
             self._metas.append(meta)
             vmem += 2 * 4 * SC * meta['k_max'] * meta['PW']
             # (K, n_super, ...) flattened to (K * n_super, ...): table

@@ -662,52 +662,71 @@ def _group_table(g: GroupData, n_rows: int, n_chunks: int,
                 off_args=off_args, off_q=off_q, off_ext=off_ext,
                 table_t=table_t)
     if dict_cols and not table_t:
-        # DICTIONARY COMPACTION (round 4, fetch-side lever): stacked
-        # schedules are typically many near-identical pulses -- on
-        # vstack_1000x200k only the shift-derived columns (cos phase
-        # offset + sub-sample residuals) and the placement ints vary per
-        # instance; the other ~100 of 128 lane-padded columns repeat one
-        # value.  Bake every column that is bitwise-constant across the
-        # VALID slots into the kernel as an immediate (np.float32 /
-        # np.int32 -- the strip accessors broadcast scalars), keep only
-        # the varying columns in the table.  This shrinks the HBM
-        # operand stream ~PW/kept x WITHOUT the in-kernel transpose that
-        # sank the TABLE_T layout, and turns table loads into constants
-        # on the eval path.  Padding slots stay exact zeros: their mask
-        # columns (lo/hi) may only bake when constant across ALL slots
-        # (a baked valid-only lo/hi would un-mask padding), while every
-        # other column is already neutralized by the empty mask / zero
-        # values the mask forces.
-        used = off_ext + EW
-        bits = tab.view(np.int32).reshape(-1, PW)
-        vflat = valid.reshape(-1)
-        vb = bits[vflat]
-        keep, col_pos, col_const = [], {}, {}
-        for c in range(used):
-            col = vb[:, c]
-            is_const = col.size == 0 or bool(np.all(col == col[0]))
-            if is_const and c in (2, 3):
-                is_const = bool(np.all(bits[:, c] == bits[:, c]
-                                       [0])) if bits.shape[0] else True
-            if is_const:
-                iv = np.int32(col[0] if col.size else 0)
-                col_const[c] = (np.float32(iv.view(np.float32)), iv)
-            else:
-                col_pos[c] = len(keep)
-                keep.append(c)
-        if not keep:            # all-constant group: keep one column
-            col_const.pop(0)
-            col_pos[0] = 0
-            keep.append(0)
-        PW = max(8, -(-len(keep) // 8) * 8)
-        ctab = np.zeros((n_chunks, k_max, PW), np.float32)
-        ctab[..., :len(keep)] = tab[..., keep]
-        tab = ctab
-        meta['PW'] = PW
-        meta['col_pos'] = col_pos
-        meta['col_const'] = col_const
+        tab = _dict_compact(meta, [tab], [valid])[0]
+    else:
+        meta['_valid'] = valid       # joint compaction (stack_seq)
     cnts = np.stack([lay_cnt, sp_cnt], axis=1).astype(np.int32)
     return meta, tab, cnts
+
+
+def _dict_compact(meta: dict, tabs: list, valids: list) -> list:
+    """DICTIONARY COMPACTION (round 4, fetch-side lever).
+
+    Stacked schedules are typically many near-identical pulses -- on
+    vstack_1000x200k only the shift-derived columns (cos phase offset +
+    sub-sample residuals) and the placement ints vary per instance; the
+    other ~100 of 128 lane-padded columns repeat one value.  Bake every
+    column that is bitwise-constant across the VALID slots into the
+    kernel as an immediate (np.float32 / np.int32 -- the strip
+    accessors broadcast scalars), keep only the varying columns in the
+    table.  This shrinks the HBM operand stream ~PW/kept x WITHOUT the
+    in-kernel transpose that sank the TABLE_T layout, and turns table
+    loads into constants on the eval path.  Padding slots stay exact
+    zeros: their mask columns (lo/hi) may only bake when constant
+    across ALL slots (a baked valid-only lo/hi would un-mask padding),
+    while every other column is already neutralized by the empty mask /
+    zero values the mask forces.
+
+    ``tabs``/``valids`` hold one (n_chunks, k_max, PW) table and its
+    (n_chunks, k_max) valid mask per schedule; constancy is decided
+    JOINTLY so every schedule of a stacked-table sequencer shares one
+    column layout.  Mutates ``meta`` (PW, col_pos, col_const), returns
+    the compacted tables.
+    """
+    PW = meta['PW']
+    used = meta['off_ext'] + meta['EW']
+    bits = np.concatenate(
+        [t.reshape(-1, PW) for t in tabs]).view(np.int32)
+    vflat = np.concatenate([v.reshape(-1) for v in valids])
+    vb = bits[vflat]
+    keep, col_pos, col_const = [], {}, {}
+    for c in range(used):
+        col = vb[:, c]
+        is_const = col.size == 0 or bool(np.all(col == col[0]))
+        if is_const and c in (2, 3):
+            is_const = bool(np.all(bits[:, c] == bits[:, c]
+                                   [0])) if bits.shape[0] else True
+        if is_const:
+            iv = np.int32(col[0] if col.size else 0)
+            col_const[c] = (np.float32(iv.view(np.float32)), iv)
+        else:
+            col_pos[c] = len(keep)
+            keep.append(c)
+    if not keep:                # all-constant group: keep one column
+        col_const.pop(0)
+        col_pos[0] = 0
+        keep.append(0)
+    PWc = max(8, -(-len(keep) // 8) * 8)
+    out = []
+    for t in tabs:
+        ctab = np.zeros(t.shape[:-1] + (PWc,), np.float32)
+        ctab[..., :len(keep)] = t[..., keep]
+        out.append(ctab)
+    meta['PW'] = PWc
+    meta['col_pos'] = col_pos
+    meta['col_const'] = col_const
+    meta.pop('_valid', None)
+    return out
 
 
 def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
@@ -979,6 +998,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         # pure one-hot layout (every block spills) for A/B timing.
         meta, tab, cnts = _group_table(g, n_rows, n_chunks, ext_np,
                                        N_IDENT, TABLE_T, dict_cols=DICT)
+        meta.pop('_valid', None)
         if (not TABLE_T and meta['k_sp'] > 0
                 and len(meta['sp_widths']) > 1
                 and (ONESTRIP == '1'
