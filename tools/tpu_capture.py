@@ -1175,6 +1175,22 @@ def task_seq_stack(n_shots=100, n_sched=16, n_pulses=30):
             "table": seq.describe()}
 
 
+def task_seq_stack_dict(n_shots=1000, n_sched=16, n_pulses=30):
+    """Stacked-table playback with full vs dictionary-compacted tables,
+    SAME window: the sequencer's operand stream scales with schedule
+    count, so this is where compaction should pay (the single-schedule
+    A/B was neutral: r4_stack_dict_ab)."""
+    import os
+    res = {}
+    for name, flag in (("full", '0'), ("dict", '1')):
+        os.environ['WFTPU_STACK_DICT'] = flag
+        try:
+            res[name] = task_seq_stack(n_shots, n_sched, n_pulses)
+        finally:
+            os.environ.pop('WFTPU_STACK_DICT', None)
+    return res
+
+
 def task_seq_replay(n_shots=1000):
     """Waveform-memory replay ON SILICON: the table synthesizes once into
     a device palette; each shot is a palette row gather.  Per-shot device
@@ -2140,6 +2156,10 @@ def pending_tasks(state):
                   lambda: task_stack_strip_ab('vstack_1000x200k')))
     tasks.append(("r4_stack_strip_ab_overlap",
                   lambda: task_stack_strip_ab('overlap100_drag_2200')))
+    # sequencer-scale dict A/B (stacked tables scale with shot-schedule
+    # count; the single-schedule dict A/B was byte-big but time-neutral)
+    tasks.append(("r4_seq_stack_dict_ab",
+                  lambda: task_seq_stack_dict(1000)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
