@@ -999,12 +999,14 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         meta, tab, cnts = _group_table(g, n_rows, n_chunks, ext_np,
                                        N_IDENT, TABLE_T, dict_cols=DICT)
         meta.pop('_valid', None)
-        if (not TABLE_T and meta['k_sp'] > 0
+        if (not TABLE_T and 0 < meta['k_sp'] <= 512
                 and len(meta['sp_widths']) > 1
                 and (ONESTRIP == '1'
                      or (ONESTRIP == 'auto'
                          and n_chunks * meta['k_sp']
                          <= 1.6 * max(int(cnts[:, 1].sum()), 1)))):
+            # the 512-slot cap bounds the strip's (KS, 128) eval
+            # temporaries the predicated 128-wide walk naturally limits
             meta['sp_widths'] = (meta['k_sp'],)
         metas.append(meta)
         tabs.append(np.pad(tab, ((0, pad_c), (0, 0), (0, 0))))
