@@ -247,6 +247,22 @@ class StackSequencer:
                 cnts_all.append(np.pad(cnts, ((0, pad_c), (0, 0))))
             if dict_cols and all(v is not None for v in valids):
                 tabs = _dict_compact(meta, tabs, valids)
+            else:
+                meta.pop('_valid', None)
+            # single full-width spill strip when occupancy is uniform
+            # ACROSS the whole stacked table (same rule + 512-slot cap
+            # as stack_synth._build_kernel_runner; the counts here span
+            # all K schedules' chunks)
+            onestrip = os.environ.get('WFTPU_STACK_ONESTRIP', 'auto')
+            spc_sum = max(int(sum(int(c[:, 1].sum())
+                                  for c in cnts_all)), 1)
+            if (not table_t and 0 < meta['k_sp'] <= 512
+                    and len(meta['sp_widths']) > 1
+                    and (onestrip == '1'
+                         or (onestrip == 'auto'
+                             and K * n_chunks * meta['k_sp']
+                             <= 1.6 * spc_sum))):
+                meta['sp_widths'] = (meta['k_sp'],)
             tabs = [np.pad(t, ((0, pad_c), (0, 0), (0, 0)))
                     for t in tabs]
             if table_t:
