@@ -313,6 +313,7 @@ def test_dict_tables_joint_compaction(monkeypatch):
     and the device table bytes shrink (the operand stream scales with
     shot-schedule count here, so this is where compaction pays)."""
     lows, chans = _table(n_schedules=3, n_pulses=40, seed=19)
+    monkeypatch.setenv('WFTPU_STACK_DICT', '0')   # full-layout baseline
     seq_full = StackSequencer(lows)
     ks = [2, 0, 1, 1]
     base = np.asarray(seq_full.play_packed(ks))

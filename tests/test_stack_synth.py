@@ -383,6 +383,7 @@ def test_dict_table_compaction_parity_and_geometry(monkeypatch):
     wl = [(0.5 * cosPulse(100e-9) >> o)
           for o in rng.uniform(0, 95e-6, 300)]
     low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+    monkeypatch.setenv('WFTPU_STACK_DICT', '0')   # full-layout baseline
     plan = build_stack_plan(low)
     kr = _build_kernel_runner(plan, low, True)
     base = np.asarray(kr())

@@ -2160,6 +2160,12 @@ def pending_tasks(state):
     # count; the single-schedule dict A/B was byte-big but time-neutral)
     tasks.append(("r4_seq_stack_dict_ab",
                   lambda: task_seq_stack_dict(1000)))
+    # record rows under the DECIDED defaults (dict=1, dot3=1, onestrip
+    # auto -- r4_stack_strip_ab: 17.2 us = 11.6 GS/s on the vstack row)
+    for row in ('vstack_1000x200k', 'overlap100_drag_2200'):
+        tasks.append((f"r4k_stack_{row}",
+                      lambda row=row: task_stack_row(row)))
+    tasks.append(("r4k_seq_stack_1000", lambda: task_seq_stack(1000)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -227,7 +227,7 @@ class StackSequencer:
         # dictionary compaction must be JOINT across the K schedules
         # (one column layout per group key), so tables build full first
         # and compact after the loop -- see stack_synth._dict_compact
-        dict_cols = (os.environ.get('WFTPU_STACK_DICT', '0') == '1'
+        dict_cols = (os.environ.get('WFTPU_STACK_DICT', '1') == '1'
                      and not table_t)
         for key in key_union:
             tabs, valids, cnts_all = [], [], []
@@ -337,7 +337,8 @@ class StackSequencer:
         n_shots = int(ks.shape[0])
         key = (n_shots, interpret,
                str(jnp.dtype(out_dtype or jnp.float32)),
-               np.asarray(dac_scale, np.float32).tobytes())
+               np.asarray(dac_scale, np.float32).tobytes(),
+               os.environ.get('WFTPU_STACK_DOT3', '1'))
         call = self._calls.get(key)
         if call is None:
             call = self._build_call(n_shots, interpret, out_dtype,
@@ -469,7 +470,11 @@ def _seq_call(metas, shapes, SC: int, n_super: int, n_chunks_pad: int,
         for meta in metas:
             cnt_ref, tab_ref = refs[r:r + 2]
             r += 2
-            strip = _strip_builder(meta, tab_ref, None, False)
+            # dot3 default matches stack_synth (parity proven on the
+            # real MXU three times; faster in every measured config)
+            strip = _strip_builder(
+                meta, tab_ref, None,
+                os.environ.get('WFTPU_STACK_DOT3', '1') == '1')
             for sc in range(SC):
                 row = sched * n_chunks_pad + (i % n_super) * SC + sc
                 _emit_chunk(meta, strip, acc_ref, sc,

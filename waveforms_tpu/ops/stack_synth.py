@@ -961,16 +961,21 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # (r4_stack_dict_ab) proves the narrow-lane operand on real Mosaic
     # -- interpret mode and AOT lowering accepted layouts real Mosaic
     # rejected before (the int16 dynamic-store lesson).
-    DICT = os.environ.get('WFTPU_STACK_DICT', '0') == '1' and not TABLE_T
+    # Dictionary compaction defaults ON: bit-identical on chip
+    # (r4_stack_dict_ab), never measured slower (neutral single-
+    # schedule, -8% on the overlap row and the stacked sequencer where
+    # table bytes scale with schedule count, r4_seq_stack_dict_ab).
+    DICT = os.environ.get('WFTPU_STACK_DICT', '1') == '1' and not TABLE_T
 
-    # 3-split bf16 scatter dot (see _strip_builder): on-chip parity
-    # proven twice on the vstack row (7.55e-8 / 7.6e-8, r4/r4j
-    # task_stack_dot3) and slightly faster than the HIGHEST 6-pass dot
-    # (20.7 vs 21.4 us).  The env default lets the production path and
-    # the A/B harness share one switch; an explicit dot3 argument (the
+    # 3-split bf16 scatter dot (see _strip_builder), default ON: parity
+    # proven on the real MXU three times (7.55e-8 / 7.6e-8 /
+    # r4_stack_strip_ab) and faster than the HIGHEST 6-pass dot in
+    # every measured config (17.2 vs 18.5 us with onestrip, 20.7 vs
+    # 21.4 without).  The env default lets the production path and the
+    # A/B harness share one switch; an explicit dot3 argument (the
     # capture tasks) always wins.
     if dot3 is None:
-        dot3 = os.environ.get('WFTPU_STACK_DOT3', '0') == '1'
+        dot3 = os.environ.get('WFTPU_STACK_DOT3', '1') == '1'
 
     # SINGLE FULL-WIDTH SPILL STRIPS (round-4 session 6): with operands
     # merged and the floor at ~5 us, the scatter probe (19.1 of 21.4 us,
@@ -1197,8 +1202,8 @@ def synthesize_stack(low: LoweredSchedule, plan: StackPlan | None = None,
     key += (f"_t{os.environ.get('WFTPU_STACK_TABLE_T', '0')}"
             f"_l{os.environ.get('WFTPU_STACK_IDENT_LAYERS', '0')}"
             f"_s{os.environ.get('WFTPU_STACK_SC', '4')}"
-            f"_d{os.environ.get('WFTPU_STACK_DICT', '0')}"
-            f"_3{os.environ.get('WFTPU_STACK_DOT3', '0')}"
+            f"_d{os.environ.get('WFTPU_STACK_DICT', '1')}"
+            f"_3{os.environ.get('WFTPU_STACK_DOT3', '1')}"
             f"_o{os.environ.get('WFTPU_STACK_ONESTRIP', 'auto')}")
     runner = getattr(plan, key, None)
     if runner is None:
