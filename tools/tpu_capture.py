@@ -2166,6 +2166,9 @@ def pending_tasks(state):
         tasks.append((f"r4k_stack_{row}",
                       lambda row=row: task_stack_row(row)))
     tasks.append(("r4k_seq_stack_1000", lambda: task_seq_stack(1000)))
+    # re-seed bench.py's int16 panel compiles: the session-5 .jax_cache
+    # did not survive into session 6 (fresh container disk)
+    tasks.append(("r4s6_bench_seed_int16", task_bench_seed_int16))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
