@@ -2169,6 +2169,11 @@ def pending_tasks(state):
     # re-seed bench.py's int16 panel compiles: the session-5 .jax_cache
     # did not survive into session 6 (fresh container disk)
     tasks.append(("r4s6_bench_seed_int16", task_bench_seed_int16))
+    # mid-stratum int16: the mid panel row (53 GS/s) is store-heavy (10%
+    # live eval, 100% stored); halved output bytes should move it the
+    # way it moved the flagship (162 -> 281)
+    tasks.append(("r4_panel_mid_int16",
+                  lambda: task_panels_int16('mid')))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)
