@@ -117,19 +117,29 @@ def window_runner(dev, window_rows, row0_samples, rows_per_tile,
     """Thunk running one time window of a DeviceSchedule's kernel."""
     import jax.numpy as jnp
 
-    from waveforms_tpu.ops.pallas_synth import _run_kernel
+    from waveforms_tpu.ops.pallas_synth import _run_kernel, fine_would_engage
 
     C, NB, S, T, F = dev.shape
     R = rows_per_tile
+    G = max(dev.bucket_samples // (R * 128), 1)
+    # host-gated fine-skip: occupancy-1 windows compile the plain-walk
+    # program (bit-identical; drops the prologue + branch cost -- the
+    # round-4 dense regression, VERDICT r4 weak #2)
+    fine = fine_would_engage(dev, R, window_rows, tiles_per_bucket=G,
+                             row0=row0_samples)
     kw = dict(S=S, T=T, F=F, R=R, n_rows=window_rows,
-              tiles_per_bucket=max(dev.bucket_samples // (R * 128), 1),
-              ops_present=dev.ops_present, interpret=interpret)
+              tiles_per_bucket=G,
+              ops_present=dev.ops_present, interpret=interpret, fine=fine)
     row0 = jnp.full((1, 1, 1, 1), row0_samples, jnp.int32)
 
     def run():
         return _run_kernel(row0, *dev.tensors, **kw)
 
     return run
+
+
+def _exc_str(e):
+    return f"{type(e).__name__}: {e}"[:300]
 
 
 def _upload(chans, start, stop):
@@ -216,7 +226,11 @@ def main():
 
     # the sparse-family kernels should beat the dense grid on this
     # low-occupancy schedule; measure the worklist AND the round-4 panel
-    # kernel and report the best (all kernels are oracle/fuzz-pinned)
+    # kernel and report the best (all kernels are oracle/fuzz-pinned).
+    # Every degraded path RECORDS its exception in the JSON: round 4's
+    # official capture lost the panel headline to a silently-swallowed
+    # error (BENCH_r04 panel=[], VERDICT r4 weak #1) -- never again.
+    degraded = {}
     sparse_s = None
     sparse_raw = []
     Rs = 32
@@ -238,51 +252,64 @@ def main():
             sparse_raw.extend(meds)
             acc += min(meds)
         sparse_s = acc
-    except Exception:
-        pass                               # dense-only headline
+    except Exception as e:                 # dense-only headline
+        degraded['sparse'] = _exc_str(e)
 
-    panel_s = panel16_s = None
-    panel_raw = []
-    panel16_raw = []
-    try:
+    def _panel_windows(out16):
+        """One full panel pass (both windows); returns summed s + raws."""
         from waveforms_tpu.ops.sparse_synth import build_panel_plan, \
             panels_eligible, synthesize_panels
-        acc = 0.0
-        acc16 = 0.0
+        acc, raw = 0.0, []
+        dt = jnp.int16 if out16 else None
         for w_lo, w_hi in ((0, half_t), (half_t, n_tiles)):
             pplan = build_panel_plan(low, Rs=Rs, tile_window=(w_lo, w_hi))
-            if not panels_eligible(pplan, np.float32, False):
+            # NOTE round-4 post-mortem: this call once passed a third
+            # (pair) argument that a refactor had removed; the TypeError
+            # was silently swallowed and the official BENCH_r04 lost the
+            # whole panel headline (VERDICT r4 weak #1)
+            if not panels_eligible(pplan, np.int16 if out16 else np.float32):
                 raise RuntimeError('panel plan outside budgets')
 
             def prun():
-                return synthesize_panels(dev, plan=pplan)
+                return synthesize_panels(dev, plan=pplan, out_dtype=dt) \
+                    if dt is not None else synthesize_panels(dev, plan=pplan)
 
             prun().block_until_ready()
             meds = [measure_device(prun, 'jit__run_panels', reps=5)
                     for _ in range(2)]
-            panel_raw.extend(meds)
+            raw.extend(meds)
             acc += min(meds)
-            if acc16 is not None:
-                # int16 DAC codes: the AWG deployment format (exact
-                # round(f32 * scale) codes, code-parity-pinned on chip --
-                # tpu_state.json r4_panel_flagship_int16); halved store
-                # bytes lift the store-bound flagship 162 -> 281 GS/s
-                try:
-                    def prun16():
-                        return synthesize_panels(dev, plan=pplan,
-                                                 out_dtype=jnp.int16)
+        return acc, raw
 
-                    prun16().block_until_ready()
-                    meds16 = [measure_device(prun16, 'jit__run_panels',
-                                             reps=5) for _ in range(2)]
-                    panel16_raw.extend(meds16)
-                    acc16 += min(meds16)
-                except Exception:
-                    acc16 = None
-        panel_s = acc
-        panel16_s = acc16
-    except Exception:
-        pass                               # headline without the panel row
+    panel_s = panel16_s = None
+    panel_raw = []
+    panel16_raw = []
+    # one retry after a cache clear: a transient tunnel abort or a stale
+    # compile-cache entry must not erase the round's headline path
+    for attempt in range(2):
+        try:
+            panel_s, panel_raw = _panel_windows(False)
+            degraded.pop('panel', None)
+            break
+        except Exception as e:
+            degraded['panel'] = _exc_str(e)
+            if attempt == 0:
+                jax.clear_caches()
+                time.sleep(5)
+    # int16 DAC codes: the AWG deployment format (exact round(f32 * scale)
+    # codes, code-parity-pinned on chip -- tpu_state.json
+    # r4_panel_flagship_int16); halved store bytes lift the store-bound
+    # flagship 162 -> 281 GS/s
+    for attempt in range(2):
+        try:
+            panel16_s, panel16_raw = _panel_windows(True)
+            degraded.pop('panel_int16', None)
+            break
+        except Exception as e:
+            degraded['panel_int16'] = _exc_str(e)
+            if attempt == 0:
+                jax.clear_caches()
+                time.sleep(5)
 
     headline_s = min(s for s in (dense_s, sparse_s, panel_s) if s)
     flagship_gsps = 128 * TOTAL_SAMPLES / headline_s / 1e9
@@ -294,8 +321,8 @@ def main():
     try:
         from waveforms_tpu.engine import classify_pallas_route
         api_route = classify_pallas_route(low)[0]
-    except Exception:
-        pass
+    except Exception as e:
+        degraded['api_route'] = _exc_str(e)
 
     # -- measured store roofline: jitted full-buffer fill, same shape ------
     @jax.jit
@@ -326,16 +353,17 @@ def main():
             from waveforms_tpu.ops.sparse_synth import synthesize_panels \
                 as _sp2
             pplan2 = _bpp2(mlow)
-            if _pe2(pplan2, np.float32, False):
+            if not _pe2(pplan2, np.float32):
+                raise RuntimeError('mid panel plan outside budgets')
 
-                def mrun_p():
-                    return _sp2(mdev, plan=pplan2)
+            def mrun_p():
+                return _sp2(mdev, plan=pplan2)
 
-                mrun_p().block_until_ready()
-                times['panel'] = measure_device(mrun_p, 'jit__run_panels',
-                                                reps=5)
-        except Exception:
-            pass
+            mrun_p().block_until_ready()
+            times['panel'] = measure_device(mrun_p, 'jit__run_panels',
+                                            reps=5)
+        except Exception as e:
+            degraded['mid_panel'] = _exc_str(e)
         try:
             from waveforms_tpu.ops.sparse_synth import build_sparse_plan \
                 as _bsp2
@@ -349,16 +377,16 @@ def main():
             mrun_s().block_until_ready()
             times['sparse'] = measure_device(mrun_s, 'jit__run_sparse',
                                              reps=5)
-        except Exception:
-            pass
+        except Exception as e:
+            degraded['mid_sparse'] = _exc_str(e)
         mrun_d = window_runner(mdev, window_rows, 0, R)
         mrun_d().block_until_ready()
         times['dense_fine'] = measure_device(mrun_d, 'jit__run_kernel',
                                              reps=5)
         mid_best = min(times, key=times.get)
         mid_gsps = 128 * WINDOW_SAMPLES / times[mid_best] / 1e9
-    except Exception:
-        pass
+    except Exception as e:
+        degraded['mid'] = _exc_str(e)
 
     # -- dense stratum: occupancy 1.0, transcendental-bound ----------------
     dlow, ddev = _upload(build_dense_schedule(duration=524.288e-6),
@@ -399,6 +427,7 @@ def main():
                          "panel": [round(s, 6) for s in panel_raw],
                          "panel_int16": [round(s, 6)
                                          for s in panel16_raw]},
+        **({"degraded": degraded} if degraded else {}),
         "headline_policy": "flagship = sum over 2 windows of min(best-of-2 "
                            "median-of-5 device events) per kernel, then "
                            "min(grid, sparse, panel); kernels are "

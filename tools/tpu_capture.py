@@ -1901,6 +1901,107 @@ def task_panel_headline():
                     "panel windows via work_o"}
 
 
+def task_dense_fine_ab():
+    """Same-window fine-skip A/B (VERDICT r5 ask #2): the prologue +
+    per-tile branch cost on the occupancy-1 dense stratum and on the
+    flagship schedule, fine compiled OUT vs IN.  Decides / validates the
+    host-side fine_would_engage gate (occ-1 now auto-compiles fine=False;
+    this row is the evidence for TUNING.md 7e)."""
+    res = {}
+    for name, chans in (('dense', _dense_chans(524.288e-6)),
+                        ('flagship', _sparse_chans())):
+        n = None
+        for fine in (False, True):
+            run, dev, n_rows = _kernel_runner(chans, 0.0, 524.288e-6, 256,
+                                              fine=fine)
+            run().block_until_ready()
+            med = profile_median(run, 'jit__run_kernel')
+            n = len(chans) * dev.n_samples
+            res[f"{name}_fine{int(fine)}_ms"] = round(med * 1e3, 3)
+            res[f"{name}_fine{int(fine)}_gsps"] = round(n / med / 1e9, 1)
+    # the production auto gate's decisions for the two schedules
+    from bench import build_dense_schedule, build_schedule
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,
+                                                fine_would_engage)
+    for name, chans in (('dense', build_dense_schedule(
+            duration=524.288e-6)), ('flagship', build_schedule())):
+        low = lower_schedule(chans, 0.0, 524.288e-6, FS)
+        dev = DeviceSchedule(low)
+        n_rows = -(-(-(-low.n_samples // 128)) // 256) * 256
+        res[f"{name}_auto_fine"] = bool(
+            fine_would_engage(dev, 256, n_rows))
+    return res
+
+
+def task_bench_fresh():
+    """bench.py --inner in a CLEAN-env child process: the driver twin.
+
+    Round 4's official capture lost the panel headline to an exception
+    bench.py swallowed (a stale 3-arg panels_eligible call).  This task
+    (a) validates the exact code path the round-end driver runs, env
+    stripped of WFTPU_* levers, and (b) seeds the persistent compile
+    cache with the exact keys that fresh process hits.  The recorded row
+    IS the round's reproducibility proof: degraded must be absent."""
+    import signal
+    import subprocess
+    signal.alarm(560)          # this task legitimately outlives the 300 s
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith('WFTPU_')}
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), '..', 'bench.py'),
+         '--inner'],
+        capture_output=True, text=True, timeout=540, env=env)
+    if out.returncode != 0:
+        raise RuntimeError((out.stderr or '')[-300:])
+    js = json.loads(out.stdout.strip().splitlines()[-1])
+    keys = ('value', 'flagship_gsps', 'mid_gsps', 'mid_best_path',
+            'panel_kernel_gsps', 'flagship_int16_gsps',
+            'sparse_kernel_gsps', 'grid_kernel_gsps', 'degraded')
+    return {k: js[k] for k in keys if k in js}
+
+
+def task_overlap_bound():
+    """Price the overlap100_drag_2200 floor (VERDICT r5 ask #7): the
+    minimal eval work is 100 DRAG instances x ~1000-sample supports of
+    envelope+quadrature math (~4 transcendentals + ~20 flops/sample),
+    with no tables, no scatter, no launch machinery.  A plain jitted XLA
+    elementwise pass over the same (100, 1024) sample block IS that
+    floor on this chip's VPU; compare against the stack kernel's
+    measured full/eval times (r4_stack_cost_probe_overlap)."""
+    import jax
+    import jax.numpy as jnp
+    n_inst, n_sup = 100, 1024
+    t = jnp.linspace(0.0, 5e-7, n_sup, dtype=jnp.float32)
+    t = jnp.broadcast_to(t, (n_inst, n_sup))
+    w = jnp.linspace(6e8, 6.3e8, n_inst,
+                     dtype=jnp.float32).reshape(n_inst, 1)
+
+    @jax.jit
+    def drag_eval(t, w):
+        # per-sample model of one lowered DRAG instance: gaussian-edged
+        # envelope (exp), quadrature carrier (sin+cos), derivative term
+        u = (t - 2.5e-7) * 4e6
+        env = jnp.exp(-0.5 * u * u)
+        denv = -u * env * 4e6
+        ph = w * t
+        return env * jnp.cos(ph) + 2e-9 * denv * jnp.sin(ph)
+
+    drag_eval(t, w).block_until_ready()
+    med = profile_median(lambda: drag_eval(t, w), 'jit_drag_eval')
+    state = load_state()
+    return {"minimal_eval_us": round(med * 1e6, 3),
+            "n_inst": n_inst, "n_sup": n_sup,
+            "kernel_probe_us": {
+                k: round(v * 1e3, 1)
+                for k, v in state.get('r4_stack_cost_probe_overlap',
+                                      {}).items()
+                if isinstance(v, (int, float)) and k.endswith('_ms')},
+            "note": "floor = pure-XLA eval of the same live samples; "
+                    "everything above it is table/scatter/launch"}
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -2174,6 +2275,17 @@ def pending_tasks(state):
     # way it moved the flagship (162 -> 281)
     tasks.append(("r4_panel_mid_int16",
                   lambda: task_panels_int16('mid')))
+    # ---- round 5 ---------------------------------------------------------
+    # reproducibility first: the driver-twin bench validation (also seeds
+    # the compile cache with the exact fresh-process keys), then the
+    # dense fine-skip A/B, the clean-window vstack confirmation, and the
+    # overlap100 eval-floor pricing
+    tasks.append(("r5_parity_small", task_parity_small))
+    tasks.append(("r5_dense_fine_ab", task_dense_fine_ab))
+    tasks.append(("r5_bench_fresh", task_bench_fresh))
+    tasks.append(("r5_vstack_retake",
+                  lambda: task_stack_row('vstack_1000x200k')))
+    tasks.append(("r5_overlap_bound", task_overlap_bound))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

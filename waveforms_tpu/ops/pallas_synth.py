@@ -58,6 +58,46 @@ TUNED_ROWS_PER_TILE = 256
 FINE_ROWS = 32
 
 
+def fine_would_engage(dev, R, n_rows, tiles_per_bucket=None, row0=0):
+    """Host-side twin of ``_run_kernel``'s per-tile fine/full decision.
+
+    Returns True iff at least one tile of the launch would pick the
+    fine-skip sub-block walk.  When False, callers should compile with
+    ``fine=False``: the NF=1 program is bit-identical on every tile (the
+    not-fine branch IS the plain walk) but skips the prologue bisect, the
+    2xGxNF SMEM range operands, and the per-tile branch -- measured to
+    matter on occupancy-1 schedules (r4_dense_R256 25.3 vs r3 29.4 GS/s,
+    VERDICT r4 weak #2).
+    """
+    if not (R > FINE_ROWS and R % FINE_ROWS == 0):
+        return False
+    C, NB, S, T, F = dev.shape
+    G = tiles_per_bucket
+    if G is None:
+        G = max(dev.bucket_samples // (R * 128), 1)
+    if NB == 1:
+        G = max(n_rows // R, 1)
+    NF = R // FINE_ROWS
+    if 8 * G * NF > 128 * 1024:
+        return False
+    fine_sz = R * 128 // NF
+    bases = (int(row0) + np.arange(NB * G * NF, dtype=np.int64)
+             * fine_sz).reshape(NB, G * NF)
+    lo = dev.host_seg_lo.reshape(C, NB, S)
+    hm = dev.host_seg_hmax.reshape(C, NB, S)
+    for c in range(C):
+        for b in range(NB):
+            s0 = np.searchsorted(hm[c, b], bases[b], side='right')
+            s1 = np.searchsorted(lo[c, b], bases[b] + fine_sz, side='left')
+            s0t = s0.reshape(G, NF)[:, 0]
+            s1t = s1.reshape(G, NF)[:, -1]
+            wf = np.maximum(s1 - s0, 0).reshape(G, NF).sum(-1)
+            wc = np.maximum(s1t - s0t, 0) * NF
+            if np.any(wf < wc):
+                return True
+    return False
+
+
 def dac_scale_tensor(out_dtype, dac_scale, n_channels):
     """Validated (C, 1, 1, 1) DAC scale for integer output, else None.
 
@@ -766,6 +806,10 @@ class DeviceSchedule:
         # running max of hi per bucket list: the kernel's bisect key stays
         # ascending even when stack channels emit overlapping segments
         hmax = np.maximum.accumulate(low.seg_hi, axis=-1)
+        # host copies of the bisect keys: fine_would_engage() replays the
+        # kernel prologue's fine/full decision without a device round-trip
+        self.host_seg_lo = np.ascontiguousarray(low.seg_lo)
+        self.host_seg_hmax = np.ascontiguousarray(hmax)
         self.tensors = (
             jnp.asarray(low.seg_lo.reshape(C, NB, 1, S)),
             jnp.asarray(low.seg_hi.reshape(C, NB, 1, S)),
@@ -824,7 +868,8 @@ def synthesize_device(dev: DeviceSchedule, rows_per_tile: int | None = None,
         jnp.zeros((1, 1, 1, 1), jnp.int32), *dev.tensors, dev.amp_im,
         scale, S=S, T=T, F=F, R=R, n_rows=n_rows, tiles_per_bucket=G,
         ops_present=dev.ops_present, interpret=interpret,
-        out_dtype=out_dtype)
+        out_dtype=out_dtype,
+        fine=fine_would_engage(dev, R, n_rows, tiles_per_bucket=G))
     if dev.amp_im is not None:
         re, im = out
         if not combine_pair:

@@ -957,11 +957,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # constant columns as kernel immediates, stream only the varying
     # ones.  Orthogonal to TABLE_T (which it supersedes on vstack-class
     # plans: ~12x fewer operand bytes there, with no in-kernel
-    # transpose).  Off by default until the on-chip A/B
-    # (r4_stack_dict_ab) proves the narrow-lane operand on real Mosaic
-    # -- interpret mode and AOT lowering accepted layouts real Mosaic
-    # rejected before (the int16 dynamic-store lesson).
-    # Dictionary compaction defaults ON: bit-identical on chip
+    # transpose).  Dictionary compaction defaults ON: bit-identical on chip
     # (r4_stack_dict_ab), never measured slower (neutral single-
     # schedule, -8% on the overlap row and the stacked sequencer where
     # table bytes scale with schedule count, r4_seq_stack_dict_ab).
