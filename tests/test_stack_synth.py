@@ -486,6 +486,37 @@ def test_onestrip_and_dot3_levers_parity(monkeypatch):
             assert np.abs(out - base).max() <= 1e-6 * np.abs(want).max()
 
 
+def test_blocked_counts_path_is_bit_identical(monkeypatch):
+    """Plans whose per-chunk counts array exceeds CNT_SMEM_WHOLE_MAX
+    stream counts per superchunk ((n_super, SC, W) with a (1, SC, W)
+    SMEM window) instead of riding whole-resident; the two layouts feed
+    the same scalars to _emit_chunk, so the output must be BIT-identical.
+    (The whole-resident layout on an 8192-chunk plan made Mosaic's window
+    allocator pad the s32 counts ~16x past SMEM -- the r5_occ_stack_120
+    compile failure.)"""
+    from waveforms_tpu.ops import stack_synth
+    from waveforms_tpu.ops.stack_synth import _build_kernel_runner
+
+    rng = np.random.default_rng(89)
+    wl = [(0.5 * cosPulse(100e-9) >> o)
+          for o in rng.uniform(0, 95e-6, 300)]
+    low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+    plan = build_stack_plan(low)
+    kr = _build_kernel_runner(plan, low, True)
+    assert kr is not None
+    base = np.asarray(kr())
+    monkeypatch.setattr(stack_synth, 'CNT_SMEM_WHOLE_MAX', 0)
+    plan_b = build_stack_plan(low)
+    kr_b = _build_kernel_runner(plan_b, low, True)
+    assert kr_b is not None
+    # the counts operand really did take the blocked (3-D) layout
+    assert any(a.ndim == 3 for a in kr_b.kernel_args)
+    got = np.asarray(kr_b())
+    assert np.array_equal(got, base)
+    t, want = _oracle([WaveVStack(wl).simplify()], 0, 100e-6)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
 def test_onestrip_auto_is_occupancy_gated():
     """'auto' collapses strips only when chunk occupancy is uniform:
     a skewed schedule (pulses clustered in one corner of a long window)

@@ -2002,6 +2002,89 @@ def task_overlap_bound():
                     "everything above it is table/scatter/launch"}
 
 
+def task_occ_ladder_stack(n_pulses):
+    """Stack-path rung for the 20-60% occupancy band (VERDICT r5 ask #3).
+
+    classify_pallas_route already routes these many-overlap schedules to
+    the pulse-instance stack path (advantage ~40 at 128 channels: 120
+    random 200 ns pulses touch 39% of subtiles but only ~4.6% of
+    samples); round 4 raced only panel vs dense here.  Targets: >= 15
+    GS/s at 39% subtile occupancy, >= 10 GS/s at 55%."""
+    import jax
+
+    from waveforms_tpu.engine import classify_pallas_route
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.stack_synth import synthesize_stack
+    from waveforms_tpu.utils.profiling import measure_device
+
+    from waveforms_tpu.ops.stack_synth import build_stack_plan
+
+    dur = 524.288e-6
+    chans = _ladder_chans(n_pulses)
+    low = lower_schedule(chans, 0.0, dur, FS)
+    kind, _ = classify_pallas_route(low)
+    res = {"n_pulses": n_pulses, "route": kind}
+    # measure the stack path even when the router picked another engine:
+    # the rung-vs-rung crossover is what re-tunes the route thresholds
+    plan = build_stack_plan(low)
+    if plan is None:
+        return res
+    res.update({"advantage": round(plan.advantage, 1),
+                "n_narrow": plan.n_narrow,
+                "wide_residual": plan.wide is not None})
+
+    # parity readback on a channel slice (full 537 MB d2h aborts tunnel)
+    out4 = np.asarray(synthesize_stack(low, plan)[:4])
+    t = np.arange(0.0, dur, 1 / FS)
+    worst = 0.0
+    for c in range(4):
+        oracle = np.real(chans[c](t))
+        s = max(np.abs(oracle).max(), 1e-30)
+        worst = max(worst, float(
+            np.abs(out4[c, :len(t)] - oracle).max() / s))
+    res.update({"max_rel_err": worst, "parity_ok": bool(worst < 1e-5)})
+
+    def run():
+        return synthesize_stack(low, plan)
+
+    jax.block_until_ready(run())
+    runner = next((v for k, v in vars(plan).items()
+                   if k.startswith('_runner') and not k.startswith(
+                       '_runner_is_xla') and v is not None), None)
+    span = getattr(runner, 'kernel_span', 'jit_run_stack')
+    med = measure_device(run, span)
+    n = len(chans) * low.n_samples
+    res.update({"span": span, "device_ms": round(med * 1e3, 3),
+                "stack_gsps": round(n / med / 1e9, 2)})
+    return res
+
+
+def task_fine_gate():
+    """Record the cost-based fine-skip gate's decisions (host-only row).
+
+    The gate engages fine iff the walk saves >= FINE_GATE_UNITS_PER_TILE
+    sub-block evals per tile; this row pins the decision + the saved-work
+    metric for the four calibration schedules so threshold drift is
+    visible.  Expected: mid/ladder True, flagship/dense False (matching
+    the measured A/Bs r5_dense_fine_ab + r4_mid_dense_*)."""
+    from bench import build_dense_schedule, build_mid_schedule, \
+        build_schedule
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.pallas_synth import (DeviceSchedule,
+                                                fine_would_engage)
+    res = {}
+    for name, chans in (('flagship', build_schedule()),
+                        ('dense', build_dense_schedule(
+                            duration=524.288e-6)),
+                        ('mid', build_mid_schedule()),
+                        ('ladder120', _ladder_chans(120))):
+        low = lower_schedule(chans, 0.0, 524.288e-6, FS)
+        dev = DeviceSchedule(low)
+        n_rows = -(- -(-low.n_samples // 128) // 256) * 256
+        res[name] = bool(fine_would_engage(dev, 256, n_rows))
+    return res
+
+
 def pending_tasks(state):
     tasks = []
     for R in SWEEP_R:
@@ -2286,6 +2369,12 @@ def pending_tasks(state):
     tasks.append(("r5_vstack_retake",
                   lambda: task_stack_row('vstack_1000x200k')))
     tasks.append(("r5_overlap_bound", task_overlap_bound))
+    # the 20-60% occupancy band through the stack route (ask #3), plus a
+    # 300-pulse rung past the band to find where stack stops winning
+    tasks.append(("r5_fine_gate", task_fine_gate))
+    for np_ in (60, 120, 200, 300):
+        tasks.append((f"r5_occ_stack_{np_}",
+                      lambda np_=np_: task_occ_ladder_stack(np_)))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

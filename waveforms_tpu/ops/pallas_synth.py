@@ -58,16 +58,31 @@ TUNED_ROWS_PER_TILE = 256
 FINE_ROWS = 32
 
 
-def fine_would_engage(dev, R, n_rows, tiles_per_bucket=None, row0=0):
-    """Host-side twin of ``_run_kernel``'s per-tile fine/full decision.
+# Cost gate for compiling the fine-skip program: the prologue bisect +
+# 2xGxNF SMEM operands + per-tile branch cost ~0.4 us/tile on v5e, so
+# fine only pays when it SAVES at least this many (FINE_ROWS, 128)
+# sub-block evaluations per tile on average.  Calibration (on-chip A/Bs,
+# benchmarks/tpu_state.json): mid stratum saves 5.5 units/tile and fine
+# wins 1.9x (r4_mid_dense_fine 19.4 vs nofine 10.3 GS/s); the flagship
+# saves only 0.78 units/tile and fine LOSES 1.76x (r5_dense_fine_ab
+# 62.4 nofine vs 35.4 fine); occupancy-1 saves 0 and loses 13%
+# (28.6 vs 25.3).  K=2 separates the regimes with margin both ways.
+FINE_GATE_UNITS_PER_TILE = 2.0
 
-    Returns True iff at least one tile of the launch would pick the
-    fine-skip sub-block walk.  When False, callers should compile with
+
+def fine_would_engage(dev, R, n_rows, tiles_per_bucket=None, row0=0):
+    """Host-side cost gate for the fine-skip sub-block walk.
+
+    Replays the kernel prologue's per-sub-block bisect on the host and
+    returns True iff the walk saves enough (FINE_ROWS, 128) sub-block
+    evaluations per tile to beat the prologue's fixed cost (see
+    FINE_GATE_UNITS_PER_TILE).  When False, callers compile with
     ``fine=False``: the NF=1 program is bit-identical on every tile (the
     not-fine branch IS the plain walk) but skips the prologue bisect, the
     2xGxNF SMEM range operands, and the per-tile branch -- measured to
     matter on occupancy-1 schedules (r4_dense_R256 25.3 vs r3 29.4 GS/s,
-    VERDICT r4 weak #2).
+    VERDICT r4 weak #2) and on the flagship's dense-grid fallback
+    (r5_dense_fine_ab: 62.4 vs 35.4 GS/s).
     """
     if not (R > FINE_ROWS and R % FINE_ROWS == 0):
         return False
@@ -85,6 +100,7 @@ def fine_would_engage(dev, R, n_rows, tiles_per_bucket=None, row0=0):
              * fine_sz).reshape(NB, G * NF)
     lo = dev.host_seg_lo.reshape(C, NB, S)
     hm = dev.host_seg_hmax.reshape(C, NB, S)
+    saved = 0
     for c in range(C):
         for b in range(NB):
             s0 = np.searchsorted(hm[c, b], bases[b], side='right')
@@ -93,9 +109,9 @@ def fine_would_engage(dev, R, n_rows, tiles_per_bucket=None, row0=0):
             s1t = s1.reshape(G, NF)[:, -1]
             wf = np.maximum(s1 - s0, 0).reshape(G, NF).sum(-1)
             wc = np.maximum(s1t - s0t, 0) * NF
-            if np.any(wf < wc):
-                return True
-    return False
+            saved += int(np.maximum(wc - wf, 0).sum())
+    n_tiles = C * NB * G
+    return saved >= FINE_GATE_UNITS_PER_TILE * n_tiles
 
 
 def dac_scale_tensor(out_dtype, dac_scale, n_channels):

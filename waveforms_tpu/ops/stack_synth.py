@@ -55,6 +55,12 @@ __all__ = ['StackPlan', 'build_stack_plan', 'synthesize_stack']
 KERNEL_MAX_GROUPS = 8
 KERNEL_MAX_VMEM = 12 * 2**20      # double-buffered group tables, bytes
 KERNEL_MAX_HBM = 512 * 2**20      # packed chunk tables, bytes
+# per-chunk counts ride SMEM whole (one fetch for the whole launch) only
+# below this raw size; SMEM is ~1 MB and Mosaic's window allocator pads
+# s32 scalars ~16x (a (8192, 8) counts array allocated 4 MB -- the
+# r5_occ_stack_120 compile failure), so big-output plans (537 MB ladder
+# outputs -> 8192 chunks) stream counts per superchunk instead
+CNT_SMEM_WHOLE_MAX = 48 * 1024
 # ext widths actually read by the drag_sin formulas (eread k range)
 _EXT_W = {OP_DRAG_SIN: 3 + 2 * DRAG_SIN_NC,
           OP_DRAG_SINX: 3 + 2 * DRAG_SIN_NC + 2 + 4 * (1 + DRAG_SINX_MAXQ)}
@@ -1072,6 +1078,16 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             "stack-path int16 supports a scalar dac_scale (chunks can "
             "straddle channels)")
 
+    # counts layout: whole-resident SMEM below the budget (the measured
+    # vstack-class fast path, one fetch total), else blocked per
+    # superchunk -- (n_super, SC, W) with a (1, SC, W) window, which
+    # divides the array shape so Mosaic accepts it at any n_chunks
+    cnt_blocked = max(ops[0].nbytes for ops in operands) \
+        > CNT_SMEM_WHOLE_MAX
+    if cnt_blocked:
+        operands = [[ops[0].reshape(n_super, SC, ops[0].shape[1]),
+                     ops[1]] for ops in operands]
+
     def kernel(*refs):
         if quant:
             out_ref, acc_ref = refs[-2], refs[-1]
@@ -1093,10 +1109,14 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
                 strip = _strip_builder(meta, tab_ref, probe, dot3,
                                        base=bases[gi])
                 for sc in range(SC):
-                    row = pl.program_id(0) * SC + sc
-                    _emit_chunk(meta, strip, acc_ref, sc,
-                                cnt_ref[row, ccol],
-                                cnt_ref[row, ccol + 1])
+                    if cnt_blocked:
+                        c0 = cnt_ref[0, sc, ccol]
+                        c1 = cnt_ref[0, sc, ccol + 1]
+                    else:
+                        row = pl.program_id(0) * SC + sc
+                        c0 = cnt_ref[row, ccol]
+                        c1 = cnt_ref[row, ccol + 1]
+                    _emit_chunk(meta, strip, acc_ref, sc, c0, c1)
         if quant:
             # dac_scale applies to integer codes only; float narrowing
             # (bf16/f16) is a plain astype, matching _quantize_host and
@@ -1112,11 +1132,18 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     in_specs = []
     flat_ops = []
     for group_ops in operands:
-        # counts ride whole in SMEM (block == array shape; a (1, 1) block
-        # over (n, 1) violates Mosaic's divisible-or-full rule for n > 1)
-        in_specs.append(pl.BlockSpec(group_ops[0].shape,
-                                     lambda i: (0, 0),
-                                     memory_space=pltpu.SMEM))
+        # counts ride whole in SMEM when small (block == array shape; a
+        # (1, 1) block over (n, 1) violates Mosaic's divisible-or-full
+        # rule for n > 1); big-output plans stream one superchunk's rows
+        # per step (see CNT_SMEM_WHOLE_MAX)
+        if cnt_blocked:
+            in_specs.append(pl.BlockSpec(
+                (1,) + group_ops[0].shape[1:], lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM))
+        else:
+            in_specs.append(pl.BlockSpec(group_ops[0].shape,
+                                         lambda i: (0, 0),
+                                         memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec((1,) + group_ops[1].shape[1:],
                                      lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
