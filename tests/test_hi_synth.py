@@ -73,11 +73,24 @@ def test_clip_rails_f32_contract():
     _check([w], tol=2e-7)
 
 
-def test_erf_excluded():
-    with pytest.raises(UnsupportedFactor):
-        synthesize_hi(lower_schedule(
-            [sh.square(2e-6, edge=1e-7, type='erf') >> 3e-6],
-            0.0, SPAN, FS, keep_f64=True))
+def test_erf_edged_flux_schedule():
+    # step(type='erf')-edged flux/square schedules -- the reference's
+    # bread-and-butter shapes (waveform.py:1082-1107) -- run the hi tier
+    # through df32.erf (three-regime, ~2e-12 rel; round 5 closed the
+    # exclusion).  Mixed with a carrier so the product path exercises
+    # df mul of the erf pair.
+    chans = [sh.square(2e-6, edge=1e-7, type='erf') >> 3e-6,
+             (sh.step(2e-7) >> 1e-6) * sh.cos(2 * np.pi * 1.5e7, 0.4)]
+    _check(chans)
+
+
+def test_erf_full_argument_range():
+    # one erf edge sampled densely across all three df32.erf regimes
+    # (|x| < 1.25 Taylor, the Chebyshev-erfc band, and saturation): the
+    # wide edge keeps |x| small over many samples, the narrow edge
+    # saturates within a few
+    chans = [sh.step(4e-6) >> 4e-6, sh.step(1e-8) >> 4e-6]
+    _check(chans)
 
 
 def test_requires_keep_f64_lowering():
@@ -137,6 +150,57 @@ def test_linear_chirp_hi_tier_1M_samples():
     from bench import build_dense_schedule
     chans = build_dense_schedule(n_channels=1, duration=5.24288e-4)
     _check(chans, span=5.24288e-4, tol=2e-9)
+
+
+def test_cosh_sinh_hi_tier():
+    # coshPulse edges (the reference's sech-flattop family) through the
+    # df exp form; sinh near zero exercises the benign df cancellation
+    chans = [sh.coshPulse(8e-7, plateau=4e-7) >> 3e-6,
+             (sh.sinh(2e6) * sh.gaussian(1e-6)) >> 3e-6]
+    _check(chans)
+
+
+def test_poly_gauss_hi_tier():
+    # d_gaussian derivative family: df coefficients recover the ~1e-6
+    # f32 coefficient-rounding floor to 1e-9
+    chans = [sh.gaussian(6e-7, d=d) >> 3e-6 for d in (1, 2, 3)]
+    _check(chans)
+
+
+def test_mollifier_hi_tier_d0_only():
+    # the d = 0 bump runs df (div + exp); d >= 1 raises (coefficient
+    # cancellation at the bump edge is beyond the df recovery)
+    _check([sh.mollifier(2e-6, plateau=5e-7) >> 3e-6])
+    with pytest.raises(UnsupportedFactor):
+        synthesize_hi(lower_schedule([sh.mollifier(2e-6, d=2) >> 3e-6],
+                                     0.0, SPAN, FS, keep_f64=True))
+
+
+@pytest.mark.parametrize('kind', ['exponential', 'hyperbolic'])
+def test_exotic_chirp_hi_tier(kind):
+    """keep_f64 lowering tightens the exotic-chirp quadratic fit to
+    _CHIRP_TOL_HI (5e-10 rad), so the expanded LINEARCHIRP windows keep
+    the hi tier's 1e-9 contract (round 5; previously fit-limited at
+    ~3e-8).  Reference transcendental forms:
+    /root/reference/waveforms/waveform.py chirp bases."""
+    w = sh.chirp(1e6, 8e7, SPAN, type=kind) * sh.gaussian(4e-6) >> 4e-6
+    _check([w])
+
+
+def test_exotic_chirp_default_lowering_unchanged():
+    # non-hi lowering keeps the 3e-8 tolerance (the f32 kernels' 1e-6
+    # contract doesn't pay for ~4x windows); keep_f64 lowering splits
+    # finer AND stays within the tolerance-scaled window cap (no
+    # cap-breach warning => the fit really met 5e-10 everywhere)
+    import warnings
+
+    from waveforms_tpu.ops.lowering import lower_schedule as ls
+    w = sh.chirp(1e6, 8e7, SPAN, type='exponential') >> 0
+    s_f32 = ls([w], 0.0, SPAN, FS).shape[2]
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        s_hi = ls([w], 0.0, SPAN, FS, keep_f64=True).shape[2]
+    assert s_hi > s_f32     # the hi fit really is finer
 
 
 def test_hi_panels_match_oracle_and_dense():

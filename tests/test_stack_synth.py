@@ -545,3 +545,44 @@ def test_onestrip_auto_is_occupancy_gated():
         out = np.asarray(kr())
         t, want = _oracle([WaveVStack(wl).simplify()], 0, 100e-6)
         assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_midband_occupancy_routes_to_stack():
+    """The 15-60% occupancy band routes to the pulse-instance stack
+    kernel (round 5): many-overlap schedules blow up per-tile segment
+    lists in every segment-walk kernel, while stack work scales with
+    instance count (on-chip: 2.2-2.8x across the band, r5_occ_stack_*).
+    Low-occupancy pulse schedules must KEEP the panel route."""
+    from waveforms_tpu import engine, mixing, zero
+    from waveforms_tpu.engine import classify_pallas_route
+
+    rng = np.random.default_rng(17)
+    dur = 100e-6
+
+    def ladder(n_pulses, n_ch=2):
+        chans = []
+        for c in range(n_ch):
+            x = zero()
+            for _ in range(n_pulses):
+                I, _ = mixing(0.5 * cosPulse(200e-9)
+                              >> rng.uniform(0, dur * 0.9),
+                              freq=-150e6 - 2e6 * c, DRAGScaling=1e-10)
+                x = x + I
+            chans.append(x)
+        return chans
+
+    mid = ladder(120)                     # ~39% subtile occupancy
+    low_mid = lower_schedule(mid, 0, dur, FS)
+    kind, plan = classify_pallas_route(low_mid)
+    assert kind == 'stack', kind
+    assert plan.n_narrow >= 64
+
+    sparse = ladder(4)                    # ~1% occupancy: panel domain
+    low_sp = lower_schedule(sparse, 0, dur, FS)
+    kind_sp, _ = classify_pallas_route(low_sp)
+    assert kind_sp in ('panel', 'panel-windowed'), kind_sp
+
+    # routed output matches the oracle (the stack path really runs)
+    out = np.asarray(engine.synthesize(mid, 0, dur, FS, engine='pallas'))
+    t, want = _oracle([c.simplify() for c in mid], 0, dur)
+    assert np.abs(out - want).max() / np.abs(want).max() < 2e-6

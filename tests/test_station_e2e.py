@@ -188,6 +188,21 @@ def test_station_full_pipeline_int16_dac(station):
     assert np.abs(codes.astype(np.int64) - exp.astype(np.int64)).max() <= 1
 
 
+def test_station_hi_tier_erf_edges(station):
+    """The full station schedule -- erf-edged flux squares included
+    (``sh.square(edge=...)`` defaults to type='erf') -- through the
+    double-f32 tier: 1e-9 relative against the f64 oracle.  Round 5
+    closed the hi-tier erf exclusion (df32.erf), so no channel falls
+    back to x64."""
+    chans, names, t, oracle = station
+    out = np.asarray(engine.synthesize([chans[n] for n in names],
+                                       0, SPAN, FS, engine='pallas',
+                                       precision='double'))
+    assert out.dtype == np.float64
+    scale = np.abs(oracle).max()
+    assert np.abs(out - oracle).max() / scale < 1e-9
+
+
 def test_station_synthesis_on_mesh(station):
     """The same station schedule through the multi-chip entry point: the
     ('channel','time') mesh run must match the host oracle like every

@@ -1694,6 +1694,74 @@ def task_hi_tier():
             "max_rel_err": worst, "parity_ok": bool(worst < 1e-9)}
 
 
+def task_hi_ops_r5():
+    """Round-5 hi-tier opcode closures ON SILICON: erf (df32 three-regime
+    form), cosh edges, d_gaussian (poly_gauss in df), mollifier d=0, and
+    an exotic chirp through the 5e-10 rad window fit.  The CPU interpret
+    tests pin these at 1e-9 via the f64 EFT guard; this row proves the
+    GUARD-FREE Mosaic trace (plain f32 EFTs on the VPU) holds the same
+    contract -- plus the device rate on an erf-edged flux schedule."""
+    import jax
+
+    from waveforms_tpu.models import shapes as sh
+    from waveforms_tpu.ops.hi_synth import (HiSchedule, _run_kernel_hi,
+                                            synthesize_hi)
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    # parity on a readback-safe window, one channel per new opcode
+    stop_s = 32.768e-6
+    chans_s = [
+        sh.square(8e-6, edge=2e-7, type='erf') >> 12e-6,
+        (sh.step(2e-6) >> 6e-6) * sh.cos(2 * np.pi * 3e7, 0.4),
+        sh.coshPulse(4e-6, plateau=2e-6) >> 12e-6,
+        sh.gaussian(4e-6, d=2) >> 12e-6,
+        sh.mollifier(8e-6, plateau=2e-6) >> 12e-6,
+        sh.chirp(1e6, 8e7, stop_s, type='exponential')
+        * sh.gaussian(2e-5) >> 12e-6,
+    ]
+    low_s = lower_schedule(chans_s, 0.0, stop_s, FS, keep_f64=True)
+    out = synthesize_hi(low_s)
+    t = np.arange(0.0, stop_s, 1 / FS)
+    worst = 0.0
+    per = []
+    for c, w in enumerate(chans_s):
+        oracle = np.real(np.asarray(w(t), complex))
+        scale = max(np.abs(oracle).max(), 1e-30)
+        err = float(np.abs(out[c] - oracle).max() / scale)
+        per.append(round(err, 15))
+        worst = max(worst, err)
+
+    # device rate: 128-channel erf-edged flux schedule (station Z lines)
+    dur = 524.288e-6
+    rng = np.random.default_rng(5)
+    chans = [sum((0.3 * (sh.square(2e-6, edge=2e-8, type='erf')
+                         >> float(o)))
+                 for o in rng.uniform(2e-6, dur - 3e-6, 8))
+             for _ in range(128)]
+    low = lower_schedule(chans, 0.0, dur, FS, keep_f64=True)
+    dev = HiSchedule(low)
+    jax.block_until_ready(dev.tensors)
+    C, NB, S, T, F = dev.shape
+    import jax.numpy as jnp
+    R = 256
+    n_rows = -(-dev.n_samples // 128)
+    n_rows = -(-n_rows // R) * R
+    row0 = jnp.zeros((1, 1, 1, 1), jnp.int32)
+
+    def run():
+        return _run_kernel_hi(row0, *dev.tensors, S=S, T=T, F=F, R=R,
+                              n_rows=n_rows, tiles_per_bucket=1,
+                              ops_present=dev.ops_present)
+
+    jax.block_until_ready(run())
+    med = profile_median(run, 'jit__run_kernel_hi')
+    n = len(chans) * dev.n_samples
+    return {"per_op_rel_err": per, "max_rel_err": worst,
+            "parity_ok": bool(worst < 1e-9),
+            "erf_flux_device_ms": round(med * 1e3, 3),
+            "erf_flux_gsps": round(n / med / 1e9, 2)}
+
+
 def task_panels_int16(which):
     """Panel kernel with int16 DAC-code stores: halves output bytes, the
     only lever left once the f32 panel run hits the store roofline.
@@ -2375,6 +2443,9 @@ def pending_tasks(state):
     for np_ in (60, 120, 200, 300):
         tasks.append((f"r5_occ_stack_{np_}",
                       lambda np_=np_: task_occ_ladder_stack(np_)))
+    # round-5 hi-tier opcode closures (erf/cosh/poly_gauss/mollifier/
+    # exotic chirp) pinned on the guard-free Mosaic trace
+    tasks.append(("r5_hi_ops", task_hi_ops_r5))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -109,6 +109,17 @@ def _stack_advantage():
     return _env_float('WFTPU_STACK_ADVANTAGE', lambda: DEFAULT_ADVANTAGE)
 
 
+def _stack_occ_floor():
+    # padded subtile occupancy above which many-pulse schedules prefer
+    # the pulse-instance stack kernel over the segment-walk kernels
+    # (whose per-tile segment lists blow up with overlap count).  On-chip
+    # ladder, r5_occ_stack_* vs r4_occ_ladder_*: at 10% occupancy the
+    # panel kernel wins (52.7 GS/s); at 22% the stack kernel wins 2.2x
+    # (31.4 vs 14.5), at 39% it wins 2.4x (19.0 vs 8.0), at 55% 2.8x
+    # (13.8 vs 5.0).  0.15 splits the measured crossover.
+    return _env_float('WFTPU_STACK_OCC', lambda: 0.15)
+
+
 def _try_pallas(channels, start, stop, sample_rate, bucket_samples, part,
                 force=None, out_dtype=None, dac_scale=32767.0):
     import jax
@@ -202,6 +213,18 @@ def classify_pallas_route(low, force=None, out_dtype=None):
         # step (r4_tiny_race_readme: panel 3.25 us vs dense 10.65 us on
         # the 10k-sample readme demo, reproduced across chip windows)
         small = padded_rows <= 2 * R
+        # the 15-60% occupancy band (round-5 valley): many-overlap
+        # schedules blow up per-tile segment lists in every segment-walk
+        # kernel; the pulse-instance stack kernel's work scales with
+        # instances instead, measured 2.2-2.8x faster across the band
+        # (r5_occ_stack_* -- see _stack_occ_floor)
+        if force is None and not small and occ >= _stack_occ_floor():
+            from .ops.stack_synth import STACK_MIN_NARROW, build_stack_plan
+            splan = build_stack_plan(low)
+            if (splan is not None
+                    and splan.n_narrow >= STACK_MIN_NARROW
+                    and splan.advantage >= _stack_advantage()):
+                return 'stack', splan
         # force='sparse' must select the WORKLIST kernel (the engine
         # name promises one path -- it is the measurement lever for the
         # per-subtile kernel), so only force='panel' enters this branch

@@ -51,8 +51,55 @@ _C13 = _c(1 / 3.)
 _C120 = _c(1 / 120.)
 
 
+# XLA:CPU's LLVM backend (opt level >= 1) FMA-contracts a multiply that
+# feeds an add within one fusion: `s = p + e` with `p = a * b` recompiles
+# as fma(a, b, e), using the UNROUNDED product, while sibling fusions
+# re-materialize the rounded p -- which silently breaks the error-free
+# transforms (the r5 poly_gauss 5.2e-8 regression; the faithful HLO
+# replays at 8e-16, --xla_backend_optimization_level=0 fixes it, and
+# lax.optimization_barrier does NOT survive to fusion/codegen).  Mosaic
+# (the TPU path) does no such contraction -- hi-tier silicon rows
+# measure 1e-10.  The fix is scoped to where the hazard lives: under
+# ``exact_sum_guard`` (set by the interpret/XLA entry points at trace
+# time) the EFT primitives compute their exact results through single
+# f64 roundings -- bit-identical semantics, immune to contraction, and
+# native-speed on CPU.  Requires x64 (tests enable it); without x64 the
+# plain f32 EFTs remain, carrying the (pattern-dependent) XLA:CPU
+# contraction hazard.
+_SUM_GUARD = False
+
+
+class exact_sum_guard:
+    """Context manager: trace df EFTs through exact f64 single-roundings.
+
+    Use around XLA-compiled (interpret-mode) traces on CPU; the Mosaic
+    TPU trace must stay guard-free (no f64 datapath on the VPU).
+    """
+
+    def __init__(self, enable: bool = True):
+        self.enable = bool(enable) and bool(jax.config.jax_enable_x64)
+
+    def __enter__(self):
+        global _SUM_GUARD
+        self._prev = _SUM_GUARD
+        _SUM_GUARD = self.enable
+
+    def __exit__(self, *exc):
+        global _SUM_GUARD
+        _SUM_GUARD = self._prev
+
+
+def _exact_sum64(a, b):
+    s64 = a.astype(jnp.float64) + b.astype(jnp.float64)   # exact
+    s = s64.astype(jnp.float32)
+    e = (s64 - s.astype(jnp.float64)).astype(jnp.float32)  # representable
+    return s, e
+
+
 def two_sum(a, b):
     """Exact a + b = s + e (Knuth; no magnitude ordering required)."""
+    if _SUM_GUARD:
+        return _exact_sum64(a, b)
     s = a + b
     v = s - a
     e = (a - (s - v)) + (b - v)
@@ -61,6 +108,8 @@ def two_sum(a, b):
 
 def quick_two_sum(a, b):
     """Exact a + b = s + e, REQUIRES |a| >= |b| (3 flops)."""
+    if _SUM_GUARD:
+        return _exact_sum64(a, b)
     s = a + b
     return s, b - (s - a)
 
@@ -74,6 +123,11 @@ def split(a):
 
 def two_prod(a, b):
     """Exact a * b = p + e via splits (no fma dependency)."""
+    if _SUM_GUARD:
+        p64 = a.astype(jnp.float64) * b.astype(jnp.float64)   # exact
+        p = p64.astype(jnp.float32)
+        e = (p64 - p.astype(jnp.float64)).astype(jnp.float32)
+        return p, e
     p = a * b
     ah, al = split(a)
     bh, bl = split(b)
@@ -249,3 +303,91 @@ def sincos_rad(xh, xl, need_sin=True, need_cos=True):
     x = add(xh, xl, -ph, -pl)
     x = add(*x, -p_ll * k, np.float32(0.0))
     return _sincos_core(x, quad, need_sin, need_cos)
+
+
+# -- erf: three regimes, worst-case 1.8e-12 relative (host df simulation
+# over [-7, 7]; tests pin 1e-9 end-to-end vs the f64 oracle) -------------
+#
+# |x| <  1.25:  erf(x) = x * P(x^2), Taylor with 2/sqrt(pi) folded in --
+#               truncation after k=18 is 1.3e-14 relative at the cut;
+# |x| in [1.25, 5.9): erf(x) = 1 - exp(-x^2) * G(1/|x|), with G(s) =
+#               erfc(1/s) exp(1/s^2) a degree-18 Chebyshev fit on
+#               s in [1/5.9, 0.8] (fit residual 1.6e-13 relative,
+#               regenerable via scipy: see tests/test_hi_synth.py) --
+#               Clenshaw in df, exp via df.exp;
+# |x| >= 5.9:   erf(x) = sign(x) exactly (erfc(5.9) = 7.2e-17).
+#
+# All three branches evaluate on every lane (jnp.where select); the
+# Taylor Horner clamps its z = x^2 operand to the cut value so discarded
+# lanes stay finite.
+_ERF_CUT_LO = np.float32(1.25)
+_ERF_CUT_HI = np.float32(5.9)
+_ERF_TAY = tuple(_c(v) for v in (
+    1.1283791670955126, -0.37612638903183754, 0.11283791670955126,
+    -0.026866170645131252, 0.005223977625442188, -0.0008548327023450852,
+    0.00012055332981789664, -1.492565035840625e-05, 1.6462114365889246e-06,
+    -1.6365844691234924e-07, 1.4807192815879218e-08,
+    -1.2290555301717926e-09, 9.422759064650411e-11,
+    -6.7113668551641105e-12, 4.4632242632864775e-13,
+    -2.7835162072109212e-14, 1.6342614095367152e-15,
+    -9.063970842808673e-17, 4.763348040515068e-18))
+_ERF_CHEB = tuple(_c(v) for v in (
+    0.23985198519720788, 0.13671962529448656, -0.008887045488709378,
+    5.609593604678889e-05, 9.860290919264424e-05, -1.7923080011152937e-05,
+    1.543146692609241e-06, 7.994156554304595e-08, -5.8135775763389075e-08,
+    1.208865942070511e-08, -1.3816659143850888e-09,
+    -1.4134664325265994e-11, 5.099808912962864e-11,
+    -1.4401981394724294e-11, 2.4430013316507268e-12,
+    -1.9904674640126147e-13, -3.428873349278115e-14,
+    2.0029633594872294e-14, -5.591362546460717e-15))
+_ERF_MAP_M = _c(-0.9694915254237289)       # -(s_lo + s_hi)
+_ERF_MAP_R = _c(1.586021505376344)         # 1 / (s_hi - s_lo)
+
+
+def erf(xh, xl):
+    """df erf: rel error <= ~2e-12 over the line (see banner above)."""
+    sign = jnp.where(xh < 0, np.float32(-1.0), np.float32(1.0))
+    axh = sign * xh
+    axl = sign * xl
+    zh, zl = sqr(axh, axl)
+    # Taylor branch (z clamped so discarded big-|x| lanes stay finite)
+    big = zh > np.float32(1.5626)
+    zth = jnp.minimum(zh, np.float32(1.5626))
+    ztl = jnp.where(big, 0.0, zl)
+    ph, pl = _ERF_TAY[-1]
+    ph = jnp.full_like(xh, ph)
+    pl = jnp.full_like(xh, pl)
+    for ch_, cl_ in _ERF_TAY[-2::-1]:
+        ph, pl = mul(ph, pl, zth, ztl)
+        ph, pl = add_f(*add_f(ph, pl, ch_), cl_)
+    th, tl = mul(axh, axl, ph, pl)
+    # mid branch: 1 - exp(-z) * G(1/|x|) (|x| clamped >= 1 for dead lanes)
+    small = axh < np.float32(1.0)
+    dh = jnp.maximum(axh, np.float32(1.0))
+    dl = jnp.where(small, 0.0, axl)
+    sh_, sl_ = div(jnp.ones_like(xh), jnp.zeros_like(xh), dh, dl)
+    uh, ul = mul_f(sh_, sl_, np.float32(2.0))
+    uh, ul = add(uh, ul, *_ERF_MAP_M)
+    uh, ul = mul(uh, ul, *_ERF_MAP_R)
+    b1h = b1l = b2h = b2l = jnp.zeros_like(xh)
+    for ch_, cl_ in _ERF_CHEB[:0:-1]:
+        wh, wl = mul(uh, ul, b1h, b1l)
+        wh, wl = mul_f(wh, wl, np.float32(2.0))
+        wh, wl = add(wh, wl, -b2h, -b2l)
+        wh, wl = add_f(*add_f(wh, wl, ch_), cl_)
+        b2h, b2l = b1h, b1l
+        b1h, b1l = wh, wl
+    gh, gl = mul(uh, ul, b1h, b1l)
+    gh, gl = add(gh, gl, -b2h, -b2l)
+    gh, gl = add_f(*add_f(gh, gl, _ERF_CHEB[0][0]), _ERF_CHEB[0][1])
+    # exp(-z): z <= CUT_HI^2 = 34.81, inside df.exp's |x| <= 80 range
+    zch = jnp.minimum(zh, np.float32(40.0))
+    zcl = jnp.where(zh > np.float32(40.0), 0.0, zl)
+    eh, el = exp(-zch, -zcl)
+    qh, ql = mul(eh, el, gh, gl)
+    mh, ml = add_f(*neg(qh, ql), np.float32(1.0))
+    use_t = axh < _ERF_CUT_LO
+    sat = axh >= _ERF_CUT_HI
+    rh = jnp.where(use_t, th, jnp.where(sat, np.float32(1.0), mh))
+    rl = jnp.where(use_t, tl, jnp.where(sat, np.float32(0.0), ml))
+    return sign * rh, sign * rl

@@ -12,14 +12,16 @@ GS/s on v5e.
 Inputs come from ``lower_schedule(..., keep_f64=True)``, which packs
 ``args_lo``/``amp_lo`` residual planes (args ~ args + args_lo to f64).
 
-Supported opcodes: LINEAR, GAUSSIAN, COS, EXP, SINC, DRAG -- the factor
-set of production carrier/envelope schedules.  Schedules using other
-bases raise :class:`UnsupportedFactor`; route those to ``engine='xla'``
-under x64 (the measured 4.4e-10 path).  Precision caveats, by design:
+Supported opcodes: LINEAR, GAUSSIAN, COS, EXP, SINC, DRAG, ERF, and
+LINEARCHIRP (which also carries the exotic chirps after lowering's
+quadratic-window expansion) -- the factor set of production
+carrier/envelope/flux schedules.  Schedules using other bases raise
+:class:`UnsupportedFactor`; route those to ``engine='xla'`` under x64
+(the measured 4.4e-10 path).  Precision caveats, by design:
 
 * clip rails apply at f32 precision (the rail value itself rounds);
-* erf stays excluded -- its Abramowitz-Stegun form is only 1.5e-7
-  accurate, so a hi-tier erf would be a lie;
+* erf runs the df32 three-regime form (:func:`.df32.erf`, ~2e-12 rel),
+  replacing the f32 kernel's 1.5e-7 Abramowitz-Stegun approximation;
 * per-sample values below ~1e-34 of the output scale lose their lo plane
   to f32 underflow (irrelevant at any physical DAC scale).
 
@@ -39,15 +41,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import df32 as df
-from .lowering import (OP_COS, OP_DRAG, OP_EXP, OP_GAUSSIAN, OP_LINEAR,
-                       OP_LINEARCHIRP, OP_SINC, W_ARGS, LoweredSchedule,
-                       UnsupportedFactor)
+from .lowering import (OP_COS, OP_COSH, OP_DRAG, OP_ERF, OP_EXP,
+                       OP_GAUSSIAN, OP_LINEAR, OP_LINEARCHIRP,
+                       OP_MOLLIFIER, OP_POLY_GAUSS, OP_SINC, OP_SINH,
+                       W_ARGS, LoweredSchedule, UnsupportedFactor)
 
 __all__ = ['synthesize_hi', 'synthesize_hi_panels', 'synthesize_hi_routed',
            'HiSchedule', 'HI_OPS']
 
 HI_OPS = frozenset({OP_LINEAR, OP_GAUSSIAN, OP_COS, OP_EXP, OP_SINC,
-                    OP_DRAG, OP_LINEARCHIRP})
+                    OP_DRAG, OP_LINEARCHIRP, OP_ERF, OP_COSH, OP_SINH,
+                    OP_POLY_GAUSS, OP_MOLLIFIER})
 from .pallas_synth import _EXP_CLAMP    # one clamp across f32/hi tiers
 _PI_H, _PI_L = df._c(np.pi)
 
@@ -97,6 +101,77 @@ def op_builders_hi(di, arg, arglo, q32):
         xh = jnp.clip(xh, -_EXP_CLAMP, _EXP_CLAMP)
         xl = jnp.where(clip, 0.0, xl)
         return df.exp(xh, xl)
+
+    def op_erf():
+        # df erf (Taylor / Chebyshev-erfc / saturation, ~2e-12 rel --
+        # df32.erf banner) replaces the f32 kernel's 1.5e-7
+        # Abramowitz-Stegun form; the step(type='erf')-edged flux
+        # schedules of /root/reference/waveforms/waveform.py:1082-1107
+        # keep the hi tier's 1e-9 contract
+        return df.erf(*x_df())
+
+    def _exp_clamped(xh, xl):
+        clip = jnp.abs(xh) > _EXP_CLAMP
+        xh = jnp.clip(xh, -_EXP_CLAMP, _EXP_CLAMP)
+        xl = jnp.where(clip, 0.0, xl)
+        return df.exp(xh, xl)
+
+    def op_cosh():
+        # exp form like the f32 kernel; 1/e^x via df division keeps the
+        # subtraction/addition of the two branches at df accuracy
+        e = _exp_clamped(*x_df())
+        inv = df.div(jnp.ones_like(e[0]), jnp.zeros_like(e[0]), *e)
+        return df.mul_f(*df.add(*e, *inv), np.float32(0.5))
+
+    def op_sinh():
+        # NB: near x = 0 the e^x - e^-x cancellation is benign in df --
+        # both operands carry ~49 significand bits, so the difference
+        # keeps ~(49 - 1) bits of sinh(x) ~ x
+        e = _exp_clamped(*x_df())
+        inv = df.div(jnp.ones_like(e[0]), jnp.zeros_like(e[0]), *e)
+        return df.mul_f(*df.add(*e, *df.neg(*inv)), np.float32(0.5))
+
+    def _polyval_asc_df(x, first, count):
+        # descending Horner over df coefficients stored ascending at
+        # args[first:first+count] (zero-padded; matches the f32 kernel)
+        acc_h = jnp.full_like(x[0], arg(first + count - 1))
+        acc_l = jnp.full_like(x[0], arglo(first + count - 1))
+        for k in range(count - 2, -1, -1):
+            acc_h, acc_l = df.mul(acc_h, acc_l, *x)
+            acc_h, acc_l = df.add(acc_h, acc_l, arg(first + k),
+                                  arglo(first + k))
+        return acc_h, acc_l
+
+    def op_poly_gauss():
+        # P(x) * exp(-x^2) with df coefficients: the d_gaussian
+        # derivative family (reference waveform.py D_GAUSSIAN) keeps
+        # 1e-9 where the f32 tier's coefficient rounding cost ~1e-6
+        x = x_df()
+        nh, nl = df.neg(*df.sqr(*x))
+        clip = nh < -_EXP_CLAMP
+        nh = jnp.maximum(nh, -_EXP_CLAMP)
+        nl = jnp.where(clip, 0.0, nl)
+        out = df.mul(*_polyval_asc_df(x, 3, 9), *df.exp(nh, nl))
+        return df.mul(*a_df(2), *out)
+
+    def op_mollifier():
+        # d = 0 bump only (exp(1/(x^2-1) + 1) inside |x| < 1); HiSchedule
+        # rejects d > 0 slots -- their (-1)^k k!-scaled coefficients
+        # cancel near the edge beyond what df recovers (PRECISION.md)
+        x = x_df()
+        vh, vl = df.add(*df.sqr(*x), np.float32(-1.0), np.float32(0.0))
+        inside = vh < 0
+        sh_ = jnp.where(inside, vh, np.float32(-1.0))
+        sl_ = jnp.where(inside, vl, np.float32(0.0))
+        qh, ql = df.div(jnp.ones_like(sh_), jnp.zeros_like(sh_), sh_, sl_)
+        qh, ql = df.add(qh, ql, np.float32(1.0), np.float32(0.0))
+        # exp argument runs to -inf at the edge: clamp into df.exp's
+        # range (exp(-80) already underflows the f32 hi plane to 0)
+        clip = qh < -_EXP_CLAMP
+        qh = jnp.maximum(qh, -_EXP_CLAMP)
+        ql = jnp.where(clip, 0.0, ql)
+        bh, bl = df.exp(qh, ql)
+        return jnp.where(inside, bh, 0.0), jnp.where(inside, bl, 0.0)
 
     def _carrier(eps_slot, ceps_slot, need_sin, need_cos):
         # slot layout follows the f32 op_builders: OP_COS keeps (eps,
@@ -178,6 +253,11 @@ def op_builders_hi(di, arg, arglo, q32):
         OP_SINC: op_sinc,
         OP_DRAG: op_drag,
         OP_LINEARCHIRP: op_linearchirp,
+        OP_ERF: op_erf,
+        OP_COSH: op_cosh,
+        OP_SINH: op_sinh,
+        OP_POLY_GAUSS: op_poly_gauss,
+        OP_MOLLIFIER: op_mollifier,
     }
 
 
@@ -329,27 +409,30 @@ def _run_kernel_hi(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp,
     out_spec = pl.BlockSpec((1, R, 128), lambda c, j: (c, j, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((C, n_rows, 128), jnp.float32)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            smem(1, bcast=True),                         # row0
-            smem(S), smem(S),                            # seg_lo, seg_hi
-            smem(G), smem(G),                            # per-tile s0, s1
-            smem(S),                                     # nterm
-            smem(S * T), smem(S * T), smem(S * T),       # nfac, amp, amp_lo
-            smem(S * T * F), smem(S * T * F),            # op, power
-            smem(S * T * F), smem(S * T * F * 4),        # shift_hi, q32
-            smem(S * T * F * W_ARGS),                    # args
-            smem(S * T * F * W_ARGS),                    # args_lo
-            pl.BlockSpec((1, 1, 1, 2), lambda c, j: (c, 0, 0, 0),
-                         memory_space=pltpu.SMEM),       # clip
-        ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(out_shape, out_shape),
-        interpret=interpret,
-    )(row0, seg_lo, seg_hi, s0t, s1t, nterm, nfac, amp, amp_lo, op, pw,
-      sh, q32, args, args_lo, clip)
+    # interpret (XLA:CPU) traces carry the anti-fma-contraction barriers;
+    # the Mosaic trace stays barrier-free (df32.exact_sum_guard banner)
+    with df.exact_sum_guard(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                smem(1, bcast=True),                      # row0
+                smem(S), smem(S),                         # seg_lo, seg_hi
+                smem(G), smem(G),                         # per-tile s0, s1
+                smem(S),                                  # nterm
+                smem(S * T), smem(S * T), smem(S * T),    # nfac, amp, amp_lo
+                smem(S * T * F), smem(S * T * F),         # op, power
+                smem(S * T * F), smem(S * T * F * 4),     # shift_hi, q32
+                smem(S * T * F * W_ARGS),                 # args
+                smem(S * T * F * W_ARGS),                 # args_lo
+                pl.BlockSpec((1, 1, 1, 2), lambda c, j: (c, 0, 0, 0),
+                             memory_space=pltpu.SMEM),    # clip
+            ],
+            out_specs=(out_spec, out_spec),
+            out_shape=(out_shape, out_shape),
+            interpret=interpret,
+        )(row0, seg_lo, seg_hi, s0t, s1t, nterm, nfac, amp, amp_lo, op,
+          pw, sh, q32, args, args_lo, clip)
 
 
 def _hi_panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
@@ -425,13 +508,15 @@ def _run_panels_hi(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac,
     kernel = functools.partial(_hi_panel_kernel, S=S, T=T, F=F, Rs=Rs,
                                P=P, NP=NP, ops_present=ops_present)
     out_shape = jax.ShapeDtypeStruct((C, NP * P, 128), jnp.float32)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(out_shape, out_shape),
-        interpret=interpret,
-    )(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp, amp_lo,
-      op, pw, sh, q32, args, args_lo, clip)
+    # see _run_kernel_hi: barriers on the interpret (XLA:CPU) trace only
+    with df.exact_sum_guard(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(out_shape, out_shape),
+            interpret=interpret,
+        )(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
+          amp_lo, op, pw, sh, q32, args, args_lo, clip)
 
 
 def synthesize_hi_panels(dev, low=None, plan=None, Rs=32,
@@ -540,6 +625,13 @@ class HiSchedule:
             raise UnsupportedFactor(
                 f"opcodes {sorted(bad)} have no double-f32 lowering; "
                 "use engine='xla' under x64 (4.4e-10 measured)")
+        if OP_MOLLIFIER in used:
+            m = live & (low.op == OP_MOLLIFIER)
+            if np.any(low.args[..., 2][m] > 0):
+                raise UnsupportedFactor(
+                    "mollifier derivatives (d >= 1) exceed the hi tier's "
+                    "contract (coefficient cancellation at the bump edge, "
+                    "PRECISION.md); use engine='xla' under x64")
         if not low.pallas_ok:
             raise UnsupportedFactor("schedule exceeds the kernel's "
                                     "descriptor budget")

@@ -826,6 +826,12 @@ def _expand_interp(bounds, seq):
 # residual error is the fit tolerance below plus the usual f32 eps slots.
 
 _CHIRP_TOL = 3e-8           # rad; max |quadratic fit - true phase| / window
+# hi-tier (keep_f64) fit tolerance: the 1e-9 output contract needs the
+# phase fit under ~1e-9 rad.  err ~ h^3, so 60x tighter costs ~60^(1/3) =
+# 3.9x the windows.  f64 evaluation of the phase itself floors the
+# achievable fit near eps * |phi| -- schedules accumulating >~1e6 rad of
+# absolute phase saturate at that floor (documented in docs/PRECISION.md).
+_CHIRP_TOL_HI = 5e-10
 _CHIRP_MAX_WINDOWS = 4096   # per factor per segment (adaptive-split cap)
 
 
@@ -860,21 +866,28 @@ def _quad_fit_vec(phi, was, wbs):
     return A, B, C, err
 
 
-def _chirp_windows(phi, a, b, dt):
+def _chirp_windows(phi, a, b, dt, tol=_CHIRP_TOL):
     """Adaptive window boundaries on [a, b): bisect until the quadratic
-    fit meets _CHIRP_TOL (or the window is <= 2 samples / the cap hits)."""
+    fit meets ``tol`` (or the window is <= 2 samples / the cap hits).
+
+    The window cap scales with the tolerance (err ~ h^3, so a k-times
+    tighter fit needs ~k^(1/3) more windows): the hi tier's 5e-10 rad
+    fit gets the same effective coverage the default cap gives 3e-8."""
+    cap = _CHIRP_MAX_WINDOWS
+    if tol < _CHIRP_TOL:
+        cap = int(np.ceil(cap * (_CHIRP_TOL / tol) ** (1 / 3)))
     out = []
     stack = [(a, b)]
     capped = False
     while stack:
         wa, wb = stack.pop()
         _, _, _, err = _quad_fit_vec(phi, [wa], [wb])
-        if (err[0] <= _CHIRP_TOL or not np.isfinite(err[0])
+        if (err[0] <= tol or not np.isfinite(err[0])
                 or wb - wa <= 2 * dt
-                or len(out) + len(stack) >= _CHIRP_MAX_WINDOWS):
-            capped = capped or (err[0] > _CHIRP_TOL and np.isfinite(err[0])
+                or len(out) + len(stack) >= cap):
+            capped = capped or (err[0] > tol and np.isfinite(err[0])
                                 and len(out) + len(stack)
-                                >= _CHIRP_MAX_WINDOWS)
+                                >= cap)
             out.append(wa)
         else:
             mid = 0.5 * (wa + wb)
@@ -883,13 +896,13 @@ def _chirp_windows(phi, a, b, dt):
     if capped:
         import warnings
         warnings.warn(
-            f"exotic-chirp windowing hit the {_CHIRP_MAX_WINDOWS}-window "
+            f"exotic-chirp windowing hit the {cap}-window "
             "cap; residual phase error exceeds the fit tolerance on some "
             "windows (use the xla engine for exact synthesis)")
     return out  # ascending window starts; windows end at the next start / b
 
 
-def _expand_exotic_chirps(bounds, seq, t_lo, t_hi, dt):
+def _expand_exotic_chirps(bounds, seq, t_lo, t_hi, dt, tol=_CHIRP_TOL):
     """Rewrite exp/hyperbolic chirp factors into quadratic-phase windows.
 
     Each factor instance splits the portion of its segment inside the
@@ -930,7 +943,7 @@ def _expand_exotic_chirps(bounds, seq, t_lo, t_hi, dt):
         fits: dict = {}
         for f in set(facs):
             phi = _chirp_phase_fn(f)
-            starts = _chirp_windows(phi, wa0, wb0, dt)
+            starts = _chirp_windows(phi, wa0, wb0, dt, tol)
             fits[f] = phi
             cuts.update(starts[1:])
         if wa0 > lo:
@@ -983,7 +996,9 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
                   part: str = 'real',
                   ext: list | None = None,
                   cache: dict | None = None,
-                  pieces=None) -> tuple[list[SegmentDesc], float, float]:
+                  pieces=None,
+                  chirp_tol: float = _CHIRP_TOL,
+                  ) -> tuple[list[SegmentDesc], float, float]:
     """Lower one channel; returns its segment descriptors and clip limits.
 
     ``part`` selects the real or imaginary component of complex amplitudes
@@ -1006,7 +1021,8 @@ def lower_channel(wav, grid: np.ndarray, start: float, dt: float,
             bounds, seq = _expand_interp(bounds, seq)
             if len(grid):
                 bounds, seq = _expand_exotic_chirps(bounds, seq, grid[0],
-                                                    grid[-1] + dt, dt)
+                                                    grid[-1] + dt, dt,
+                                                    chirp_tol)
             yield bounds, seq, bmin, bmax
 
     for bounds, seq, bmin, bmax in expanded():
@@ -1090,7 +1106,11 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
                                    sample_rate, pad_to,
                                    np.asarray(ext, dtype=np.float64))
 
-    lowered = [lower_channel(ch, grid, start, dt, part, ext, cache)
+    # keep_f64 (hi tier) tightens the exotic-chirp fit so the expanded
+    # quadratic windows stay within the 1e-9 output contract
+    lowered = [lower_channel(ch, grid, start, dt, part, ext, cache,
+                             chirp_tol=(_CHIRP_TOL_HI if keep_f64
+                                        else _CHIRP_TOL))
                for ch in channels]
     C = len(lowered)
     bucket_samples, NB = resolve_bucket(

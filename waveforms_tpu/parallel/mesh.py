@@ -230,8 +230,10 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
     dense grid.
     """
     low = lower_schedule(channels, start, stop, sample_rate, part=part)
+    prefer_stack = False
     if low.pallas_ok and rows_per_tile is None:
-        from ..engine import _panel_threshold, _sparse_threshold
+        from ..engine import (_panel_threshold, _sparse_threshold,
+                              _stack_advantage, _stack_occ_floor)
         from ..ops.lowering import UnsupportedFactor
         from ..ops.sparse_synth import (build_sparse_plan,
                                         synthesize_panels_sharded,
@@ -239,7 +241,17 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
         try:
             plan = build_sparse_plan(low)
             occ = plan.occupied_fraction
-            if occ < _panel_threshold():
+            # mid-band many-overlap schedules (occ >= the stack floor)
+            # skip the segment-walk kernels entirely -- single-chip
+            # router parity (engine.classify_pallas_route, r5_occ_stack_*)
+            if part == 'real' and occ >= _stack_occ_floor():
+                from ..ops.stack_synth import (STACK_MIN_NARROW,
+                                               build_stack_plan)
+                sp0 = build_stack_plan(low)
+                prefer_stack = (sp0 is not None and sp0.wide is None
+                                and sp0.n_narrow >= STACK_MIN_NARROW
+                                and sp0.advantage >= _stack_advantage())
+            if not prefer_stack and occ < _panel_threshold():
                 try:
                     return synthesize_panels_sharded(low, mesh, plan=plan,
                                                      interpret=interpret,
@@ -247,7 +259,8 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
                                                      dac_scale=dac_scale)
                 except UnsupportedFactor:
                     pass               # outside panel budgets: worklist
-            if occ < _sparse_threshold() or occ < _panel_threshold():
+            if not prefer_stack and (occ < _sparse_threshold()
+                                     or occ < _panel_threshold()):
                 return synthesize_sparse_sharded(low, mesh, plan=plan,
                                                  interpret=interpret,
                                                  out_dtype=out_dtype,
