@@ -255,12 +255,15 @@ def main():
     except Exception as e:                 # dense-only headline
         degraded['sparse'] = _exc_str(e)
 
+    class _PanelIneligible(RuntimeError):
+        """Static plan rejection: retrying cannot change the outcome."""
+
     def _panel_windows(out16):
         """One full panel pass (both windows); returns summed s + raws."""
         from waveforms_tpu.ops.sparse_synth import build_panel_plan, \
             panels_eligible, synthesize_panels
         acc, raw = 0.0, []
-        dt = jnp.int16 if out16 else None
+        dt = jnp.int16 if out16 else jnp.float32
         for w_lo, w_hi in ((0, half_t), (half_t, n_tiles)):
             pplan = build_panel_plan(low, Rs=Rs, tile_window=(w_lo, w_hi))
             # NOTE round-4 post-mortem: this call once passed a third
@@ -268,11 +271,10 @@ def main():
             # was silently swallowed and the official BENCH_r04 lost the
             # whole panel headline (VERDICT r4 weak #1)
             if not panels_eligible(pplan, np.int16 if out16 else np.float32):
-                raise RuntimeError('panel plan outside budgets')
+                raise _PanelIneligible('panel plan outside budgets')
 
             def prun():
-                return synthesize_panels(dev, plan=pplan, out_dtype=dt) \
-                    if dt is not None else synthesize_panels(dev, plan=pplan)
+                return synthesize_panels(dev, plan=pplan, out_dtype=dt)
 
             prun().block_until_ready()
             meds = [measure_device(prun, 'jit__run_panels', reps=5)
@@ -281,35 +283,31 @@ def main():
             acc += min(meds)
         return acc, raw
 
-    panel_s = panel16_s = None
-    panel_raw = []
-    panel16_raw = []
-    # one retry after a cache clear: a transient tunnel abort or a stale
-    # compile-cache entry must not erase the round's headline path
-    for attempt in range(2):
-        try:
-            panel_s, panel_raw = _panel_windows(False)
-            degraded.pop('panel', None)
-            break
-        except Exception as e:
-            degraded['panel'] = _exc_str(e)
-            if attempt == 0:
-                jax.clear_caches()
-                time.sleep(5)
+    def _panel_with_retry(out16, key):
+        """One retry after a cache clear: a transient tunnel abort or a
+        stale compile-cache entry must not erase the round's headline
+        path.  Static ineligibility is recorded without the (pointless,
+        cache-evicting) retry."""
+        for attempt in range(2):
+            try:
+                res = _panel_windows(out16)
+                degraded.pop(key, None)
+                return res
+            except Exception as e:
+                degraded[key] = _exc_str(e)
+                if attempt == 0 and not isinstance(e, _PanelIneligible):
+                    jax.clear_caches()
+                    time.sleep(5)
+                else:
+                    break
+        return None, []
+
+    panel_s, panel_raw = _panel_with_retry(False, 'panel')
     # int16 DAC codes: the AWG deployment format (exact round(f32 * scale)
     # codes, code-parity-pinned on chip -- tpu_state.json
     # r4_panel_flagship_int16); halved store bytes lift the store-bound
     # flagship 162 -> 281 GS/s
-    for attempt in range(2):
-        try:
-            panel16_s, panel16_raw = _panel_windows(True)
-            degraded.pop('panel_int16', None)
-            break
-        except Exception as e:
-            degraded['panel_int16'] = _exc_str(e)
-            if attempt == 0:
-                jax.clear_caches()
-                time.sleep(5)
+    panel16_s, panel16_raw = _panel_with_retry(True, 'panel_int16')
 
     headline_s = min(s for s in (dense_s, sparse_s, panel_s) if s)
     flagship_gsps = 128 * TOTAL_SAMPLES / headline_s / 1e9
@@ -417,10 +415,17 @@ def main():
             round(128 * TOTAL_SAMPLES / sparse_s / 1e9, 2)}
            if sparse_s else {}),
         **({"panel_kernel_gsps":
-            round(128 * TOTAL_SAMPLES / panel_s / 1e9, 2)}
+            round(128 * TOTAL_SAMPLES / panel_s / 1e9, 2),
+            # best single 512 us window (the r4_panel_flagship-class
+            # number; the full-1 ms figure above includes both windows'
+            # chip-state variation)
+            "panel_window_peak_gsps":
+            round(128 * WINDOW_SAMPLES / min(panel_raw) / 1e9, 2)}
            if panel_s else {}),
         **({"flagship_int16_gsps":
-            round(128 * TOTAL_SAMPLES / panel16_s / 1e9, 2)}
+            round(128 * TOTAL_SAMPLES / panel16_s / 1e9, 2),
+            "int16_window_peak_gsps":
+            round(128 * WINDOW_SAMPLES / min(panel16_raw) / 1e9, 2)}
            if panel16_s else {}),
         "window_raw_s": {"grid": [round(s, 6) for s in dense_raw],
                          "sparse": [round(s, 6) for s in sparse_raw],

@@ -4,7 +4,9 @@ Three device tiers over the same schedule (plus the numpy oracle):
 
   f32 kernels      ~7.7e-7 relative, 130+ GS/s   -- DAC output, shaping
   double-f32 tier  <=1e-9 relative, kernel speed -- simulation cross-checks
-  XLA x64          ~4e-10 relative, ~1.7 GS/s    -- exotic bases, audits
+                   (full production opcode set incl. erf edges, gaussian
+                   derivatives, cosh, mollifier bumps, all chirps)
+  XLA x64          ~4e-10 relative, ~1.7 GS/s    -- complex amps, audits
 
 Run: python examples/precision_tiers.py
 """

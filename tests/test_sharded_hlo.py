@@ -27,9 +27,14 @@ FS = 2e9
 
 
 def _collective_counts(txt):
+    # match async pairs too: post-optimization HLO on TPU (and CPU with
+    # async collectives) spells these 'all-gather-start(' /
+    # 'all-gather-done(' -- counting only sync spellings would let an
+    # async all-gather slip past the == 0 guard.  -done is folded into
+    # the -start count (one logical collective).
     return Counter(re.findall(
-        r'(all-gather|all-reduce|collective-permute|reduce-scatter|'
-        r'all-to-all)\(', txt))
+        r'\b(all-gather|all-reduce|collective-permute|reduce-scatter|'
+        r'all-to-all)(?:-start)?\(', txt))
 
 
 @pytest.fixture(scope='module')

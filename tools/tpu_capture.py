@@ -1762,6 +1762,48 @@ def task_hi_ops_r5():
             "erf_flux_gsps": round(n / med / 1e9, 2)}
 
 
+def task_hi_routed_flux_r5():
+    """The PRODUCTION hi entry on the erf-flux schedule: r5_hi_ops
+    measured the dense hi kernel at 1.99 GS/s, but the router sends this
+    ~3%-occupancy schedule through the hi PANEL kernel -- this row
+    records what `precision='double'` actually delivers."""
+    import jax
+
+    from waveforms_tpu.models import shapes as sh
+    from waveforms_tpu.ops.hi_synth import (HiSchedule,
+                                            synthesize_hi_panels)
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops.sparse_synth import build_panel_plan
+    from waveforms_tpu.utils.profiling import measure_device
+
+    dur = 524.288e-6
+    rng = np.random.default_rng(5)
+    chans = [sum((0.3 * (sh.square(2e-6, edge=2e-8, type='erf')
+                         >> float(o)))
+                 for o in rng.uniform(2e-6, dur - 3e-6, 8))
+             for _ in range(128)]
+    low = lower_schedule(chans, 0.0, dur, FS, keep_f64=True)
+    dev = HiSchedule(low)
+    plan = build_panel_plan(low)
+
+    def run():
+        return synthesize_hi_panels(dev, low, plan=plan, combine=False)
+
+    jax.block_until_ready(run())
+    med = measure_device(run, 'jit__run_panels_hi')
+    n = len(chans) * low.n_samples
+    # parity spot-check on one channel (small readback)
+    hi, lo = run()
+    got = (np.asarray(hi[0], np.float64) + np.asarray(lo[0], np.float64))
+    t = np.arange(0.0, dur, 1 / FS)
+    want = np.asarray(chans[0](t), float)
+    scale = max(np.abs(want).max(), 1e-30)
+    err = float(np.abs(got[:len(t)] - want).max() / scale)
+    return {"device_ms": round(med * 1e3, 3),
+            "gsps": round(n / med / 1e9, 2),
+            "max_rel_err": err, "parity_ok": bool(err < 1e-9)}
+
+
 def task_panels_int16(which):
     """Panel kernel with int16 DAC-code stores: halves output bytes, the
     only lever left once the f32 panel run hits the store roofline.
@@ -2446,6 +2488,7 @@ def pending_tasks(state):
     # round-5 hi-tier opcode closures (erf/cosh/poly_gauss/mollifier/
     # exotic chirp) pinned on the guard-free Mosaic trace
     tasks.append(("r5_hi_ops", task_hi_ops_r5))
+    tasks.append(("r5_hi_routed_flux", task_hi_routed_flux_r5))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

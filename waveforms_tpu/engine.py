@@ -183,6 +183,7 @@ def classify_pallas_route(low, force=None, out_dtype=None):
                                    panels_eligible)
 
     sparse_plan = None
+    stack_plan_cache = []          # memo: build_stack_plan is O(instances)
     if not low.pallas_ok and force in ('sparse', 'panel'):
         raise UnsupportedFactor(
             "schedule is outside the fused kernels' descriptor budget or "
@@ -221,6 +222,7 @@ def classify_pallas_route(low, force=None, out_dtype=None):
         if force is None and not small and occ >= _stack_occ_floor():
             from .ops.stack_synth import STACK_MIN_NARROW, build_stack_plan
             splan = build_stack_plan(low)
+            stack_plan_cache.append(splan)
             if (splan is not None
                     and splan.n_narrow >= STACK_MIN_NARROW
                     and splan.advantage >= _stack_advantage()):
@@ -248,7 +250,8 @@ def classify_pallas_route(low, force=None, out_dtype=None):
 
     if force in (None, 'stack'):
         from .ops.stack_synth import STACK_MIN_NARROW, build_stack_plan
-        plan = build_stack_plan(low)
+        plan = (stack_plan_cache[0] if stack_plan_cache
+                else build_stack_plan(low))
         if plan is not None and (
                 force == 'stack'
                 or (plan.n_narrow >= STACK_MIN_NARROW
@@ -302,9 +305,12 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     ``precision='double'`` selects the <=1e-9 contract: the Pallas
     engines run the double-f32 kernel tier (ops/hi_synth.py, f64 ndarray
     result); native/numpy already compute in f64 and pass through.  The
-    hi kernel covers the carrier/envelope opcode set (HI_OPS); schedules
-    outside it raise UnsupportedFactor under engine='pallas' and degrade
-    to the host f64 engines under 'auto'.
+    hi kernel covers the full production opcode set (HI_OPS: linear,
+    gaussian + derivatives, cos, exp, sinc, drag, erf, cosh, sinh,
+    mollifier bumps, and all chirps via lowering's quadratic windows);
+    the remaining exclusions (multi-tone drag_sin/x ext tables,
+    mollifier d>=1) raise UnsupportedFactor under engine='pallas' and
+    degrade to the host f64 engines under 'auto'.
 
     ``out_dtype=jnp.int16`` emits exact DAC codes scaled by ``dac_scale``
     (scalar or per-channel) on EVERY engine: the pallas routes quantize

@@ -66,7 +66,14 @@ _C120 = _c(1 / 120.)
 # native-speed on CPU.  Requires x64 (tests enable it); without x64 the
 # plain f32 EFTs remain, carrying the (pattern-dependent) XLA:CPU
 # contraction hazard.
-_SUM_GUARD = False
+# ContextVar, not a module global: traces may run concurrently (the
+# freethreaded CI lane soaks exactly this); a thread-local guard cannot
+# leak f64 ops into another thread's Mosaic trace or strip the guard
+# from another thread's interpret trace.
+import contextvars as _contextvars
+
+_SUM_GUARD_VAR = _contextvars.ContextVar('wftpu_df32_sum_guard',
+                                         default=False)
 
 
 class exact_sum_guard:
@@ -74,19 +81,25 @@ class exact_sum_guard:
 
     Use around XLA-compiled (interpret-mode) traces on CPU; the Mosaic
     TPU trace must stay guard-free (no f64 datapath on the VPU).
+    Requires x64; when requested without it, the plain f32 EFTs trace
+    with a warning (the XLA:CPU contraction hazard applies -- banner).
     """
 
     def __init__(self, enable: bool = True):
         self.enable = bool(enable) and bool(jax.config.jax_enable_x64)
+        if enable and not self.enable:
+            import warnings
+            warnings.warn(
+                "df32.exact_sum_guard needs jax_enable_x64: the "
+                "interpret-path EFTs trace unguarded and XLA:CPU's fma "
+                "contraction may cost ~1e-7 of the 1e-9 contract "
+                "(df32.py banner); enable x64 for CPU hi-tier parity")
 
     def __enter__(self):
-        global _SUM_GUARD
-        self._prev = _SUM_GUARD
-        _SUM_GUARD = self.enable
+        self._tok = _SUM_GUARD_VAR.set(self.enable)
 
     def __exit__(self, *exc):
-        global _SUM_GUARD
-        _SUM_GUARD = self._prev
+        _SUM_GUARD_VAR.reset(self._tok)
 
 
 def _exact_sum64(a, b):
@@ -98,7 +111,7 @@ def _exact_sum64(a, b):
 
 def two_sum(a, b):
     """Exact a + b = s + e (Knuth; no magnitude ordering required)."""
-    if _SUM_GUARD:
+    if _SUM_GUARD_VAR.get():
         return _exact_sum64(a, b)
     s = a + b
     v = s - a
@@ -108,7 +121,7 @@ def two_sum(a, b):
 
 def quick_two_sum(a, b):
     """Exact a + b = s + e, REQUIRES |a| >= |b| (3 flops)."""
-    if _SUM_GUARD:
+    if _SUM_GUARD_VAR.get():
         return _exact_sum64(a, b)
     s = a + b
     return s, b - (s - a)
@@ -123,7 +136,7 @@ def split(a):
 
 def two_prod(a, b):
     """Exact a * b = p + e via splits (no fma dependency)."""
-    if _SUM_GUARD:
+    if _SUM_GUARD_VAR.get():
         p64 = a.astype(jnp.float64) * b.astype(jnp.float64)   # exact
         p = p64.astype(jnp.float32)
         e = (p64 - p.astype(jnp.float64)).astype(jnp.float32)

@@ -86,32 +86,57 @@ def fine_would_engage(dev, R, n_rows, tiles_per_bucket=None, row0=0):
     """
     if not (R > FINE_ROWS and R % FINE_ROWS == 0):
         return False
+    # the decision is pure in (descriptors, R, n_rows, G, row0); memoize
+    # on the schedule so repeated-shot callers replay the bisect once
+    key = (R, int(n_rows), tiles_per_bucket, int(row0))
+    cache = getattr(dev, '_fine_gate_cache', None)
+    if cache is None:
+        cache = dev._fine_gate_cache = {}
+    if key in cache:
+        return cache[key]
     C, NB, S, T, F = dev.shape
     G = tiles_per_bucket
     if G is None:
         G = max(dev.bucket_samples // (R * 128), 1)
     if NB == 1:
-        G = max(n_rows // R, 1)
+        G = max(n_rows // R, 1)   # the kernel's own G for single-bucket
     NF = R // FINE_ROWS
-    if 8 * G * NF > 128 * 1024:
+    if 8 * G * NF > 128 * 1024:   # the compiled range operand's size
+        cache[key] = False
         return False
+    # replay only the tiles this launch actually runs (the grid is
+    # n_rows // R tiles starting at row0): a window of a larger schedule
+    # must not dilute per-tile savings with never-launched tiles
+    n_launch = max(n_rows // R, 1)
     fine_sz = R * 128 // NF
-    bases = (int(row0) + np.arange(NB * G * NF, dtype=np.int64)
-             * fine_sz).reshape(NB, G * NF)
+    bases = (int(row0) + np.arange(n_launch * NF, dtype=np.int64)
+             * fine_sz).reshape(n_launch, NF)
+    # kernel bucket mapping: tile j reads bucket j // G (row0 != 0 with
+    # NB > 1 would misalign buckets in the kernel too -- windows are a
+    # single-bucket feature; the clamp mirrors the index map's behavior)
+    tile_bucket = (np.minimum(np.arange(n_launch) // G, NB - 1)
+                   if NB > 1 else np.zeros(n_launch, np.intp))
     lo = dev.host_seg_lo.reshape(C, NB, S)
     hm = dev.host_seg_hmax.reshape(C, NB, S)
     saved = 0
     for c in range(C):
         for b in range(NB):
-            s0 = np.searchsorted(hm[c, b], bases[b], side='right')
-            s1 = np.searchsorted(lo[c, b], bases[b] + fine_sz, side='left')
-            s0t = s0.reshape(G, NF)[:, 0]
-            s1t = s1.reshape(G, NF)[:, -1]
-            wf = np.maximum(s1 - s0, 0).reshape(G, NF).sum(-1)
+            sel = tile_bucket == b
+            Gb = int(sel.sum())
+            if Gb == 0:
+                continue
+            bb = bases[sel].reshape(-1)
+            s0 = np.searchsorted(hm[c, b], bb, side='right')
+            s1 = np.searchsorted(lo[c, b], bb + fine_sz, side='left')
+            s0t = s0.reshape(Gb, NF)[:, 0]
+            s1t = s1.reshape(Gb, NF)[:, -1]
+            wf = np.maximum(s1 - s0, 0).reshape(Gb, NF).sum(-1)
             wc = np.maximum(s1t - s0t, 0) * NF
             saved += int(np.maximum(wc - wf, 0).sum())
-    n_tiles = C * NB * G
-    return saved >= FINE_GATE_UNITS_PER_TILE * n_tiles
+    n_tiles = C * n_launch
+    res = saved >= FINE_GATE_UNITS_PER_TILE * n_tiles
+    cache[key] = res
+    return res
 
 
 def dac_scale_tensor(out_dtype, dac_scale, n_channels):

@@ -231,6 +231,7 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
     """
     low = lower_schedule(channels, start, stop, sample_rate, part=part)
     prefer_stack = False
+    stack_plan_memo = []           # build_stack_plan is O(instances)
     if low.pallas_ok and rows_per_tile is None:
         from ..engine import (_panel_threshold, _sparse_threshold,
                               _stack_advantage, _stack_occ_floor)
@@ -241,13 +242,25 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
         try:
             plan = build_sparse_plan(low)
             occ = plan.occupied_fraction
+            # padded-tile occupancy + short-window guard, the SAME
+            # correction classify_pallas_route applies (routing parity:
+            # dense/panel padding rows are real work, and short windows
+            # have nothing to amortize)
+            from ..ops.pallas_synth import default_rows_per_tile
+            R = default_rows_per_tile(low.n_samples, low.bucket_samples,
+                                      low.shape[1])
+            n_rows = -(-low.n_samples // 128)
+            padded_rows = -(-n_rows // R) * R
+            occ *= n_rows / padded_rows
+            small = padded_rows <= 2 * R
             # mid-band many-overlap schedules (occ >= the stack floor)
             # skip the segment-walk kernels entirely -- single-chip
             # router parity (engine.classify_pallas_route, r5_occ_stack_*)
-            if part == 'real' and occ >= _stack_occ_floor():
+            if part == 'real' and not small and occ >= _stack_occ_floor():
                 from ..ops.stack_synth import (STACK_MIN_NARROW,
                                                build_stack_plan)
                 sp0 = build_stack_plan(low)
+                stack_plan_memo.append(sp0)
                 prefer_stack = (sp0 is not None and sp0.wide is None
                                 and sp0.n_narrow >= STACK_MIN_NARROW
                                 and sp0.advantage >= _stack_advantage())
@@ -274,7 +287,8 @@ def synthesize_on_mesh(channels, start, stop, sample_rate, mesh,
         from ..engine import _stack_advantage
         from ..ops.lowering import UnsupportedFactor
         from ..ops.stack_synth import STACK_MIN_NARROW, build_stack_plan
-        splan = build_stack_plan(low)
+        splan = (stack_plan_memo[0] if stack_plan_memo
+                 else build_stack_plan(low))
         # unlike the single-chip route, the stacked-table launch has no
         # dense-residual arm, so wide instances disqualify up front
         # (attempting would pay nc re-lowerings only to raise)
