@@ -167,13 +167,28 @@ def test_poly_gauss_hi_tier():
     _check(chans)
 
 
-def test_mollifier_hi_tier_d0_only():
-    # the d = 0 bump runs df (div + exp); d >= 1 raises (coefficient
-    # cancellation at the bump edge is beyond the df recovery)
+def test_mollifier_hi_tier():
+    # the d = 0 bump runs df (div + exp); d >= 1 evaluates the
+    # bump / (x^2-1)^(2d) * P_d(x) form with df polynomial coefficients
+    # (round 5 closed the derivative exclusion; the (-1)^k k! coefficient
+    # cancellation at the bump edge sits ~8 digits below df resolution)
     _check([sh.mollifier(2e-6, plateau=5e-7) >> 3e-6])
-    with pytest.raises(UnsupportedFactor):
-        synthesize_hi(lower_schedule([sh.mollifier(2e-6, d=2) >> 3e-6],
-                                     0.0, SPAN, FS, keep_f64=True))
+    _check([sh.mollifier(2e-6, d=d) >> 3e-6 for d in (1, 2, 3)])
+
+
+def test_drag_sin_hi_tier():
+    # multi-tone DRAG (OP_DRAG_SIN/SINX, ext-block coefficient reads):
+    # round 5 closed the exclusion by carrying the f64 ext side-buffer as
+    # (hi, lo) SMEM planes.  Reference semantics:
+    # /root/reference/waveforms/multy_drag.py drag_sin/drag_sinx.
+    from waveforms_tpu.models import drag_sin, drag_sinx
+    chans = [
+        drag_sin(0.2e9, 22e-9, plateau=6e-9, delta=3e6,
+                 block_freq=(250e6, 280e6), phase=0.4, t0=2e-6),
+        drag_sinx(0.2e9, 22e-9, plateau=6e-9, delta=3e6,
+                  block_freq=(250e6,), phase=0.1, t0=4e-6),
+    ]
+    _check(chans, tol=2e-9)
 
 
 @pytest.mark.parametrize('kind', ['exponential', 'hyperbolic'])

@@ -119,8 +119,16 @@ def check_hi_including_chirp():
     from waveforms_tpu.ops.hi_synth import HiSchedule, _run_kernel_hi
     from waveforms_tpu.ops.lowering import lower_schedule
 
+    from waveforms_tpu.models.multy_drag import drag_sin, drag_sinx
     for chans in ([sh.gaussian(4e-7) * sh.cos(2 * np.pi * 3e7)],
-                  build_dense_schedule(n_channels=1, duration=3.2768e-5)):
+                  build_dense_schedule(n_channels=1, duration=3.2768e-5),
+                  # hi ext-plane opcodes (round 5): multi-tone DRAG with
+                  # the blend-polynomial fori_loop Horner
+                  [drag_sin(2e8, 22e-9, plateau=6e-9, delta=3e6,
+                            block_freq=(2.5e8,), phase=0.4, t0=2e-6) +
+                   drag_sinx(2e8, 22e-9, plateau=6e-9, delta=3e6,
+                             block_freq=(2.5e8,), phase=0.1, t0=4e-6) +
+                   sh.mollifier(2e-6, d=2) >> 8e-6]):
         span = 3.2768e-5
         low = lower_schedule(chans, 0.0, span, FS, keep_f64=True)
         dev = HiSchedule(low)

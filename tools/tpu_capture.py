@@ -1762,6 +1762,77 @@ def task_hi_ops_r5():
             "erf_flux_gsps": round(n / med / 1e9, 2)}
 
 
+def task_hi_ext_ops_r5():
+    """Round-5 close of the LAST hi-tier opcode holes ON SILICON:
+    multi-tone DRAG (OP_DRAG_SIN/SINX -- the f64 ext coefficient block
+    carried as hi/lo SMEM planes, blend Horner as a fori_loop) and
+    mollifier derivatives d=1..3 (df polynomial + denominator powers).
+    Parity on a readback-safe window against the host f64 oracle, plus
+    the device rate on a 64-channel XY-line drag_sin schedule (the
+    reference's multy_drag.py production shape)."""
+    import jax
+
+    from waveforms_tpu.models import shapes as sh
+    from waveforms_tpu.models.multy_drag import drag_sin, drag_sinx
+    from waveforms_tpu.ops.hi_synth import (HiSchedule, _run_kernel_hi,
+                                            synthesize_hi)
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    stop_s = 32.768e-6
+    chans_s = [
+        drag_sin(2e8, 22e-9, plateau=6e-9, delta=3e6,
+                 block_freq=(2.5e8, 2.8e8), phase=0.4, t0=12e-6),
+        drag_sinx(2e8, 22e-9, plateau=6e-9, delta=3e6,
+                  block_freq=(2.5e8,), phase=0.1, t0=12e-6),
+        sh.mollifier(8e-6, d=1) >> 12e-6,
+        sh.mollifier(8e-6, d=2) >> 12e-6,
+        sh.mollifier(8e-6, d=3) >> 12e-6,
+    ]
+    low_s = lower_schedule(chans_s, 0.0, stop_s, FS, keep_f64=True)
+    out = synthesize_hi(low_s)
+    t = np.arange(0.0, stop_s, 1 / FS)
+    worst = 0.0
+    per = []
+    for c, w in enumerate(chans_s):
+        oracle = np.real(np.asarray(w(t), complex))
+        scale = max(np.abs(oracle).max(), 1e-30)
+        err = float(np.abs(out[c] - oracle).max() / scale)
+        per.append(round(err, 15))
+        worst = max(worst, err)
+
+    # device rate: 64 XY lines x 24 drag_sin gates over 524 us
+    dur = 524.288e-6
+    rng = np.random.default_rng(7)
+    chans = [sum((drag_sin(2e8, 22e-9, plateau=6e-9, delta=3e6,
+                           block_freq=(2.5e8,), phase=float(p),
+                           t0=float(o)))
+                 for o, p in zip(rng.uniform(2e-6, dur - 1e-6, 24),
+                                 rng.uniform(0, 6.28, 24)))
+             for _ in range(64)]
+    low = lower_schedule(chans, 0.0, dur, FS, keep_f64=True)
+    dev = HiSchedule(low)
+    jax.block_until_ready(dev.tensors)
+    C, NB, S, T, F = dev.shape
+    import jax.numpy as jnp
+    R = 256
+    n_rows = -(-dev.n_samples // 128)
+    n_rows = -(-n_rows // R) * R
+    row0 = jnp.zeros((1, 1, 1, 1), jnp.int32)
+
+    def run():
+        return _run_kernel_hi(row0, *dev.tensors, S=S, T=T, F=F, R=R,
+                              n_rows=n_rows, tiles_per_bucket=1,
+                              ops_present=dev.ops_present)
+
+    jax.block_until_ready(run())
+    med = profile_median(run, 'jit__run_kernel_hi')
+    n = len(chans) * dev.n_samples
+    return {"per_op_rel_err": per, "max_rel_err": worst,
+            "parity_ok": bool(worst < 1e-9),
+            "drag_sin_device_ms": round(med * 1e3, 3),
+            "drag_sin_gsps": round(n / med / 1e9, 2)}
+
+
 def task_hi_routed_flux_r5():
     """The PRODUCTION hi entry on the erf-flux schedule: r5_hi_ops
     measured the dense hi kernel at 1.99 GS/s, but the router sends this
@@ -2489,6 +2560,9 @@ def pending_tasks(state):
     # exotic chirp) pinned on the guard-free Mosaic trace
     tasks.append(("r5_hi_ops", task_hi_ops_r5))
     tasks.append(("r5_hi_routed_flux", task_hi_routed_flux_r5))
+    # the LAST hi opcode holes (drag_sin/sinx ext planes, mollifier
+    # derivatives) pinned on silicon
+    tasks.append(("r5_hi_ext_ops", task_hi_ext_ops_r5))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -307,9 +307,10 @@ def synthesize(channels, start: float, stop: float, sample_rate: float,
     result); native/numpy already compute in f64 and pass through.  The
     hi kernel covers the full production opcode set (HI_OPS: linear,
     gaussian + derivatives, cos, exp, sinc, drag, erf, cosh, sinh,
-    mollifier bumps, and all chirps via lowering's quadratic windows);
-    the remaining exclusions (multi-tone drag_sin/x ext tables,
-    mollifier d>=1) raise UnsupportedFactor under engine='pallas' and
+    mollifier bumps + derivatives, multi-tone drag_sin/x via df ext
+    planes, interp via lossless affine expansion, and all chirps via
+    lowering's quadratic windows); schedules exceeding the SMEM
+    descriptor budget raise UnsupportedFactor under engine='pallas' and
     degrade to the host f64 engines under 'auto'.
 
     ``out_dtype=jnp.int16`` emits exact DAC codes scaled by ``dac_scale``

@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import df32 as df
-from .lowering import (OP_COS, OP_COSH, OP_DRAG, OP_ERF, OP_EXP,
+from .lowering import (DRAG_SIN_NC, DRAG_SINX_MAXQ, OP_COS, OP_COSH,
+                       OP_DRAG, OP_DRAG_SIN, OP_DRAG_SINX, OP_ERF, OP_EXP,
                        OP_GAUSSIAN, OP_LINEAR, OP_LINEARCHIRP,
                        OP_MOLLIFIER, OP_POLY_GAUSS, OP_SINC, OP_SINH,
                        W_ARGS, LoweredSchedule, UnsupportedFactor)
@@ -51,7 +52,8 @@ __all__ = ['synthesize_hi', 'synthesize_hi_panels', 'synthesize_hi_routed',
 
 HI_OPS = frozenset({OP_LINEAR, OP_GAUSSIAN, OP_COS, OP_EXP, OP_SINC,
                     OP_DRAG, OP_LINEARCHIRP, OP_ERF, OP_COSH, OP_SINH,
-                    OP_POLY_GAUSS, OP_MOLLIFIER})
+                    OP_POLY_GAUSS, OP_MOLLIFIER, OP_DRAG_SIN,
+                    OP_DRAG_SINX})
 from .pallas_synth import _EXP_CLAMP    # one clamp across f32/hi tiers
 _PI_H, _PI_L = df._c(np.pi)
 
@@ -63,15 +65,30 @@ def _combine_f64(hi, lo):
 
 
 
-def op_builders_hi(di, arg, arglo, q32):
+def op_builders_hi(di, arg, arglo, q32, eread=None, ereadlo=None):
     """df analogs of pallas_synth.op_builders for the HI_OPS subset.
 
     ``di`` is the int32 sample delta; ``arg(k)``/``arglo(k)`` read the f32
-    descriptor slot and its f64 residual; every builder returns an (hi,
-    lo) f32 pair.  Shared by the Pallas kernel (SMEM scalars) and the
-    interpret/test path, mirroring the single-source op_builders design.
+    descriptor slot and its f64 residual; ``eread(k)``/``ereadlo(k)`` read
+    the ext side-buffer's hi/lo planes (drag_sin coefficient blocks).
+    Every builder returns an (hi, lo) f32 pair.  Shared by the Pallas
+    kernel (SMEM scalars) and the interpret/test path, mirroring the
+    single-source op_builders design.
     """
     di_df = df.from_int(di)
+
+    def e_df(k):
+        return eread(k), ereadlo(k)
+
+    def sel_df(mask, a, b):
+        return jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1])
+
+    def le_df(a, b):
+        # a <= b on df pairs: the hi planes order unless they tie
+        return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
+
+    def lt_df(a, b):
+        return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
 
     def a_df(k):
         return arg(k), arglo(k)
@@ -155,9 +172,15 @@ def op_builders_hi(di, arg, arglo, q32):
         return df.mul(*a_df(2), *out)
 
     def op_mollifier():
-        # d = 0 bump only (exp(1/(x^2-1) + 1) inside |x| < 1); HiSchedule
-        # rejects d > 0 slots -- their (-1)^k k!-scaled coefficients
-        # cancel near the edge beyond what df recovers (PRECISION.md)
+        # bump exp(1/(x^2-1) + 1) inside |x| < 1, or its d-th derivative
+        # (d <= 3, lowering bound): bump / (x^2-1)^(2d) * P_d(x) with the
+        # polynomial in df coefficients (args_lo residuals) -- the
+        # (-1)^k k!-scaled cancellation that broke the f32 tier (~1e-6,
+        # PRECISION.md) sits ~8 digits lower in df.  Deep-edge samples
+        # where the exp argument passes the df.exp clamp (-80) force an
+        # exact 0: the true ratio there is <= e^-80 / (1/81)^6 ~ 3e-24 of
+        # peak, far below the 1e-9 contract, and skipping the division
+        # avoids the denominator-underflow 0/0 the f32 kernel tolerates.
         x = x_df()
         vh, vl = df.add(*df.sqr(*x), np.float32(-1.0), np.float32(0.0))
         inside = vh < 0
@@ -165,13 +188,96 @@ def op_builders_hi(di, arg, arglo, q32):
         sl_ = jnp.where(inside, vl, np.float32(0.0))
         qh, ql = df.div(jnp.ones_like(sh_), jnp.zeros_like(sh_), sh_, sl_)
         qh, ql = df.add(qh, ql, np.float32(1.0), np.float32(0.0))
-        # exp argument runs to -inf at the edge: clamp into df.exp's
-        # range (exp(-80) already underflows the f32 hi plane to 0)
-        clip = qh < -_EXP_CLAMP
+        deep = qh < -_EXP_CLAMP
         qh = jnp.maximum(qh, -_EXP_CLAMP)
-        ql = jnp.where(clip, 0.0, ql)
-        bh, bl = df.exp(qh, ql)
-        return jnp.where(inside, bh, 0.0), jnp.where(inside, bl, 0.0)
+        ql = jnp.where(deep, 0.0, ql)
+        out = df.exp(qh, ql)
+        d = arg(2)
+        # denominator (x^2-1)^(2d) = (safe^2)^d: outside the deep-edge
+        # region safe^2 >= (1/81)^2, so the unrolled product (d <= 3)
+        # neither under- nor overflows f32
+        s2 = df.sqr(sh_, sl_)
+        s2 = sel_df(deep, (jnp.ones_like(sh_), jnp.zeros_like(sh_)), s2)
+        inv = df.div(jnp.ones_like(sh_), jnp.zeros_like(sh_), *s2)
+        for k in (1, 2, 3):
+            out = sel_df(d >= k, df.mul(*out, *inv), out)
+        poly = _polyval_asc_df(x, 3, 9)
+        out = sel_df(d > 0, df.mul(*out, *poly), out)
+        keep = inside & jnp.logical_not(deep)
+        return jnp.where(keep, out[0], 0.0), jnp.where(keep, out[1], 0.0)
+
+    def _drag_sin_like_hi(with_blend):
+        # df analog of pallas_synth._drag_sin_like: the fixed-layout ext
+        # block (lowering._lower_factor) read through the hi/lo ext
+        # planes.  The per-power trig expansion is exact host math; in df
+        # the remaining error is the sincos_rad/Horner rounding (~1e-10).
+        uu = u_df()
+        lh = df.mul_f(*a_df(5), np.float32(0.5))
+        rl = df.add(*lh, *a_df(6))
+        rise = le_df(uu, lh)
+        flat = jnp.logical_not(rise) & lt_df(uu, rl)
+        bt = sel_df(rise, uu, df.add(*uu, -arg(6), -arglo(6)))
+        ang = df.mul(*a_df(1), *bt)
+        s, c = df.sincos_rad(*ang)
+
+        zeros = jnp.zeros_like(uu[0])
+        ox = (zeros, zeros)
+        oy = (zeros, zeros)
+        sp = (jnp.ones_like(uu[0]), zeros)
+        for p in range(DRAG_SIN_NC):          # padded coeffs: zeros no-op
+            basis = df.mul(*sp, *c) if p % 2 else sp
+            ox = df.add(*ox, *df.mul(*e_df(1 + p), *basis))
+            oy = df.add(*oy, *df.mul(*e_df(1 + DRAG_SIN_NC + p), *basis))
+            sp = df.mul(*sp, *s)
+        flat_x = e_df(1 + 2 * DRAG_SIN_NC)
+        flat_y = e_df(2 + 2 * DRAG_SIN_NC)
+        ox = sel_df(flat, (jnp.full_like(zeros, flat_x[0]),
+                           jnp.full_like(zeros, flat_x[1])), ox)
+        oy = sel_df(flat, (jnp.full_like(zeros, flat_y[0]),
+                           jnp.full_like(zeros, flat_y[1])), oy)
+
+        if with_blend:
+            b0 = 3 + 2 * DRAG_SIN_NC
+            bh_ = (eread(b0), ereadlo(b0))
+
+            def horner(base, x):
+                # descending Horner over zero-padded ascending df
+                # coefficients (argument in samples, never large powers).
+                # Rolled into a fori_loop: unrolling the 40-term df chain
+                # four times (~700 loads + ~2500 vector ops) sits past
+                # XLA:CPU's compile-time cliff (>9 min; the f32 kernel's
+                # 160-load unroll compiles fine), and the blend regions
+                # cover a handful of samples, so loop overhead is noise.
+                def body(j, acc):
+                    k = DRAG_SINX_MAXQ - 2 - j
+                    h, l = df.mul(*acc, *x)
+                    return df.add(h, l, eread(base + k), ereadlo(base + k))
+
+                acc = (jnp.full_like(x[0], eread(base + DRAG_SINX_MAXQ - 1)),
+                       jnp.full_like(x[0],
+                                     ereadlo(base + DRAG_SINX_MAXQ - 1)))
+                return jax.lax.fori_loop(0, DRAG_SINX_MAXQ - 1, body, acc)
+
+            stride = 1 + DRAG_SINX_MAXQ
+            dl_ = df.add(*uu, *df.neg(*lh))
+            dr_ = df.add(*uu, *df.neg(*rl))
+            nbh = df.neg(*bh_)
+            in_l = le_df(nbh, dl_) & le_df(dl_, (zeros, zeros))
+            in_r = le_df((zeros, zeros), dr_) & le_df(dr_, bh_)
+            ox = sel_df(in_l, horner(b0 + 2, dl_), ox)
+            oy = sel_df(in_l, horner(b0 + 2 + stride, dl_), oy)
+            ox = sel_df(in_r, horner(b0 + 2 + 2 * stride, dr_), ox)
+            oy = sel_df(in_r, horner(b0 + 2 + 3 * stride, dr_), oy)
+
+        sin_t, cos_t = _carrier(3, 4, True, True)
+        out = df.mul(*ox, *cos_t)
+        return df.add(*out, *df.mul(*oy, *sin_t))
+
+    def op_drag_sin():
+        return _drag_sin_like_hi(False)
+
+    def op_drag_sinx():
+        return _drag_sin_like_hi(True)
 
     def _carrier(eps_slot, ceps_slot, need_sin, need_cos):
         # slot layout follows the f32 op_builders: OP_COS keeps (eps,
@@ -258,13 +364,15 @@ def op_builders_hi(di, arg, arglo, q32):
         OP_SINH: op_sinh,
         OP_POLY_GAUSS: op_poly_gauss,
         OP_MOLLIFIER: op_mollifier,
+        OP_DRAG_SIN: op_drag_sin,
+        OP_DRAG_SINX: op_drag_sinx,
     }
 
 
 def _tile_walker_hi(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
                     nfac_ref, amp_ref, amplo_ref, op_ref, pw_ref, sh_ref,
-                    q32_ref, args_ref, argslo_ref, clip_ref, *, T, F,
-                    ops_present):
+                    q32_ref, args_ref, argslo_ref, ext_ref, extlo_ref,
+                    clip_ref, *, T, F, ops_present):
     """df analog of pallas_synth._tile_walker (real schedules only)."""
 
     def factor_value(flat_idx):
@@ -281,7 +389,13 @@ def _tile_walker_hi(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
         def q32(j):
             return q32_ref[0, 0, 0, 4 * flat_idx + j]
 
-        builders = op_builders_hi(di, arg, arglo, q32)
+        def eread(k):
+            return ext_ref[0, 0, 0, arg(7).astype(jnp.int32) + k]
+
+        def ereadlo(k):
+            return extlo_ref[0, 0, 0, arg(7).astype(jnp.int32) + k]
+
+        builders = op_builders_hi(di, arg, arglo, q32, eread, ereadlo)
         branches = [builders[o] for o in ops_present]
         if len(branches) == 1:
             vh, vl = branches[0]()
@@ -348,8 +462,8 @@ def _tile_walker_hi(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
 
 def _hi_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref, nterm_ref,
                nfac_ref, amp_ref, amplo_ref, op_ref, pw_ref, sh_ref,
-               q32_ref, args_ref, argslo_ref, clip_ref, out_ref, out2_ref,
-               *, S, T, F, R, G, ops_present):
+               q32_ref, args_ref, argslo_ref, ext_ref, extlo_ref, clip_ref,
+               out_ref, out2_ref, *, S, T, F, R, G, ops_present):
     tile = R * 128
     base = row0_ref[0, 0, 0, 0] + pl.program_id(1) * tile
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
@@ -359,7 +473,8 @@ def _hi_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref, nterm_ref,
     segment_at, acc0 = _tile_walker_hi(
         idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref,
         amp_ref, amplo_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
-        argslo_ref, clip_ref, T=T, F=F, ops_present=ops_present)
+        argslo_ref, ext_ref, extlo_ref, clip_ref, T=T, F=F,
+        ops_present=ops_present)
 
     g = pl.program_id(1) % G
     acc = jax.lax.fori_loop(s0_ref[0, 0, 0, g], s1_ref[0, 0, 0, g],
@@ -373,9 +488,9 @@ def _hi_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref, nterm_ref,
                                     'tiles_per_bucket', 'ops_present',
                                     'interpret'))
 def _run_kernel_hi(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp,
-                   amp_lo, op, pw, sh, q32, args, args_lo, clip, *, S, T,
-                   F, R, n_rows, tiles_per_bucket, ops_present,
-                   interpret=False):
+                   amp_lo, op, pw, sh, q32, args, args_lo, ext, ext_lo,
+                   clip, *, S, T, F, R, n_rows, tiles_per_bucket,
+                   ops_present, interpret=False):
     C = seg_lo.shape[0]
     grid = (C, n_rows // R)
     G = tiles_per_bucket
@@ -425,6 +540,8 @@ def _run_kernel_hi(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp,
                 smem(S * T * F), smem(S * T * F * 4),     # shift_hi, q32
                 smem(S * T * F * W_ARGS),                 # args
                 smem(S * T * F * W_ARGS),                 # args_lo
+                smem(ext.shape[-1], bcast=True),          # ext hi plane
+                smem(ext.shape[-1], bcast=True),          # ext lo plane
                 pl.BlockSpec((1, 1, 1, 2), lambda c, j: (c, 0, 0, 0),
                              memory_space=pltpu.SMEM),    # clip
             ],
@@ -432,14 +549,14 @@ def _run_kernel_hi(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp,
             out_shape=(out_shape, out_shape),
             interpret=interpret,
         )(row0, seg_lo, seg_hi, s0t, s1t, nterm, nfac, amp, amp_lo, op,
-          pw, sh, q32, args, args_lo, clip)
+          pw, sh, q32, args, args_lo, ext, ext_lo, clip)
 
 
 def _hi_panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
                      seg_lo_ref, seg_hi_ref, nterm_ref, nfac_ref, amp_ref,
                      amplo_ref, op_ref, pw_ref, sh_ref, q32_ref, args_ref,
-                     argslo_ref, clip_ref, out_ref, out2_ref,
-                     *, S, T, F, Rs, P, NP, ops_present):
+                     argslo_ref, ext_ref, extlo_ref, clip_ref, out_ref,
+                     out2_ref, *, S, T, F, Rs, P, NP, ops_present):
     """Panel-kernel analog for the hi tier (see sparse_synth._panel_kernel):
     one fat grid step per (channel, panel), zero-filled (hi, lo) planes,
     all the slot's live subtiles walked from the SMEM-resident worklist.
@@ -461,7 +578,7 @@ def _hi_panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
         seg_at, a0 = _tile_walker_hi(
             idx, base, tile, Rs, seg_lo_ref, seg_hi_ref, nterm_ref,
             nfac_ref, amp_ref, amplo_ref, op_ref, pw_ref, sh_ref, q32_ref,
-            args_ref, argslo_ref, clip_ref, T=T, F=F,
+            args_ref, argslo_ref, ext_ref, extlo_ref, clip_ref, T=T, F=F,
             ops_present=ops_present)
         acc = jax.lax.fori_loop(ws0_ref[k], ws1_ref[k], seg_at, a0)
         sl = pl.ds(wo_ref[k] * Rs - p * P, Rs)
@@ -476,8 +593,9 @@ def _hi_panel_kernel(start_ref, wt_ref, wo_ref, ws0_ref, ws1_ref,
                    static_argnames=('S', 'T', 'F', 'Rs', 'P', 'NP',
                                     'ops_present', 'interpret'))
 def _run_panels_hi(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac,
-                   amp, amp_lo, op, pw, sh, q32, args, args_lo, clip, *,
-                   S, T, F, Rs, P, NP, ops_present, interpret=False):
+                   amp, amp_lo, op, pw, sh, q32, args, args_lo, ext,
+                   ext_lo, clip, *, S, T, F, Rs, P, NP, ops_present,
+                   interpret=False):
     C = seg_lo.shape[0]
 
     def smem(k, bcast=False):
@@ -500,6 +618,8 @@ def _run_panels_hi(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac,
             smem(S * T * F), smem(S * T * F * 4),    # shift_hi, q32
             smem(S * T * F * W_ARGS),                # args
             smem(S * T * F * W_ARGS),                # args_lo
+            smem(ext.shape[-1], bcast=True),         # ext hi plane
+            smem(ext.shape[-1], bcast=True),         # ext lo plane
             pl.BlockSpec((1, 1, 1, 2), lambda c, p, *pf: (c, 0, 0, 0),
                          memory_space=pltpu.SMEM),   # clip
         ],
@@ -516,7 +636,7 @@ def _run_panels_hi(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac,
             out_shape=(out_shape, out_shape),
             interpret=interpret,
         )(start, wt, wo, ws0, ws1, seg_lo, seg_hi, nterm, nfac, amp,
-          amp_lo, op, pw, sh, q32, args, args_lo, clip)
+          amp_lo, op, pw, sh, q32, args, args_lo, ext, ext_lo, clip)
 
 
 def synthesize_hi_panels(dev, low=None, plan=None, Rs=32,
@@ -625,17 +745,11 @@ class HiSchedule:
             raise UnsupportedFactor(
                 f"opcodes {sorted(bad)} have no double-f32 lowering; "
                 "use engine='xla' under x64 (4.4e-10 measured)")
-        if OP_MOLLIFIER in used:
-            m = live & (low.op == OP_MOLLIFIER)
-            if np.any(low.args[..., 2][m] > 0):
-                raise UnsupportedFactor(
-                    "mollifier derivatives (d >= 1) exceed the hi tier's "
-                    "contract (coefficient cancellation at the bump edge, "
-                    "PRECISION.md); use engine='xla' under x64")
         if not low.pallas_ok:
             raise UnsupportedFactor("schedule exceeds the kernel's "
                                     "descriptor budget")
-        from .lowering import PALLAS_SMEM_BUDGET, _pallas_desc_bytes
+        from .lowering import (PALLAS_EXT_MAX, PALLAS_SMEM_BUDGET,
+                               _pallas_desc_bytes)
         # the residual planes (args_lo, amp_lo) nearly double the SMEM
         # descriptor block; apply the budget to the hi-tier footprint
         if 2 * _pallas_desc_bytes(*low.shape[2:]) > PALLAS_SMEM_BUDGET:
@@ -643,6 +757,11 @@ class HiSchedule:
                 "hi-tier descriptor block (with residual planes) exceeds "
                 "the SMEM budget; use engine='xla' under x64 or smaller "
                 "bucket_samples")
+        n_ext = int(low.ext.size) if low.ext is not None else 0
+        if 2 * n_ext > PALLAS_EXT_MAX:
+            raise UnsupportedFactor(
+                "hi-tier ext buffer (with its residual plane) exceeds the "
+                "SMEM budget; use engine='xla' under x64")
         C, NB, S, T, F = low.shape
         self.shape = low.shape
         self.n_samples = low.n_samples
@@ -671,8 +790,27 @@ class HiSchedule:
             jnp.asarray(low.q32.reshape(C, NB, 1, S * T * F * 4)),
             jnp.asarray(low.args.reshape(C, NB, 1, S * T * F * W_ARGS)),
             jnp.asarray(low.args_lo.reshape(C, NB, 1, S * T * F * W_ARGS)),
+        ) + self._ext_planes(low) + (
             jnp.asarray(clip.reshape(C, 1, 1, 2)),
         )
+
+    @staticmethod
+    def _ext_planes(low):
+        """The f64 ext side-buffer as (hi, lo) f32 SMEM planes.
+
+        Padded to a 256 multiple like the f32 engine so similar
+        schedules share compiled kernels."""
+        n_ext = int(low.ext.size) if low.ext is not None else 0
+        e_pad = -(-max(n_ext, 1) // 256) * 256
+        ext_hi = np.zeros(e_pad, np.float32)
+        ext_lo = np.zeros(e_pad, np.float32)
+        if n_ext:
+            e64 = np.asarray(low.ext, np.float64)
+            ext_hi[:n_ext] = e64.astype(np.float32)
+            ext_lo[:n_ext] = (e64 - ext_hi[:n_ext].astype(np.float64)
+                              ).astype(np.float32)
+        return (jnp.asarray(ext_hi.reshape(1, 1, 1, e_pad)),
+                jnp.asarray(ext_lo.reshape(1, 1, 1, e_pad)))
 
 
 def synthesize_hi(low_or_dev, rows_per_tile: int | None = None,
