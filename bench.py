@@ -259,7 +259,12 @@ def main():
         """Static plan rejection: retrying cannot change the outcome."""
 
     def _panel_windows(out16):
-        """One full panel pass (both windows); returns summed s + raws."""
+        """One full panel pass (both windows); returns summed s + raws.
+
+        ``raw`` rows are (best_s, window_samples) so the window-peak rate
+        uses the window's TRUE sample count (the tile halves cover
+        999424/1000576 samples, not 2^20 -- the old WINDOW_SAMPLES
+        denominator overstated the peak ~4.7%)."""
         from waveforms_tpu.ops.sparse_synth import build_panel_plan, \
             panels_eligible, synthesize_panels
         acc, raw = 0.0, []
@@ -279,7 +284,7 @@ def main():
             prun().block_until_ready()
             meds = [measure_device(prun, 'jit__run_panels', reps=5)
                     for _ in range(2)]
-            raw.extend(meds)
+            raw.append((min(meds), pplan.window_samples))
             acc += min(meds)
         return acc, raw
 
@@ -416,22 +421,22 @@ def main():
            if sparse_s else {}),
         **({"panel_kernel_gsps":
             round(128 * TOTAL_SAMPLES / panel_s / 1e9, 2),
-            # best single 512 us window (the r4_panel_flagship-class
-            # number; the full-1 ms figure above includes both windows'
-            # chip-state variation)
+            # best single ~500 us window at its TRUE sample count (the
+            # full-1 ms figure above includes both windows' chip-state
+            # variation)
             "panel_window_peak_gsps":
-            round(128 * WINDOW_SAMPLES / min(panel_raw) / 1e9, 2)}
+            round(max(128 * n / s / 1e9 for s, n in panel_raw), 2)}
            if panel_s else {}),
         **({"flagship_int16_gsps":
             round(128 * TOTAL_SAMPLES / panel16_s / 1e9, 2),
             "int16_window_peak_gsps":
-            round(128 * WINDOW_SAMPLES / min(panel16_raw) / 1e9, 2)}
+            round(max(128 * n / s / 1e9 for s, n in panel16_raw), 2)}
            if panel16_s else {}),
         "window_raw_s": {"grid": [round(s, 6) for s in dense_raw],
                          "sparse": [round(s, 6) for s in sparse_raw],
-                         "panel": [round(s, 6) for s in panel_raw],
+                         "panel": [round(s, 6) for s, _ in panel_raw],
                          "panel_int16": [round(s, 6)
-                                         for s in panel16_raw]},
+                                         for s, _ in panel16_raw]},
         **({"degraded": degraded} if degraded else {}),
         "headline_policy": "flagship = sum over 2 windows of min(best-of-2 "
                            "median-of-5 device events) per kernel, then "

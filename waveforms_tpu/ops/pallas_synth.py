@@ -581,10 +581,22 @@ def _tile_walker(idx, base, tile, R, seg_lo_ref, seg_hi_ref, nterm_ref,
 
 
 def _synth_kernel(row0_ref, seg_lo_ref, seg_hi_ref, s0_ref, s1_ref,
-                  s0f_ref, s1f_ref, fine_ref, nterm_ref,
-                  nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
-                  args_ref, ext_ref, clip_ref, *rest, S, T, F, R, G, NF,
+                  *rest, S, T, F, R, G, NF,
                   ops_present, pair=False, dac=False):
+    # the fine-walk operand triple (s0f, s1f, fine flag) is shipped only
+    # when the fine program compiles (NF > 1): at NF == 1 they would
+    # duplicate s0/s1, and each dynamically index-mapped SMEM operand
+    # costs ~30 ns of step machinery (r4_grid_overhead_probe) -- on a
+    # 4096-step occupancy-1 launch the three dead operands were the
+    # r4->r5 dense `value` drift (29.4 -> 28.6 GS/s)
+    if NF > 1:
+        s0f_ref, s1f_ref, fine_ref = rest[:3]
+        rest = rest[3:]
+    else:
+        s0f_ref = s1f_ref = fine_ref = None
+    (nterm_ref, nfac_ref, amp_ref, op_ref, pw_ref, sh_ref, q32_ref,
+     args_ref, ext_ref, clip_ref) = rest[:10]
+    rest = rest[10:]
     # pair mode fuses a complex synthesis into one pass: the factor
     # product (all the transcendental work) is computed once per term and
     # scaled by two amplitude planes into two output planes.
@@ -755,6 +767,9 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
     s1f = s1f.reshape(C, NB, 1, G * NF)
     s0t = s0t.reshape(C, NB, 1, G)
     s1t = s1t.reshape(C, NB, 1, G)
+    # ship the fine triple only when the fine program compiles (NF > 1);
+    # see the matching unpack in _synth_kernel
+    fine_ops = [s0f, s1f, finet] if NF > 1 else []
 
     def smem(k, bcast=False):
         # (C, NB, 1, k) arrays with (1, 1, 1, k) blocks: the trailing two
@@ -780,8 +795,8 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
             smem(1, bcast=True),                         # row0 (shard offset)
             smem(S), smem(S),                            # seg_lo, seg_hi
             smem(G), smem(G),                            # per-tile s0, s1
-            smem(G * NF), smem(G * NF),                  # fine s0, s1
-            smem(G),                                     # fine/full flag
+        ] + ([smem(G * NF), smem(G * NF), smem(G)]       # fine s0, s1, flag
+             if NF > 1 else []) + [
             smem(S),                                     # nterm
             smem(S * T), smem(S * T),                    # nfac, amp
             smem(S * T * F), smem(S * T * F),            # op, power
@@ -802,7 +817,7 @@ def _run_kernel(row0, seg_lo, seg_hi, seg_hmax, nterm, nfac, amp, op, pw,
         # semantically parallel (tuning knob, see tools/tune.py)
         **({'compiler_params': pltpu.CompilerParams(
             dimension_semantics=dimsem)} if dimsem is not None else {}),
-    )(row0, seg_lo, seg_hi, s0t, s1t, s0f, s1f, finet, nterm, nfac, amp,
+    )(row0, seg_lo, seg_hi, s0t, s1t, *fine_ops, nterm, nfac, amp,
       op, pw, sh, q32, args, ext, clip, *([amp_im] if pair else []),
       *([scale] if dac else []))
 

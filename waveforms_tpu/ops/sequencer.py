@@ -430,6 +430,9 @@ class Sequencer:
         P = max(Rs, min(PANEL_ROWS, total_rows))
         P = (P // Rs) * Rs
         NP = -(-total_rows // P)
+        # exact-fit panels (same rule as build_panel_plan): the kernel is
+        # store-bound, so padding rows past total_rows are wasted stores
+        P = max(Rs, -(-(-(-total_rows // NP)) // Rs) * Rs)
         slot = c_arr * NP + (wo * Rs) // P        # NB == 1
         order = np.argsort(slot, kind='stable')
         n_items = n_shots * n_union

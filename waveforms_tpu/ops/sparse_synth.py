@@ -419,6 +419,13 @@ def build_panel_plan(low: LoweredSchedule, Rs: int = DEFAULT_SUBTILE_ROWS,
     P = max(Rs, min(panel_rows, n_rows_win))
     P = (P // Rs) * Rs
     NP = -(-n_rows_win // P)
+    # shrink P to the smallest Rs-multiple that still covers the window
+    # in NP panels: the kernel is store-bound (write_mfu 0.988), so every
+    # padding row past n_rows_win is pure wasted store bandwidth -- the
+    # flagship's pow2 panels stored 8192 rows per 7808-row window, a 4.7%
+    # tax on the full-schedule rate (bench r5: flagship 154.8 vs window
+    # 162.3 GS/s).  Padding is now < NP * Rs rows.
+    P = max(Rs, -(-(-(-n_rows_win // NP)) // Rs) * Rs)
     live = slice(0, base.n_live)
     wc = base.work_c[live].astype(np.int64)
     wb = base.work_b[live].astype(np.int64)
