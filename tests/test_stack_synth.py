@@ -586,3 +586,68 @@ def test_midband_occupancy_routes_to_stack():
     out = np.asarray(engine.synthesize(mid, 0, dur, FS, engine='pallas'))
     t, want = _oracle([c.simplify() for c in mid], 0, dur)
     assert np.abs(out - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_scdot_batched_scatter_matches_per_chunk(monkeypatch):
+    """The superchunk-batched scatter (one widened dot per grid step
+    instead of one per chunk x group) feeds every output row the SAME
+    product multiset as the per-chunk path: slots of other chunks -- and
+    padding slots, whose lrt=128 aliases the next chunk's row 0 in the
+    widened lane space -- contribute one-hot hits times exact-zero
+    values.  It is NOT bit-identical (the wider GEMM blocks the
+    contraction differently, shifting f32 summation order ~1 ulp), so
+    demand 1-ulp-class closeness per dot mode plus the oracle anchor."""
+    import jax.numpy as jnp
+
+    from waveforms_tpu.ops import stack_synth as st
+
+    rng = np.random.default_rng(21)
+    # dense enough that chunk occupancy is uniform (the auto gate's
+    # <=60%-waste rule; 400 pulses over the same window skew it past
+    # the threshold and the gate declines -- see the companion test)
+    wl = [(0.25 * cosPulse(60e-9) >> o)
+          for o in rng.uniform(0, 95e-6, 1000)]
+    low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+
+    def build(flag, **kw):
+        monkeypatch.setenv('WFTPU_STACK_SCDOT', flag)
+        plan = st.build_stack_plan(low)
+        return st._build_kernel_runner(plan, low, True, **kw)
+
+    base = build('0')
+    assert not base.scdot
+    want = np.asarray(base())
+    scale = np.abs(want).max()
+    for d3 in (False, True):
+        run = build('auto', dot3=d3)
+        assert run.scdot, "auto gate must engage on the vstack regime"
+        ref_d3 = np.asarray(build('0', dot3=d3)())
+        assert np.abs(np.asarray(run()) - ref_d3).max() <= 5e-7 * scale
+    # oracle anchor (not just self-consistency)
+    t, ref = _oracle([WaveVStack(wl).simplify()], 0, 100e-6)
+    assert np.abs(want - ref).max() / np.abs(ref).max() < 2e-6
+    # int16 codes: the quantizer sees 1-ulp-different f32 accumulators,
+    # so codes may differ by at most one level on knife-edge samples
+    c16 = np.asarray(build('auto', out_dtype=jnp.int16)())
+    c16b = np.asarray(build('0', out_dtype=jnp.int16)())
+    assert c16.dtype == np.int16
+    assert np.abs(c16.astype(np.int32) - c16b.astype(np.int32)).max() <= 1
+
+
+def test_scdot_gate_declines_sparse_nonuniform(monkeypatch):
+    """A few isolated pulses over a long window fail the <=60% padding
+    waste rule (most chunks are empty, predication is what saves them):
+    the auto gate must decline, and SCDOT=0 must always decline."""
+    from waveforms_tpu.ops import stack_synth as st
+
+    wl = [(0.5 * cosPulse(50e-9) >> (o * 30e-6))
+          for o in range(3)]
+    low = lower_schedule([WaveVStack(wl)], 0, 100e-6, FS)
+    monkeypatch.setenv('WFTPU_STACK_SCDOT', 'auto')
+    plan = st.build_stack_plan(low)
+    run = st._build_kernel_runner(plan, low, True)
+    assert not run.scdot
+    # correctness regardless of the gate decision
+    out = np.asarray(run())
+    t, ref = _oracle([WaveVStack(wl).simplify()], 0, 100e-6)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-6

@@ -1762,6 +1762,49 @@ def task_hi_ops_r5():
             "erf_flux_gsps": round(n / med / 1e9, 2)}
 
 
+def task_stack_scdot_ab(row='vstack_1000x200k'):
+    """Superchunk-batched scatter dot A/B, SAME chip window, with an
+    on-chip oracle parity check for the batched output (interpret mode
+    proved bit-identity, but the widened SC*128-lane bf16 one-hot is a
+    new operand shape on real MXU).  The probe decomposition put the
+    per-strip dot machinery at 19.1 of 21.4 us on this row (r4j probe8);
+    batching collapses 3*SC*n_groups dots per grid step into 3."""
+    import importlib
+    import os
+
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops import stack_synth as st
+
+    bench_suite = importlib.import_module('bench_suite')
+    chans, start, stop, fs = bench_suite.build(row)
+    low = lower_schedule(chans, start, stop, fs)
+    t = np.arange(start, stop, 1 / fs)
+    oracle = np.stack([np.asarray(w(t), float) for w in chans])
+    scale = max(np.abs(oracle).max(), 1e-30)
+    res = {}
+    try:
+        for name, flag in (("perchunk", '0'), ("batched", 'auto')):
+            os.environ['WFTPU_STACK_SCDOT'] = flag
+            plan = st.build_stack_plan(low)
+            runner = st._build_kernel_runner(plan, low, False)
+            res[name + "_engaged"] = bool(runner.scdot)
+            out = np.asarray(runner())
+            res[name + "_rel_err"] = float(
+                np.abs(out - oracle).max() / scale)
+            med = profile_median(runner, runner.kernel_span)
+            res[name + "_ms"] = round(med * 1e3, 4)
+    finally:
+        os.environ.pop('WFTPU_STACK_SCDOT', None)
+    n = len(chans) * low.n_samples
+    best = min(res["perchunk_ms"], res["batched_ms"])
+    res["best_gsps"] = round(n / (best * 1e-3) / 1e9, 3)
+    res["parity_ok"] = max(res["perchunk_rel_err"],
+                           res["batched_rel_err"]) < 1e-6
+    return res
+
+
 def task_hi_ext_ops_r5():
     """Round-5 close of the LAST hi-tier opcode holes ON SILICON:
     multi-tone DRAG (OP_DRAG_SIN/SINX -- the f64 ext coefficient block
@@ -2563,6 +2606,17 @@ def pending_tasks(state):
     # the LAST hi opcode holes (drag_sin/sinx ext planes, mollifier
     # derivatives) pinned on silicon
     tasks.append(("r5_hi_ext_ops", task_hi_ext_ops_r5))
+    # superchunk-batched scatter dot (the r4j scatter-machinery lever):
+    # A/B + on-chip parity on the vstack row, then the sequencer-scale
+    # stacked row under the winning default
+    tasks.append(("r5_stack_scdot_ab", task_stack_scdot_ab))
+    tasks.append(("r5k_seq_stack_1000", lambda: task_seq_stack(1000)))
+    # exact-fit panels (store-bound: padding rows past the window were
+    # a 4.7% tax) -- retake the flagship panel windows + fresh bench
+    tasks.append(("r5_panel_exactfit", lambda: task_panels('flagship')))
+    tasks.append(("r5_panel_exactfit_int16",
+                  lambda: task_panels_int16('flagship')))
+    tasks.append(("r5_bench_exactfit", task_bench_fresh))
     todo = [(k, fn) for k, fn in tasks if k not in state]
     # a crashing task must not starve fresh ones: run least-failed first
     # (stable within a failure count, so the authored order still holds)

@@ -735,6 +735,38 @@ def _dict_compact(meta: dict, tabs: list, valids: list) -> list:
     return out
 
 
+def _scatter_dot(ohb, vals, dot3):
+    """One-hot scatter dot: (K, R) bool one-hot x (K, 128) f32 values ->
+    (R, 128) f32.  ``dot3`` is the 3-split exact-bf16 form (see the
+    in-line note); otherwise a HIGHEST-precision f32 dot."""
+    dims = (((0,), (0,)), ((), ()))
+    if dot3:
+        # split ONLY the values into three exact bf16 pieces (v == v1 +
+        # v2 + v3 bitwise for normal f32) and use an exactly-
+        # representable bf16 one-hot -- every MXU product is then exact
+        # and only the f32 accumulation order differs (<= ~1e-7 rel for
+        # <=128-term sums).  3 one-pass bf16 dots vs HIGHEST's 6 passes.
+        # NOT the failed round-3 variants: HIGH truncates cross terms of
+        # BOTH operands (7.8e-6 measured), and a bf16 x f32 mixed dot
+        # downcasts the f32 side (8.8e-4 measured).
+        oh = ohb.astype(jnp.bfloat16)
+        v1 = vals.astype(jnp.bfloat16)
+        r1 = vals - v1.astype(jnp.float32)
+        v2 = r1.astype(jnp.bfloat16)
+        v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            oh, v1, dims, preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(
+            oh, v2, dims, preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(
+            oh, v3, dims, preferred_element_type=jnp.float32)
+        return out
+    return jax.lax.dot_general(
+        ohb.astype(jnp.float32), vals, dims,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
 def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
                    base: int = 0):
     """Per-(group, table-ref) strip evaluator for the fused kernel.
@@ -755,7 +787,7 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
     cpos = meta.get('col_pos')       # dict-compacted tables only
     ccon = meta.get('col_const')
 
-    def strip(off, KS, sc, use_dot):
+    def strip(off, KS, sc, use_dot, parts=False):
         W = meta['W']
         lane = jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
         if meta['table_t']:
@@ -824,6 +856,11 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
             f0 += nf
         mask = (idx >= icol(2)) & (idx < icol(3))
         vals = jnp.where(mask, seg, 0.0)
+        if parts:
+            # superchunk-batched scatter (see _build_kernel_runner): the
+            # caller batches the one-hot dot across SC chunks, so return
+            # the raw values plus their output-row column
+            return vals, icol(1)
         if probe == 'eval':
             # probe: no scatter dot (row-sum keeps the output shape and
             # data-depends on every evaluated lane)
@@ -832,36 +869,7 @@ def _strip_builder(meta: dict, tab_ref, probe: str | None, dot3: bool,
         if not use_dot:
             # identity layer: slot index IS the output row
             return vals
-        if dot3:
-            # candidate scatter (opt-in, on-chip-gated): split ONLY the
-            # values into three exact bf16 pieces (v == v1 + v2 + v3
-            # bitwise for normal f32) and use an exactly-representable
-            # bf16 one-hot -- every MXU product is then exact and only
-            # the f32 accumulation order differs (<= ~1e-7 rel for
-            # <=128-term sums).  3 one-pass bf16 dots vs HIGHEST's 6
-            # passes.  NOT the failed round-3 variants: HIGH truncates
-            # cross terms of BOTH operands (7.8e-6 measured), and a
-            # bf16 x f32 mixed dot downcasts the f32 side (8.8e-4
-            # measured).  Gated until the oracle-anchored on-chip row
-            # (r4_stack_dot3_*) proves parity.
-            oh = (icol(1) == lane).astype(jnp.bfloat16)
-            v1 = vals.astype(jnp.bfloat16)
-            r1 = vals - v1.astype(jnp.float32)
-            v2 = r1.astype(jnp.bfloat16)
-            v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
-            dims = (((0,), (0,)), ((), ()))
-            out = jax.lax.dot_general(
-                oh, v1, dims, preferred_element_type=jnp.float32)
-            out += jax.lax.dot_general(
-                oh, v2, dims, preferred_element_type=jnp.float32)
-            out += jax.lax.dot_general(
-                oh, v3, dims, preferred_element_type=jnp.float32)
-            return out
-        onehot = (icol(1) == lane).astype(jnp.float32)
-        return jax.lax.dot_general(
-            onehot, vals, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        return _scatter_dot(icol(1) == lane, vals, dot3)
 
     return strip
 
@@ -1027,6 +1035,41 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # operands (its PW8 differs per group, so slot-axis concat would
     # misalign lanes).
     merged = not TABLE_T
+    # SUPERCHUNK-BATCHED SCATTER (round 5): the r4j probe decomposition
+    # put the per-strip scatter machinery (one dot -- or 3 under dot3 --
+    # per chunk) on the critical path (19.1 of 21.4 us).  When every
+    # group is a pure spill layout with ONE strip per chunk (the
+    # onestrip/vstack regime), the SC chunks of a grid step can share a
+    # single dot: concatenate the SC strips' values on the contraction
+    # axis and widen the one-hot to SC*128 output rows (row = sc*128 +
+    # lrt).  MXU passes grow SC-fold (the widened one-hot is mostly
+    # zeros) but invocations drop SC-fold, and per-dot machinery is what
+    # the probe priced.  Numerically equivalent to the per-chunk path:
+    # every output row receives the SAME product multiset -- slots of
+    # other chunks contribute one-hot hits times EXACT-zero values,
+    # including padding slots (lrt 128 aliases the next chunk's row 0 in
+    # the widened lane space, but their amp-0/empty-mask values are
+    # exact zeros).  NOT bit-identical: the wider GEMM blocks the
+    # contraction differently, so f32 summation order shifts (~1-ulp
+    # class, same order as the dot3-vs-HIGHEST delta).  Gated off for
+    # probes (they need the per-strip decomposition) and capped so the
+    # (SC*sum k_sp, SC*128) one-hot temporary stays within VMEM.
+    SCDOT = os.environ.get('WFTPU_STACK_SCDOT', 'auto')
+    scdot = (probe is None and SC > 1
+             and all(m['n_ident'] == 0 and m['k_sp'] > 0
+                     and len(m['sp_widths']) == 1 for m in metas)
+             and (SCDOT == '1'
+                  or (SCDOT == 'auto'
+                      # VMEM cap on the widened one-hot temporary, and
+                      # the same <=60%-padding-waste rule as ONESTRIP --
+                      # summed over groups, since the batched dot fuses
+                      # them all (predication is gone, so every slot
+                      # evaluates; a tiny auxiliary group's padding is
+                      # priced against the whole step's live work)
+                      and SC * sum(m['k_sp'] for m in metas) <= 1024
+                      and (n_chunks * sum(m['k_sp'] for m in metas)
+                           <= 1.6 * max(sum(int(c[:, 1].sum())
+                                            for c in cnts_l), 1)))))
     if merged:
         PWmax = max(meta['PW'] for meta in metas)
         bases = []
@@ -1049,11 +1092,20 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
             operands.append([cnts,
                              tab.reshape(n_super, SC, meta['PW'],
                                          meta['k_max'])])
+    if scdot:
+        # the batched path never reads the per-chunk counts (padding
+        # slots are exact zeros, so predication buys nothing) -- drop
+        # the operand entirely, each shipped SMEM block costs ~0.4 us
+        # of step machinery (floor probe)
+        operands = [group_ops[1:] for group_ops in operands]
     # the VMEM guard prices the ACTUAL table blocks (the merged block is
     # k_tot x PWmax -- PW padding to the widest group can exceed the
     # per-group sum), double-buffered
-    vmem += sum(2 * 4 * SC * ops[1].shape[2] * ops[1].shape[3]
+    vmem += sum(2 * 4 * SC * ops[-1].shape[2] * ops[-1].shape[3]
                 for ops in operands)
+    if scdot:
+        # the widened one-hot + concatenated values temporaries
+        vmem += sum(SC * m['k_sp'] * (SC * 128 + 128) * 4 for m in metas)
     hbm = sum(a.nbytes for group_ops in operands for a in group_ops)
     if vmem > KERNEL_MAX_VMEM or hbm > KERNEL_MAX_HBM:
         return None
@@ -1082,8 +1134,10 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     # vstack-class fast path, one fetch total), else blocked per
     # superchunk -- (n_super, SC, W) with a (1, SC, W) window, which
     # divides the array shape so Mosaic accepts it at any n_chunks
-    cnt_blocked = max(ops[0].nbytes for ops in operands) \
-        > CNT_SMEM_WHOLE_MAX
+    # (the batched-scatter path ships no counts at all)
+    cnt_blocked = (not scdot
+                   and max(ops[0].nbytes for ops in operands)
+                   > CNT_SMEM_WHOLE_MAX)
     if cnt_blocked:
         operands = [[ops[0].reshape(n_super, SC, ops[0].shape[1]),
                      ops[1]] for ops in operands]
@@ -1094,7 +1148,25 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         else:
             out_ref = acc_ref = refs[-1]
         acc_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
-        if probe != 'floor':
+        if scdot:
+            # superchunk-batched scatter: ONE widened dot covers all SC
+            # chunks of every group (see the gate comment above)
+            vals_l, oh_l = [], []
+            for gi, meta in enumerate(metas):
+                tab_ref = refs[0] if merged else refs[gi]
+                strip = _strip_builder(meta, tab_ref, probe, dot3,
+                                       base=bases[gi])
+                k_sp = meta['sp_widths'][0]
+                for sc in range(SC):
+                    vals, ridx = strip(0, k_sp, sc, True, parts=True)
+                    lane2 = jax.lax.broadcasted_iota(
+                        jnp.int32, (k_sp, SC * 128), 1)
+                    oh_l.append(ridx + sc * 128 == lane2)
+                    vals_l.append(vals)
+            acc_ref[0] += _scatter_dot(jnp.concatenate(oh_l, 0),
+                                       jnp.concatenate(vals_l, 0),
+                                       dot3)
+        elif probe != 'floor':
             # probe 'floor': grid + operand block fetches + epilogue
             # only -- the cost of the launch STRUCTURE with no strips
             r = 0
@@ -1135,16 +1207,18 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
         # counts ride whole in SMEM when small (block == array shape; a
         # (1, 1) block over (n, 1) violates Mosaic's divisible-or-full
         # rule for n > 1); big-output plans stream one superchunk's rows
-        # per step (see CNT_SMEM_WHOLE_MAX)
-        if cnt_blocked:
-            in_specs.append(pl.BlockSpec(
-                (1,) + group_ops[0].shape[1:], lambda i: (i, 0, 0),
-                memory_space=pltpu.SMEM))
-        else:
-            in_specs.append(pl.BlockSpec(group_ops[0].shape,
-                                         lambda i: (0, 0),
-                                         memory_space=pltpu.SMEM))
-        in_specs.append(pl.BlockSpec((1,) + group_ops[1].shape[1:],
+        # per step (see CNT_SMEM_WHOLE_MAX); the batched-scatter path
+        # ships the table only
+        if not scdot:
+            if cnt_blocked:
+                in_specs.append(pl.BlockSpec(
+                    (1,) + group_ops[0].shape[1:], lambda i: (i, 0, 0),
+                    memory_space=pltpu.SMEM))
+            else:
+                in_specs.append(pl.BlockSpec(group_ops[0].shape,
+                                             lambda i: (0, 0),
+                                             memory_space=pltpu.SMEM))
+        in_specs.append(pl.BlockSpec((1,) + group_ops[-1].shape[1:],
                                      lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         flat_ops.extend(group_ops)
@@ -1180,6 +1254,7 @@ def _build_kernel_runner(plan: StackPlan, low: LoweredSchedule,
     run_stack_kernel.kernel_jit = _stack_call     # AOT lowering checks
     run_stack_kernel.kernel_args = flat_ops
     run_stack_kernel.metas = metas                # geometry introspection
+    run_stack_kernel.scdot = scdot                # batched-scatter engaged?
     return run_stack_kernel
 
 
