@@ -332,3 +332,41 @@ def test_dict_tables_joint_compaction(monkeypatch):
     for i, k in enumerate(ks):
         want = _oracle(chans[k])
         assert np.abs(out[i, 0] - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_seq_scdot_batched_matches_per_chunk(monkeypatch):
+    """The superchunk-batched scatter in the stacked-table kernel feeds
+    every output row the same product multiset as the per-chunk walk
+    (1-ulp-equivalent -- the wider GEMM reassociates f32 sums), and the
+    auto gate keys on the table-build-time waste rule ('scdot_ok')."""
+    # a longer window (8 chunks -> SC=4) with dense uniform pulses, one
+    # explicit bucket (the stacked-table path is single-bucket)
+    rng = np.random.default_rng(17)
+    stop = 65.536e-6
+    lows, chans = [], []
+    for _ in range(3):
+        wl = [(float(a) * cosPulse(50e-9) >> o)
+              for a, o in zip(rng.uniform(0.2, 1.0, 400),
+                              rng.uniform(0, stop - 1e-7, 400))]
+        ch = WaveVStack(wl)
+        chans.append(ch)
+        lows.append(lower_schedule([ch], 0, stop, FS,
+                                   bucket_samples=int(stop * FS)))
+    ks = [1, 2, 0, 1]
+
+    def _oracle(ch, stop=stop):
+        t = np.arange(0, stop, 1 / FS)
+        return np.asarray(ch(t), float)
+
+    monkeypatch.setenv('WFTPU_STACK_SCDOT', '0')
+    base = np.asarray(StackSequencer(lows).play_packed(ks))
+    monkeypatch.setenv('WFTPU_STACK_SCDOT', 'auto')
+    seq = StackSequencer(lows)
+    assert all(m.get('scdot_ok') for m in seq._metas)
+    out = np.asarray(seq.play_packed(ks))
+    scale = np.abs(base).max()
+    assert np.abs(out - base).max() <= 5e-7 * scale
+    # oracle anchor for one shot
+    want = _oracle(chans[2])
+    s2 = max(np.abs(want).max(), 1e-30)
+    assert np.abs(out[1, 0] - want).max() / s2 < 2e-6

@@ -43,7 +43,7 @@ from .lowering import (PALLAS_SMEM_BUDGET, LoweredSchedule,
 from .stack_synth import (KERNEL_MAX_HBM, KERNEL_MAX_VMEM, GroupData,
                           StackPlan, _dict_compact, _group_table,
                           _kernel_runner_viable, _emit_chunk,
-                          _strip_builder, build_stack_plan)
+                          _scatter_dot, _strip_builder, build_stack_plan)
 
 __all__ = ['StackSequencer', 'synthesize_stack_sharded']
 
@@ -229,6 +229,7 @@ class StackSequencer:
         # and compact after the loop -- see stack_synth._dict_compact
         dict_cols = (os.environ.get('WFTPU_STACK_DICT', '1') == '1'
                      and not table_t)
+        scdot_tot = [0, 0]           # [padded slots, live slots] totals
         for key in key_union:
             tabs, valids, cnts_all = [], [], []
             meta = None
@@ -263,6 +264,13 @@ class StackSequencer:
                              and K * n_chunks * meta['k_sp']
                              <= 1.6 * spc_sum))):
                 meta['sp_widths'] = (meta['k_sp'],)
+            # superchunk-batched scatter eligibility (the waste rule
+            # needs the counts, which _seq_call never sees): totals
+            # accumulate across groups -- the batched dot fuses them
+            # all, so a tiny auxiliary group's padding is priced
+            # against the whole step's live work (joint flag below)
+            scdot_tot[0] += K * n_chunks * meta['k_sp']
+            scdot_tot[1] += spc_sum
             tabs = [np.pad(t, ((0, pad_c), (0, 0), (0, 0)))
                     for t in tabs]
             if table_t:
@@ -285,6 +293,9 @@ class StackSequencer:
             # lazily, and the sharded path device_puts each shard's slice
             # directly (no full-table stop on device 0)
             self._operands.append([stacked_cnt, stacked_tab])
+        joint_ok = bool(scdot_tot[0] <= 1.6 * max(scdot_tot[1], 1))
+        for meta in self._metas:
+            meta['scdot_ok'] = joint_ok
         if vmem > KERNEL_MAX_VMEM:
             raise UnsupportedFactor(
                 "stacked group tables exceed the kernel VMEM budget")
@@ -338,7 +349,8 @@ class StackSequencer:
         key = (n_shots, interpret,
                str(jnp.dtype(out_dtype or jnp.float32)),
                np.asarray(dac_scale, np.float32).tobytes(),
-               os.environ.get('WFTPU_STACK_DOT3', '1'))
+               os.environ.get('WFTPU_STACK_DOT3', '1'),
+               os.environ.get('WFTPU_STACK_SCDOT', 'auto'))
         call = self._calls.get(key)
         if call is None:
             call = self._build_call(n_shots, interpret, out_dtype,
@@ -393,7 +405,9 @@ class StackSequencer:
         n_local = n_pad // n_dev
 
         key = ('sharded', n_local, interpret,
-               str(jnp.dtype(out_dtype or jnp.float32)), float(dac_scale))
+               str(jnp.dtype(out_dtype or jnp.float32)), float(dac_scale),
+               os.environ.get('WFTPU_STACK_DOT3', '1'),
+               os.environ.get('WFTPU_STACK_SCDOT', 'auto'))
         call = self._calls.get(key)
         if call is None:
             call = self._build_call(n_local, interpret, out_dtype,
@@ -458,6 +472,19 @@ def _seq_call(metas, shapes, SC: int, n_super: int, n_chunks_pad: int,
         raise UnsupportedFactor(
             "stacked-table int16 supports a scalar dac_scale")
 
+    # superchunk-batched scatter (same lever as stack_synth's scdot,
+    # minus the counts-drop: the counts operands stay in the contract so
+    # the sharded path's operand slicing is unchanged).  The waste rule
+    # was decided at table-build time across all K schedules
+    # ('scdot_ok'); '1' forces any structurally-eligible table
+    SCDOT = os.environ.get('WFTPU_STACK_SCDOT', 'auto')
+    scdot = (SCDOT != '0' and SC > 1
+             and all(m['n_ident'] == 0 and m['k_sp'] > 0
+                     and len(m['sp_widths']) == 1 for m in metas)
+             and (SCDOT == '1'
+                  or (all(m.get('scdot_ok') for m in metas)
+                      and SC * sum(m['k_sp'] for m in metas) <= 1024)))
+
     def kernel(ks_ref, *refs):
         if quant:
             out_ref, acc_ref = refs[-2], refs[-1]
@@ -466,19 +493,34 @@ def _seq_call(metas, shapes, SC: int, n_super: int, n_chunks_pad: int,
         acc_ref[0] = jnp.zeros((SC * 128, 128), jnp.float32)
         i = pl.program_id(0)
         sched = ks_ref[i // n_super]
-        r = 0
-        for meta in metas:
-            cnt_ref, tab_ref = refs[r:r + 2]
-            r += 2
-            # dot3 default matches stack_synth (parity proven on the
-            # real MXU three times; faster in every measured config)
-            strip = _strip_builder(
-                meta, tab_ref, None,
-                os.environ.get('WFTPU_STACK_DOT3', '1') == '1')
-            for sc in range(SC):
-                row = sched * n_chunks_pad + (i % n_super) * SC + sc
-                _emit_chunk(meta, strip, acc_ref, sc,
-                            cnt_ref[row, 0], cnt_ref[row, 1])
+        # dot3 default matches stack_synth (parity proven on the
+        # real MXU three times; faster in every measured config)
+        dot3 = os.environ.get('WFTPU_STACK_DOT3', '1') == '1'
+        if scdot:
+            vals_l, oh_l = [], []
+            for gi, meta in enumerate(metas):
+                tab_ref = refs[2 * gi + 1]
+                strip = _strip_builder(meta, tab_ref, None, dot3)
+                k_sp = meta['sp_widths'][0]
+                for sc in range(SC):
+                    vals, ridx = strip(0, k_sp, sc, True, parts=True)
+                    lane2 = jax.lax.broadcasted_iota(
+                        jnp.int32, (k_sp, SC * 128), 1)
+                    oh_l.append(ridx + sc * 128 == lane2)
+                    vals_l.append(vals)
+            acc_ref[0] += _scatter_dot(jnp.concatenate(oh_l, 0),
+                                       jnp.concatenate(vals_l, 0),
+                                       dot3)
+        else:
+            r = 0
+            for meta in metas:
+                cnt_ref, tab_ref = refs[r:r + 2]
+                r += 2
+                strip = _strip_builder(meta, tab_ref, None, dot3)
+                for sc in range(SC):
+                    row = sched * n_chunks_pad + (i % n_super) * SC + sc
+                    _emit_chunk(meta, strip, acc_ref, sc,
+                                cnt_ref[row, 0], cnt_ref[row, 1])
         if quant:
             # dac_scale is integer-codes-only (float narrowing is a
             # plain astype -- the engines' shared convention)
