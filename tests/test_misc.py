@@ -368,3 +368,35 @@ def test_shifted_stack_lowers_per_component():
         out = np.asarray(synthesize([w], 0, STOP, FS, engine=eng))
         err = np.abs(out[0][:len(want)] - want).max()
         assert err / np.abs(want).max() < 1e-6, eng
+
+
+def test_ext_blocks_dedup_across_instances():
+    """drag_sin/sinx ext coefficient blocks depend only on the pulse
+    SHAPE (width/plateau/delta/block_freq), not on shift/t0/phase, so an
+    XY line of same-shape gates at distinct phases must share ONE block
+    -- without the bytes-keyed dedup, 64 ch x 24 gates x 29 words blew
+    past PALLAS_EXT_MAX (the r5_hi_ext_ops capture failure)."""
+    import numpy as np
+
+    from waveforms_tpu.models.multy_drag import drag_sin
+    from waveforms_tpu.ops.lowering import lower_schedule
+
+    rng = np.random.default_rng(7)
+    dur, fs = 32.768e-6, 2e9
+    chans = [sum((drag_sin(2e8, 22e-9, plateau=6e-9, delta=3e6,
+                           block_freq=(2.5e8,), phase=float(p),
+                           t0=float(o)))
+                 for o, p in zip(rng.uniform(2e-6, dur - 1e-6, 6),
+                                 rng.uniform(0, 6.28, 6)))
+             for _ in range(4)]
+    for kw in ({}, {'keep_f64': True}):
+        low = lower_schedule(chans, 0.0, dur, fs, **kw)
+        assert low.ext.size == 29, (kw, low.ext.size)   # one shared block
+        assert low.pallas_ok
+    # distinct shapes keep distinct blocks
+    two = [drag_sin(2e8, 22e-9, plateau=6e-9, delta=3e6,
+                    block_freq=(2.5e8,), t0=1e-6)
+           + drag_sin(2e8, 30e-9, plateau=6e-9, delta=3e6,
+                      block_freq=(2.5e8,), t0=3e-6)]
+    low2 = lower_schedule(two, 0.0, 8.192e-6, fs)
+    assert low2.ext.size == 58

@@ -85,6 +85,18 @@ PALLAS_EXT_MAX = 8192
 PALLAS_SMEM_BUDGET = 512 * 1024
 
 
+class _ExtBuf(list):
+    """Ext side-buffer with a bytes-keyed dedup table.
+
+    Identical coefficient blocks (e.g. an XY line of same-shape drag_sin
+    gates at distinct phases) collapse to one shared copy; emission
+    paths that receive a plain list simply skip the dedup."""
+
+    def __init__(self):
+        super().__init__()
+        self.seen: dict[bytes, int] = {}
+
+
 def _pallas_desc_bytes(Sb: int, T: int, F: int) -> int:
     """Bytes of one (channel, bucket) descriptor block in kernel SMEM."""
     per_segment = 3 + T * (2 + F * (7 + W_ARGS))   # i32/f32 words
@@ -381,7 +393,6 @@ def _lower_factor(factor, power, start: float, dt: float,
         a[4] = ceps
         a[5] = width / dt       # width in samples
         a[6] = plateau / dt     # plateau in samples
-        a[7] = len(ext)
         # fixed-layout ext block:
         #   [m, cx[0..MAXM], cy[0..MAXM], flat_x, flat_y,
         #    (sinx: blend_half, {len, coeffs[MAXQ]} x4 for lx/ly/rx/ry)]
@@ -427,8 +438,23 @@ def _lower_factor(factor, power, start: float, dt: float,
                 padded = np.zeros(DRAG_SINX_MAXQ)
                 padded[:len(qq)] = qq
                 block += [float(len(qq))] + padded.tolist()
+        # the block depends only on (width, plateau, delta, block_freq,
+        # tab) -- NOT on shift/t0/phase -- so identical blocks dedup by
+        # bytes (an XY line of same-shape gates at distinct phases
+        # otherwise multiplies the ext buffer past PALLAS_EXT_MAX: 64 ch
+        # x 24 gates x 29 words = 44544 vs the 8192 budget, the
+        # r5_hi_ext_ops capture failure).  The template cache alone
+        # cannot catch this: its key includes the phase argument.
+        seen = getattr(ext, 'seen', None)
+        key = np.asarray(block, np.float64).tobytes()
+        goff = None if seen is None else seen.get(key)
+        if goff is None:
+            goff = len(ext)
+            ext.extend(block)
+            if seen is not None:
+                seen[key] = goff
+        a[7] = goff
         a[8] = len(block)
-        ext.extend(block)
         op_code = OP_DRAG_SIN if fun_id == _DS else OP_DRAG_SINX
         return FactorDesc(op_code, power, hi, a, (q32, cq, 0, 0))
 
@@ -1092,7 +1118,7 @@ def lower_schedule(channels, start: float, stop: float, sample_rate: float,
     # arrays (Python per-channel fallback for exotic bases feeds the same
     # vectorized assembly); the all-Python path remains for hosts without
     # a toolchain
-    ext: list = []
+    ext = _ExtBuf()
     cache: dict = {}
     # the native walker emits real f32 amplitudes; part='complex' (fused
     # re/im synthesis) lowers on the Python path with complex amps
@@ -1294,7 +1320,11 @@ def _lower_schedule_native(channels, grid, start, dt, part, ext, cache):
     if not lower_available():
         return None
     want_imag = 1 if part == 'imag' else 0
-    ext_seen: dict = {}
+    # share the dedup table with the Python emission path (_ExtBuf.seen)
+    # so blocks entered by either path collapse to one copy
+    ext_seen = getattr(ext, 'seen', None)
+    if ext_seen is None:
+        ext_seen = {}
     flat = []
     for ch in channels:
         pieces = []
