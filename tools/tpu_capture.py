@@ -1805,6 +1805,50 @@ def task_stack_scdot_ab(row='vstack_1000x200k'):
     return res
 
 
+def task_occ_scdot_ab(n_pulses=120):
+    """Forced batched scatter on an occupancy-ladder rung.
+
+    The auto waste rule declines these many-overlap schedules (padded
+    slots ~2-3x live work), but the saved dot machinery may still win:
+    if forced-on beats per-chunk here, the 1.6x threshold is too strict
+    and gets recalibrated from this row."""
+    import importlib
+    import os
+
+    import jax
+
+    from waveforms_tpu.ops.lowering import lower_schedule
+    from waveforms_tpu.ops import stack_synth as st
+
+    dur = 524.288e-6
+    chans = _ladder_chans(n_pulses)
+    low = lower_schedule(chans, 0.0, dur, FS)
+    res = {"n_pulses": n_pulses}
+    try:
+        for name, flag in (("perchunk", '0'), ("forced", '1')):
+            os.environ['WFTPU_STACK_SCDOT'] = flag
+            plan = st.build_stack_plan(low)
+            runner = st._build_kernel_runner(plan, low, False)
+            res[name + "_engaged"] = bool(runner.scdot)
+            out4 = np.asarray(runner()[:4])
+            t = np.arange(0.0, dur, 1 / FS)
+            worst = 0.0
+            for c in range(4):
+                oracle = np.real(chans[c](t))
+                s = max(np.abs(oracle).max(), 1e-30)
+                worst = max(worst, float(
+                    np.abs(out4[c, :len(t)] - oracle).max() / s))
+            res[name + "_rel_err"] = worst
+            med = profile_median(runner, runner.kernel_span)
+            res[name + "_ms"] = round(med * 1e3, 4)
+    finally:
+        os.environ.pop('WFTPU_STACK_SCDOT', None)
+    n = len(chans) * low.n_samples
+    best = min(res["perchunk_ms"], res["forced_ms"])
+    res["best_gsps"] = round(n / (best * 1e-3) / 1e9, 3)
+    return res
+
+
 def task_hi_ext_ops_r5():
     """Round-5 close of the LAST hi-tier opcode holes ON SILICON:
     multi-tone DRAG (OP_DRAG_SIN/SINX -- the f64 ext coefficient block
@@ -2610,6 +2654,7 @@ def pending_tasks(state):
     # A/B + on-chip parity on the vstack row, then the sequencer-scale
     # stacked row under the winning default
     tasks.append(("r5_stack_scdot_ab", task_stack_scdot_ab))
+    tasks.append(("r5_occ_scdot_ab", task_occ_scdot_ab))
     tasks.append(("r5k_seq_stack_1000", lambda: task_seq_stack(1000)))
     # exact-fit panels (store-bound: padding rows past the window were
     # a 4.7% tax) -- retake the flagship panel windows + fresh bench
