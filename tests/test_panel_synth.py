@@ -261,3 +261,27 @@ def test_engine_routes_panel_windowed(monkeypatch):
         # plan small enough that halving the budget still fits: the
         # plain panel route must have been chosen
         assert kind == 'panel'
+
+
+def test_panel_height_exact_fit():
+    """Panels shrink to the smallest Rs-multiple covering the window in
+    NP panels (store-bound kernel: padding rows past the window are
+    wasted bandwidth -- the pow2 height taxed the 1 ms flagship 4.7%).
+    Padding stays below NP * Rs rows, and placement still matches the
+    worklist kernel exactly."""
+    chans = _chans()
+    stop = 6.5536e-5          # 131072 samples = 1024 rows
+    low = lower_schedule(chans, 0.0, stop, FS)
+    dev = DeviceSchedule(low)
+    # 1024 rows at Rs=8, panel_rows=384: NP=3, exact-fit P=344 (the pow2
+    # legacy would have kept P=384 and stored 1152 rows)
+    plan = build_panel_plan(low, Rs=8, panel_rows=384)
+    n_rows_win = -(-low.n_samples // 128)
+    n_tiles = -(-n_rows_win // 8)
+    rows = n_tiles * 8
+    assert plan.P % 8 == 0
+    assert plan.n_panels * plan.P >= rows
+    assert plan.n_panels * plan.P - rows < plan.n_panels * 8
+    out = synthesize_panels(dev, plan=plan, interpret=True)
+    ref = synthesize_sparse(dev, low=low, Rs=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
