@@ -913,6 +913,9 @@ def shard_panel_work(plan: SparsePlan, nc: int, nt: int, cs: int,
     P = max(Rs, min(panel_rows, n_rows_loc))
     P = (P // Rs) * Rs
     NP = -(-n_rows_loc // P)
+    # exact-fit panels (same rule as build_panel_plan): the kernel is
+    # store-bound, so padding rows past the shard's window waste stores
+    P = max(Rs, -(-(-(-n_rows_loc // NP)) // Rs) * Rs)
     n_slots = cs * NP * nb_local
     starts = np.zeros((nc, nt, n_slots + 1), np.int64)
     for a in range(nc):
